@@ -1,38 +1,238 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` entries pair with ``oracle_sql()`` DuckDB SQL. The
+geospatial queries run over the deterministically synthesized images /
+polygons / sites tables (BASELINE.json input shape; see
+gdal_spark/synth.py) — the oracle SQL regenerates the identical tables
+from pure arithmetic CTEs, so both engines compute over bit-identical
+inputs with no data exchange.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdal_spark import synth
+from gdal_spark.operators import cells
+from gdal_spark.operators.knn import knn
+from gdal_spark.operators.spatial_join import spatial_join
+
+# the correctness gate runs at sf0.01
+_ORACLE_N_IMAGES = synth.N_IMAGES_FOR_SF["0.01"]
+_ORACLE_N_POLYGONS = synth.N_POLYGONS_FOR_SF["0.01"]
+
+TILE_ZOOM = 12
+GEO_ZOOM = 10
+DENSITY_ZOOM = 8
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_tile_assign_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator tile assignment at z=12 (gdal2tiles GlobalMercator
+    semantics) via the vectorized pandas-UDF cell encoder."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = cells.assign_cells(imgs, TILE_ZOOM, "mercator", engine="pandas")
+    return out.select("image_id", "tile_x", "tile_y", "cell_id")
+
+
+def _q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = cells.assign_cells(imgs, GEO_ZOOM, "geodetic", engine="pandas")
+    return out.select("image_id", "tile_x", "tile_y", "cell_id")
+
+
+def _q_cell_density_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest cells at z=8 — surfaces the skewed hot cell; group +
+    order + limit."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = cells.assign_cells(imgs, DENSITY_ZOOM, "mercator", engine="pandas")
+    return (
+        out.groupBy("cell_id")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy(F.desc("n_images"), "cell_id")
+        .limit(20)
+    )
+
+
+def _q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: per-cell counts at z=8 reduced to the z=6
+    ancestor by pure cell-id arithmetic (the overview tree-reduce of
+    gdal2tiles create_overview_tile, as an aggregation)."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = cells.assign_cells(imgs, DENSITY_ZOOM, "mercator", engine="pandas")
+    parent = cells.cell_id_sql("(tile_x >> 2)", "(tile_y >> 2)", DENSITY_ZOOM - 2)
+    return (
+        out.withColumn("parent_cell", F.expr(parent))
+        .groupBy("parent_cell")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("cell_id").alias("n_child_cells"),
+        )
+    )
+
+
+def _q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join (cell prefilter + exact ray-cast refine)
+    over the SQL-reproducible polygon subset (boxes + triangles)."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    polys = synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+        F.col("kind").isin("box", "hot_box", "triangle")
+    )
+    out = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"]
+    )
+    return out.select("image_id", "poly_id")
+
+
+def _q_spatial_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-join aggregation: images per polygon category."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    polys = synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+        F.col("kind").isin("box", "hot_box", "triangle")
+    )
+    out = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id", "category"]
+    )
+    return out.groupBy("category").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("image_id").alias("n_images"),
+    )
+
+
+def _q_knn_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 nearest images per site via cell-ring expansion."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = knn(imgs, synth.sites_pdf(), k=4)
+    return out.select(
+        "site_id",
+        "rank",
+        F.col("i").alias("image_i"),
+        F.expr("cast(floor(d2 * 1000000.0E0) as bigint)").alias("d2_key"),
+    )
+
+
+def _q_caption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-equality invariant: captions survive the cell-assign +
+    join pipeline byte-equal (BASELINE.json per-row invariant)."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = cells.assign_cells(imgs, TILE_ZOOM, "mercator", engine="pandas")
+    return out.select("image_id", "caption", "fmt", "w", "h").orderBy("image_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign_merc": _q_tile_assign_merc,
+        "tile_assign_geodetic": _q_tile_assign_geodetic,
+        "cell_density_topk": _q_cell_density_topk,
+        "pyramid_rollup": _q_pyramid_rollup,
+        "spatial_join_pip": _q_spatial_join_pip,
+        "spatial_join_agg": _q_spatial_join_agg,
+        "knn_sites": _q_knn_sites,
+        "caption_roundtrip": _q_caption_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+
+
+def _images(n: int) -> str:
+    return synth.images_cte(n, "duckdb")
+
+
+def _merc_cells_sql(n: int, zoom: int) -> str:
+    tx = cells.merc_tile_sql("lon", "lat", zoom, "x")
+    ty = cells.merc_tile_sql("lon", "lat", zoom, "y")
+    return (
+        f"SELECT image_id, {tx} AS tile_x, {ty} AS tile_y, "
+        f"{cells.cell_id_sql(tx, ty, zoom)} AS cell_id "
+        f"FROM ({_images(n)})"
+    )
+
+
+_PIP_ORACLE_JOIN = """
+    ON p.kind IN ('box', 'hot_box', 'triangle')
+    AND i.lon >= p.cx - p.hw AND i.lon <= p.cx + p.hw
+    AND i.lat >= p.cy - p.hh AND i.lat <= p.cy + p.hh
+    AND (
+      p.kind <> 'triangle' OR (
+        -- CCW half-plane tests, triangle A=(cx-hw,cy-hh) B=(cx+hw,cy-hh) C=(cx,cy+hh)
+        ((p.cx + p.hw) - (p.cx - p.hw)) * (i.lat - (p.cy - p.hh)) >= 0
+        AND (p.cx - (p.cx + p.hw)) * (i.lat - (p.cy - p.hh))
+            - ((p.cy + p.hh) - (p.cy - p.hh)) * (i.lon - (p.cx + p.hw)) >= 0
+        AND ((p.cx - p.hw) - p.cx) * (i.lat - (p.cy + p.hh))
+            - ((p.cy - p.hh) - (p.cy + p.hh)) * (i.lon - p.cx) >= 0
+      )
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n, m = _ORACLE_N_IMAGES, _ORACLE_N_POLYGONS
+    merc8_x = cells.merc_tile_sql("lon", "lat", DENSITY_ZOOM, "x")
+    merc8_y = cells.merc_tile_sql("lon", "lat", DENSITY_ZOOM, "y")
+    geo_x = cells.geodetic_tile_sql("lon", "lat", GEO_ZOOM, "x")
+    geo_y = cells.geodetic_tile_sql("lon", "lat", GEO_ZOOM, "y")
+    return {
+        "tile_assign_merc": _merc_cells_sql(n, TILE_ZOOM),
+        "tile_assign_geodetic": (
+            f"SELECT image_id, {geo_x} AS tile_x, {geo_y} AS tile_y, "
+            f"{cells.cell_id_sql(geo_x, geo_y, GEO_ZOOM)} AS cell_id "
+            f"FROM ({_images(n)})"
+        ),
+        "cell_density_topk": (
+            f"SELECT {cells.cell_id_sql(merc8_x, merc8_y, DENSITY_ZOOM)} AS cell_id, "
+            f"count(*) AS n_images FROM ({_images(n)}) "
+            f"GROUP BY 1 ORDER BY n_images DESC, cell_id LIMIT 20"
+        ),
+        "pyramid_rollup": (
+            f"WITH cells8 AS (SELECT "
+            f"{merc8_x} AS tile_x, {merc8_y} AS tile_y FROM ({_images(n)})) "
+            f"SELECT {cells.cell_id_sql('(tile_x >> 2)', '(tile_y >> 2)', DENSITY_ZOOM - 2)} "
+            f"AS parent_cell, count(*) AS n_images, "
+            f"count(DISTINCT {cells.cell_id_sql('tile_x', 'tile_y', DENSITY_ZOOM)}) "
+            f"AS n_child_cells "
+            f"FROM cells8 GROUP BY 1"
+        ),
+        "spatial_join_pip": (
+            f"WITH images AS ({_images(n)}), "
+            f"polys AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+            f"SELECT i.image_id AS image_id, "
+            f"concat('poly', lpad(cast(p.j as varchar), 4, '0')) AS poly_id "
+            f"FROM images i JOIN polys p {_PIP_ORACLE_JOIN}"
+        ),
+        "spatial_join_agg": (
+            f"WITH images AS ({_images(n)}), "
+            f"polys AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+            f"SELECT p.category AS category, count(*) AS n_pairs, "
+            f"count(DISTINCT i.image_id) AS n_images "
+            f"FROM images i JOIN polys p {_PIP_ORACLE_JOIN} "
+            f"GROUP BY p.category"
+        ),
+        "knn_sites": (
+            f"WITH images AS ({_images(n)}), "
+            f"sites AS ({synth.sites_cte(synth.N_SITES, 'duckdb')}), "
+            f"cand AS (SELECT s.site_id, i.i, "
+            f"(i.lon - s.slon) * (i.lon - s.slon) + (i.lat - s.slat) * (i.lat - s.slat) AS d2, "
+            f"row_number() OVER (PARTITION BY s.site_id ORDER BY "
+            f"(i.lon - s.slon) * (i.lon - s.slon) + (i.lat - s.slat) * (i.lat - s.slat), i.i) "
+            f"AS rank FROM images i CROSS JOIN sites s) "
+            f"SELECT site_id, cast(rank AS int) AS rank, i AS image_i, "
+            f"cast(floor(d2 * 1000000.0E0) as bigint) AS d2_key "
+            f"FROM cand WHERE rank <= 4"
+        ),
+        "caption_roundtrip": (
+            f"SELECT image_id, caption, fmt, w, h FROM ({_images(n)}) ORDER BY image_id"
+        ),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: spatial join (cell prefilter + exact refine) at
+    sf0.001 scale."""
+    return _q_spatial_join_pip(spark, "/root/testdata/sf0.001")

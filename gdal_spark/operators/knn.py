@@ -1,0 +1,193 @@
+"""kNN via cell-ring expansion — distributed nearest-neighbor search.
+
+Reference semantics: GDALGridNearestNeighbor / IDW-NN search the
+CPLQuadTree outward from the query point until enough points are found
+(alg/gdalgrid.cpp:259-375, CPLQuadTreeSearch :294). The distributed
+analog replaces the quadtree with the geodetic cell grid: candidate
+cells expand in Chebyshev rings around each query site's cell until
+
+  (a) >= k candidates are found, AND
+  (b) the k-th candidate distance <= distance from the site to the
+      boundary of the covered cell square (so no closer point can
+      exist outside the searched region).
+
+Distance metric: squared planar degree distance (exact IEEE arithmetic
+-> reproducible in the DuckDB oracle bit-for-bit). Ranking ties broken
+by point id for determinism.
+
+Scale shape: sites (queries) are the tiny side — each round builds a
+(site, cell) table of only the NEW ring cells for still-unsatisfied
+sites and broadcast-joins it against the big points table on cell_id.
+The big table is scanned per round but never shuffled; rounds are
+O(log) because the radius doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import grid
+from .cells import assign_cells
+
+DEFAULT_KNN_ZOOM = 4
+
+
+def _ring_cells(scx: int, scy: int, r_lo: int, r_hi: int, zoom: int):
+    """Cells with Chebyshev distance in (r_lo, r_hi] of (scx, scy),
+    clipped to the geodetic grid. r_lo=-1 includes the center."""
+    nx, ny = 2 ** (zoom + 1), 2**zoom
+    out = []
+    for dx in range(-r_hi, r_hi + 1):
+        for dy in range(-r_hi, r_hi + 1):
+            ch = max(abs(dx), abs(dy))
+            if ch <= r_lo:
+                continue
+            x, y = scx + dx, scy + dy
+            if 0 <= x < nx and 0 <= y < ny:
+                out.append((x, y))
+    return out
+
+
+def knn(
+    points: DataFrame,
+    sites_pdf: pd.DataFrame,
+    k: int,
+    zoom: int = DEFAULT_KNN_ZOOM,
+    id_col: str = "i",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_rounds: int = 12,
+    engine: str = "sql",
+) -> DataFrame:
+    """k nearest points for each site.
+
+    ``sites_pdf``: small pandas frame (site_id, slon, slat) — the
+    query side, always driver-resident and broadcast.
+    Returns (site_id, rank, <id_col>, d2).
+    """
+    spark = points.sparkSession
+    pts = assign_cells(
+        points.select(id_col, lon_col, lat_col),
+        zoom,
+        grid_kind="geodetic",
+        lon_col=lon_col,
+        lat_col=lat_col,
+        engine=engine,
+    ).select(id_col, lon_col, lat_col, "tile_x", "tile_y")
+    pts = pts.persist()
+    try:
+        scx, scy = grid.lonlat_to_tile_geodetic(
+            sites_pdf["slon"].values, sites_pdf["slat"].values, zoom
+        )
+        sites = sites_pdf.assign(scx=scx, scy=scy)
+        cell_deg = 180.0 / (2.0**zoom)  # tile width in degrees (tms geodetic)
+
+        results = None  # accumulated candidate DataFrame
+        unsat = sites
+        r_prev, r_cur = -1, 1
+        for _ in range(max_rounds):
+            ring_rows = []
+            for rec in unsat.itertuples(index=False):
+                for x, y in _ring_cells(int(rec.scx), int(rec.scy), r_prev, r_cur, zoom):
+                    ring_rows.append((rec.site_id, float(rec.slon), float(rec.slat), x, y))
+            if ring_rows:
+                ring_df = spark.createDataFrame(
+                    pd.DataFrame(
+                        ring_rows, columns=["site_id", "slon", "slat", "tile_x", "tile_y"]
+                    )
+                )
+                cand = pts.join(
+                    F.broadcast(ring_df), ["tile_x", "tile_y"], "inner"
+                ).select(
+                    "site_id",
+                    id_col,
+                    F.expr(
+                        f"({lon_col} - slon) * ({lon_col} - slon) + "
+                        f"({lat_col} - slat) * ({lat_col} - slat)"
+                    ).alias("d2"),
+                )
+                results = cand if results is None else results.unionByName(cand)
+
+            # check satisfaction: kth distance within the guaranteed-covered
+            # square around each site
+            win = Window.partitionBy("site_id").orderBy("d2", id_col)
+            topk = (
+                results.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .groupBy("site_id")
+                .agg(F.count("*").alias("n"), F.max("d2").alias("kth_d2"))
+            )
+            stats = {r["site_id"]: r for r in topk.collect()}
+            still = []
+            for rec in sites.itertuples(index=False):
+                st = stats.get(rec.site_id)
+                if st is None or st["n"] < k:
+                    still.append(rec.site_id)
+                    continue
+                # guaranteed covered square (planar degrees)
+                lon_min = (int(rec.scx) - r_cur) * cell_deg - 180.0
+                lon_max = (int(rec.scx) + r_cur + 1) * cell_deg - 180.0
+                lat_min = (int(rec.scy) - r_cur) * cell_deg - 90.0
+                lat_max = (int(rec.scy) + r_cur + 1) * cell_deg - 90.0
+                bound = min(
+                    rec.slon - lon_min,
+                    lon_max - rec.slon,
+                    rec.slat - lat_min,
+                    lat_max - rec.slat,
+                )
+                # whole grid covered -> nothing outside
+                whole = (
+                    lon_min <= -180.0
+                    and lon_max >= 180.0
+                    and lat_min <= -90.0
+                    and lat_max >= 90.0
+                )
+                if not whole and float(st["kth_d2"]) > bound * bound:
+                    still.append(rec.site_id)
+            if not still:
+                break
+            unsat = sites[sites["site_id"].isin(still)]
+            r_prev, r_cur = r_cur, r_cur * 2
+
+        win = Window.partitionBy("site_id").orderBy("d2", id_col)
+        out = (
+            results.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("site_id", "rank", id_col, "d2")
+        )
+        # materialize before unpersisting the candidate cache
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        pts.unpersist()
+
+
+def knn_bruteforce(
+    points: DataFrame,
+    sites_df: DataFrame,
+    k: int,
+    id_col: str = "i",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Cross-join oracle with the same metric and tie-break."""
+    cand = points.select(id_col, lon_col, lat_col).crossJoin(
+        F.broadcast(sites_df.select("site_id", "slon", "slat"))
+    )
+    cand = cand.select(
+        "site_id",
+        id_col,
+        F.expr(
+            f"({lon_col} - slon) * ({lon_col} - slon) + "
+            f"({lat_col} - slat) * ({lat_col} - slat)"
+        ).alias("d2"),
+    )
+    win = Window.partitionBy("site_id").orderBy("d2", id_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("site_id", "rank", id_col, "d2")
+    )
