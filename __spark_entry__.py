@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
-from gdal_spark.operators import cells
+from gdal_spark.operators import cells, stats
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -124,8 +124,57 @@ def _q_caption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "caption", "fmt", "w", "h").orderBy("image_id")
 
 
+_STATS_MAX_I = 64
+_CKS_MAX_I = 16
+
+
+def _pixel_images(spark: SparkSession, sf_dir: str, max_i: int) -> DataFrame:
+    imgs = synth.images_df(spark, min(synth.n_images(sf_dir), 4096))
+    return synth.add_pixels(imgs.filter(F.col("i") < max_i))
+
+
+def _q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image/channel exact pixel moments (ComputeStatistics
+    partials, gcore/gdalrasterband.cpp:5568) — decoded in a vectorized
+    UDF, value-checked against a pure-SQL pixel oracle."""
+    out = stats.band_stats(_pixel_images(spark, sf_dir, _STATS_MAX_I))
+    return out.select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        "n_px",
+        "sum_v",
+        "sum_sq",
+        F.col("min_v").cast("bigint").alias("min_v"),
+        F.col("max_v").cast("bigint").alias("max_v"),
+    )
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed pixel histogram (GetHistogram,
+    gcore/gdalrasterband.cpp:3306)."""
+    out = stats.histogram(_pixel_images(spark, sf_dir, _CKS_MAX_I), bins=16)
+    return out.select(
+        "image_id", F.col("bin").cast("bigint").alias("bin"), "n"
+    )
+
+
+def _q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL 16-bit image checksum (alg/gdalchecksum.cpp:66), golden-
+    pinned to byte.tif=4672 in tests and value-checked here vs the SQL
+    pixel oracle."""
+    out = stats.checksums(_pixel_images(spark, sf_dir, _CKS_MAX_I))
+    return out.select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "band_stats": _q_band_stats,
+        "histogram": _q_histogram,
+        "checksum": _q_checksum,
         "tile_assign_merc": _q_tile_assign_merc,
         "tile_assign_geodetic": _q_tile_assign_geodetic,
         "cell_density_topk": _q_cell_density_topk,
@@ -172,13 +221,39 @@ _PIP_ORACLE_JOIN = """
 """
 
 
+_CKS_PRIME_CASE = (
+    "(CASE ((y * w + x) % 11) "
+    "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+    "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+    "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     n, m = _ORACLE_N_IMAGES, _ORACLE_N_POLYGONS
+    px_stats = synth.pixels_cte(min(n, 4096), _STATS_MAX_I, "duckdb")
+    px_small = synth.pixels_cte(min(n, 4096), _CKS_MAX_I, "duckdb")
     merc8_x = cells.merc_tile_sql("lon", "lat", DENSITY_ZOOM, "x")
     merc8_y = cells.merc_tile_sql("lon", "lat", DENSITY_ZOOM, "y")
     geo_x = cells.geodetic_tile_sql("lon", "lat", GEO_ZOOM, "x")
     geo_y = cells.geodetic_tile_sql("lon", "lat", GEO_ZOOM, "y")
     return {
+        "band_stats": (
+            f"SELECT image_id, cast(ch as bigint) AS channel, "
+            f"count(*) AS n_px, cast(sum(val) as bigint) AS sum_v, "
+            f"cast(sum(val * val) as bigint) AS sum_sq, "
+            f"cast(min(val) as bigint) AS min_v, cast(max(val) as bigint) AS max_v "
+            f"FROM ({px_stats}) GROUP BY 1, 2"
+        ),
+        "histogram": (
+            f"SELECT image_id, cast(floor(val / 16.0E0) as bigint) AS bin, "
+            f"count(*) AS n FROM ({px_small}) GROUP BY 1, 2"
+        ),
+        "checksum": (
+            f"SELECT image_id, cast(ch as bigint) AS channel, "
+            f"cast(sum(val % {_CKS_PRIME_CASE}) % 65536 as bigint) AS cks "
+            f"FROM ({px_small}) GROUP BY 1, 2"
+        ),
         "tile_assign_merc": _merc_cells_sql(n, TILE_ZOOM),
         "tile_assign_geodetic": (
             f"SELECT image_id, {geo_x} AS tile_x, {geo_y} AS tile_y, "

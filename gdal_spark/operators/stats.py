@@ -1,0 +1,142 @@
+"""Band statistics / histogram / GDAL checksum as DataFrame stages.
+
+Reference semantics:
+- ComputeStatistics / ComputeRasterMinMax: single-pass min/max/mean/
+  stddev per band (gcore/gdalrasterband.cpp:5568, :4319). Spark shape:
+  per-image partial moments in a vectorized decode UDF, exact final
+  combine with built-in aggregates (classic partial+final, the same
+  split GDAL's per-block loop makes).
+- GetHistogram: bucketed pixel histogram (gcore/gdalrasterband.cpp:3306)
+  -> per-image bincount partials, summed by built-in aggregation.
+- GDALChecksumImage (alg/gdalchecksum.cpp:66-235): 16-bit golden
+  checksum: for each pixel in row-major order,
+  ``sum += val % primes[(y*w + x) % 11]``, masked to 0xffff; float
+  data is converted via +0.5, floor, clip to int32 first (C truncated
+  modulo). Bit-exact parity is pinned in tests against the autotest
+  golden (byte.tif -> 4672, autotest/gcore/tiff_read.py:44).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs
+
+CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+
+def gdal_checksum(arr: np.ndarray) -> int:
+    """GDAL-semantics 16-bit checksum of one band (2-D array)."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "f":
+        v = a.astype(np.float64) + 0.5
+        nan = ~np.isfinite(v)
+        v = np.clip(v, -2147483647.0, 2147483647.0)
+        iv = np.floor(v).astype(np.int64)
+        iv[nan] = -2147483648  # 0x80000000 as int32
+    else:
+        iv = a.astype(np.int64)
+    flat = iv.reshape(-1)
+    primes = CHECKSUM_PRIMES[np.arange(flat.size) % 11]
+    # C truncated modulo (negative values round toward zero)
+    rem = np.sign(flat) * (np.abs(flat) % primes)
+    return int(rem.sum() % 65536)
+
+
+def _decode_iter(batches, fn, columns):
+    """Shared mapInPandas driver: decode each image, emit fn(arr) rows."""
+    for pdf in batches:
+        out = {c: [] for c in columns}
+        for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+            arr = codecs.decode_image(bytes(payload))
+            for row in fn(arr):
+                out["image_id"].append(image_id)
+                for c, v in zip(columns[1:], row):
+                    out[c].append(v)
+        yield pd.DataFrame(out)
+
+
+def band_stats(images: DataFrame, per_channel: bool = True) -> DataFrame:
+    """Per-image(, per-channel) exact partial moments:
+    (image_id, channel, n_px, sum_v, sum_sq, min_v, max_v).
+    Combine to mean/stddev with ``finalize_stats``."""
+    cols = ["image_id", "channel", "n_px", "sum_v", "sum_sq", "min_v", "max_v"]
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        chans = range(a.shape[2]) if per_channel else [None]
+        for ch in chans:
+            v = a[:, :, ch] if ch is not None else a
+            yield (
+                -1 if ch is None else ch,
+                int(v.size),
+                int(v.sum()),
+                int((v.astype(np.float64) ** 2).sum()),
+                int(v.min()),
+                int(v.max()),
+            )
+
+    schema = (
+        "image_id string, channel int, n_px bigint, sum_v bigint, "
+        "sum_sq bigint, min_v int, max_v int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def finalize_stats(partials: DataFrame, group_cols=("channel",)) -> DataFrame:
+    """Final combine: exact global min/max/mean/stddev from partials
+    (the reduce half of GDAL's per-block statistics loop)."""
+    agg = partials.groupBy(*group_cols).agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_px",
+        "min_v",
+        "max_v",
+        (F.col("sum_v") / F.col("n_px")).alias("mean"),
+        F.sqrt(
+            F.col("sum_sq") / F.col("n_px")
+            - (F.col("sum_v") / F.col("n_px")) ** 2
+        ).alias("stddev"),
+    )
+
+
+def histogram(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image histogram over all channels: (image_id, bin, n).
+    256 must divide bins*step; bin = val >> shift."""
+    shift = 8 - int(np.log2(bins))
+    cols = ["image_id", "bin", "n"]
+
+    def fn(arr):
+        counts = np.bincount((arr.reshape(-1) >> shift), minlength=bins)
+        for b in range(bins):
+            if counts[b]:
+                yield (int(b), int(counts[b]))
+
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols),
+        schema="image_id string, bin int, n bigint",
+    )
+
+
+def checksums(images: DataFrame) -> DataFrame:
+    """Per-image per-channel GDAL checksum: (image_id, channel, cks)."""
+    cols = ["image_id", "channel", "cks"]
+
+    def fn(arr):
+        for ch in range(arr.shape[2]):
+            yield (ch, gdal_checksum(arr[:, :, ch]))
+
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols),
+        schema="image_id string, channel int, cks int",
+    )

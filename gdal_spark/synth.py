@@ -141,6 +141,12 @@ def images_df(spark, n: int, with_pixels: bool = False):
     df = spark.sql(images_cte(n, "spark"))
     if not with_pixels:
         return df
+    return add_pixels(df)
+
+
+def add_pixels(df):
+    """Attach ``bytes`` (encoded payload) + ``phash`` to a metadata
+    frame with (i, w, h, fmt) columns — Arrow-batched generation."""
 
     def gen_pixels(batches):
         for pdf in batches:
@@ -153,11 +159,57 @@ def images_df(spark, n: int, with_pixels: bool = False):
             pdf = pdf.assign(bytes=payloads, phash=pd.array(hashes, dtype="int64"))
             yield pdf
 
-    schema = (
-        "i bigint, image_id string, lon double, lat double, w int, h int, "
-        "fmt string, caption string, bytes binary, phash bigint"
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(gen_pixels, schema=f"{base}, bytes binary, phash bigint")
+
+
+# SQL replica of codecs.make_pixels + the fake-codec decode: the
+# per-pixel value as a function of (i, w, fmt, x, y, ch). numpy sin ==
+# DuckDB/libm sin bit-for-bit on this platform (asserted in tests), so
+# pixel-level operators get REAL value oracles on small subsets.
+TWO_PI = 2.0 * np.pi
+
+
+def pixel_val_sql() -> str:
+    """SQL expression for the decoded pixel value; expects columns
+    i, w, fmt, x, y, ch in scope."""
+    arg = (
+        f"{flit(TWO_PI)} * (cast(x as double) / w + (i % 17) / 17.0E0 "
+        f"+ ch / 3.0E0)"
     )
-    return df.mapInPandas(gen_pixels, schema=schema)
+    base = "((x * 3 + y * 5 + i * 7 + ch * 11) % 256)"
+    raw = (
+        f"cast(floor(greatest(0.0E0, least(255.0E0, {base} + 60.0E0 * "
+        f"sin({arg})))) as bigint)"
+    )
+    return (
+        f"(CASE WHEN fmt = 'jpeg' THEN cast(floor({raw} / 4.0E0) as bigint) "
+        f"* 4 + 2 ELSE {raw} END)"
+    )
+
+
+def pixels_cte(n: int, max_i: int, dialect: str = "duckdb") -> str:
+    """Long-format pixel table (image_id, i, w, h, fmt, x, y, ch, val)
+    for images with i < max_i — the oracle's window into decoded
+    pixels."""
+    if dialect == "duckdb":
+        src = (
+            f"FROM ({images_cte(n, 'duckdb')}) i, range(0, 256) tx(x), "
+            f"range(0, 256) ty(y), range(0, 3) tc(ch) "
+            f"WHERE i.i < {max_i} AND x < i.w AND y < i.h"
+        )
+    else:
+        src = (
+            f"FROM ({images_cte(n, 'spark')}) i "
+            f"JOIN (SELECT id AS x FROM range(0, 256)) tx ON x < i.w "
+            f"JOIN (SELECT id AS y FROM range(0, 256)) ty ON y < i.h "
+            f"CROSS JOIN (SELECT id AS ch FROM range(0, 3)) tc "
+            f"WHERE i.i < {max_i}"
+        )
+    return (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x, y, ch, "
+        f"{pixel_val_sql()} AS val {src}"
+    )
 
 
 def images_pdf(n: int) -> pd.DataFrame:
