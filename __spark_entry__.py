@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
-from gdal_spark.operators import cells, stats
+from gdal_spark.operators import ann, cells, dedup, stats, textops
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -170,6 +170,66 @@ def _q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings parquet tables)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_profile(spark, sf_dir):
+    return textops.text_profile(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_token_topk(spark, sf_dir):
+    return textops.token_topk(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return ann.cosine_topk(_embs(spark, sf_dir))
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return ann.ann_lsh_topk(_embs(spark, sf_dir))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    return ann.embedding_neardup(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "band_stats": _q_band_stats,
@@ -183,6 +243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_agg": _q_spatial_join_agg,
         "knn_sites": _q_knn_sites,
         "caption_roundtrip": _q_caption_roundtrip,
+        "text_profile": _q_text_profile,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "token_topk": _q_token_topk,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -304,6 +376,18 @@ def oracle_sql() -> dict[str, str]:
         "caption_roundtrip": (
             f"SELECT image_id, caption, fmt, w, h FROM ({_images(n)}) ORDER BY image_id"
         ),
+        "text_profile": textops.oracle_text_profile(),
+        "quality_score": textops.oracle_quality_score(),
+        "lang_id": textops.oracle_lang_id(),
+        "token_topk": textops.oracle_token_topk(),
+        "exact_dedup": dedup.oracle_exact_dedup(),
+        "ngram_jaccard": dedup.oracle_ngram_jaccard(),
+        "minhash_lsh": dedup.oracle_minhash_lsh(),
+        "simhash": dedup.oracle_simhash(),
+        "simhash_pairs": dedup.oracle_simhash_pairs(),
+        "cosine_topk": ann.oracle_cosine_topk(),
+        "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
+        "embedding_neardup": ann.oracle_embedding_neardup(),
     }
 
 

@@ -1,0 +1,258 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three stages over the ``embeddings`` table (vec_id, embedding
+float[64], label):
+
+- **cosine_topk** — exact brute-force top-k per query vector. The
+  correctness baseline; O(Q x N) with Q small (broadcast the query
+  side).
+- **ann_lsh_topk** — the scale path: random-hyperplane LSH with T
+  hash tables of P planes each (sign-bit buckets); candidates =
+  bucket collisions in any table, re-ranked exactly. At 10^12 rows
+  the bucket join replaces the full cross product; T/P tune the
+  recall/cost trade-off.
+- **embedding_neardup** — near-duplicate pairs above a cosine
+  threshold (pairwise here; the LSH bucket join is the scale path).
+
+Numeric contract: embeddings are scaled to integers (floor(x*1e6)) so
+every dot product is integer-exact and order-independent; the final
+cosine is a fixed sequence of correctly-rounded IEEE double ops, so
+Spark and the DuckDB oracle agree bit-for-bit on the floor-scaled
+``cos_key``. Everything is Catalyst array expressions + joins — no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SCALE = 1_000_000
+N_QUERIES = 32
+LSH_TABLES = 8
+LSH_PLANES = 4
+DIM = 64
+
+
+def scaled_vec_sql(dialect: str, col: str = "embedding") -> str:
+    lam = "x -> cast(floor(cast(x as double) * 1000000.0E0) as bigint)"
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({col}, {lam})"
+
+
+def dot_sql(dialect: str, a: str, b: str) -> str:
+    """Integer dot product of two scaled bigint vectors."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    return f"cast(list_dot_product({a}, {b}) as bigint)"
+
+
+def cos_key_sql() -> str:
+    """floor(1e6 * dot / (|a| |b|)) — dialect-neutral; expects dot,
+    na, nb (self-dots) in scope."""
+    return (
+        "cast(floor(1000000.0E0 * cast(dot as double) / "
+        "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) as bigint)"
+    )
+
+
+def _vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, vs, norm2): scaled int vector + self-dot."""
+    return emb.selectExpr(
+        "vec_id", f"{scaled_vec_sql('spark')} AS vs"
+    ).selectExpr("vec_id", "vs", f"{dot_sql('spark', 'vs', 'vs')} AS norm2")
+
+
+def _vectors_cte() -> str:
+    vs = scaled_vec_sql("duckdb")
+    return (
+        f"SELECT vec_id, vs, {dot_sql('duckdb', 'vs', 'vs')} AS na FROM "
+        f"(SELECT vec_id, {vs} AS vs FROM embeddings)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact brute-force top-k
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k: (qid, rank, vec_id, cos_key). Query side is
+    tiny -> broadcast; ranking via window row_number with vec_id
+    tie-break."""
+    v = _vectors(emb)
+    q = v.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "vs AS qv", "norm2 AS na"
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid", "vec_id", "na", "norm2 AS nb",
+            f"{dot_sql('spark', 'qv', 'vs')} AS dot",
+        )
+        .selectExpr("qid", "vec_id", f"{cos_key_sql()} AS cos_key")
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_key"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_key")
+    )
+
+
+def oracle_cosine_topk(k: int = 5, n_queries: int = N_QUERIES) -> str:
+    return (
+        f"WITH v AS ({_vectors_cte()}), "
+        f"scored AS (SELECT q.vec_id AS qid, c.vec_id, q.na AS na, c.na AS nb, "
+        f"{dot_sql('duckdb', 'q.vs', 'c.vs')} AS dot "
+        f"FROM v q JOIN v c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id), "
+        f"keyed AS (SELECT qid, vec_id, {cos_key_sql()} AS cos_key, "
+        f"row_number() OVER (PARTITION BY qid ORDER BY {cos_key_sql()} DESC, "
+        f"vec_id) AS rank FROM scored) "
+        f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
+        f"FROM keyed WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB path)
+
+
+def _plane_sign_sql() -> str:
+    """Deterministic pseudo-random +/-1 for (table t, plane j, dim d):
+    quadratic-residue mixing, integer-exact in both engines."""
+    m = "((t * 1009 + j * 101 + d * 13) % 509)"
+    return f"(CASE WHEN (({m} * {m}) % 127) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+def lsh_buckets(emb: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLANES) -> DataFrame:
+    """(vec_id, t, bucket): sign-bit bucket of each vector in each
+    hash table. Explode over (table, plane, dim), two tree
+    aggregations — all map-side combinable."""
+    v = _vectors(emb).selectExpr("vec_id", "vs")
+    spark = emb.sparkSession
+    tj = spark.range(tables * planes).selectExpr(
+        f"cast(id div {planes} as bigint) AS t",
+        f"cast(id % {planes} as bigint) AS j",
+    )
+    dims = spark.range(DIM).selectExpr("cast(id as bigint) AS d")
+    terms = (
+        v.crossJoin(F.broadcast(tj))
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "vec_id", "t", "j",
+            f"element_at(vs, cast(d + 1 as int)) * {_plane_sign_sql()} AS term",
+        )
+    )
+    bits = terms.groupBy("vec_id", "t", "j").agg(
+        F.expr("cast(sum(term) >= 0 as bigint) AS bit")
+    )
+    return bits.groupBy("vec_id", "t").agg(
+        F.expr("sum(shiftleft(bit, cast(j as int))) AS bucket")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = N_QUERIES,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates from bucket collisions (any
+    table), exact re-rank. Same schema as cosine_topk; recall vs the
+    exact path is asserted in tests."""
+    b = lsh_buckets(emb, tables, planes)
+    qb = b.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "t", "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    v = _vectors(emb)
+    q = v.selectExpr("vec_id AS qid", "vs AS qv", "norm2 AS na")
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(v, "vec_id")
+        .selectExpr(
+            "qid", "vec_id", "na", "norm2 AS nb",
+            f"{dot_sql('spark', 'qv', 'vs')} AS dot",
+        )
+        .selectExpr("qid", "vec_id", f"{cos_key_sql()} AS cos_key")
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_key"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_key")
+    )
+
+
+def oracle_ann_lsh_topk(
+    k: int = 5,
+    n_queries: int = N_QUERIES,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> str:
+    sign = _plane_sign_sql()
+    return (
+        f"WITH v AS ({_vectors_cte()}), "
+        f"terms AS (SELECT vec_id, t, j, vs[cast(d + 1 as int)] * {sign} AS term "
+        f"FROM v, range(0, {tables}) tt(t), range(0, {planes}) tj(j), "
+        f"range(0, {DIM}) td(d)), "
+        f"bits AS (SELECT vec_id, t, j, cast(sum(term) >= 0 as bigint) AS bit "
+        f"FROM terms GROUP BY 1, 2, 3), "
+        f"buckets AS (SELECT vec_id, t, cast(sum(bit << cast(j as int)) as bigint) "
+        f"AS bucket FROM bits GROUP BY 1, 2), "
+        f"cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id FROM buckets q "
+        f"JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket "
+        f"AND q.vec_id < {n_queries} AND c.vec_id <> q.vec_id), "
+        f"scored AS (SELECT cand.qid, cand.vec_id, q.na AS na, c.na AS nb, "
+        f"{dot_sql('duckdb', 'q.vs', 'c.vs')} AS dot "
+        f"FROM cand JOIN v q ON q.vec_id = cand.qid "
+        f"JOIN v c ON c.vec_id = cand.vec_id), "
+        f"keyed AS (SELECT qid, vec_id, {cos_key_sql()} AS cos_key, "
+        f"row_number() OVER (PARTITION BY qid ORDER BY {cos_key_sql()} DESC, "
+        f"vec_id) AS rank FROM scored) "
+        f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
+        f"FROM keyed WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cosine near-duplicate pairs
+
+
+def embedding_neardup(emb: DataFrame, min_cos_ppm: int = 350_000) -> DataFrame:
+    """All pairs with cosine >= threshold: (vec_a, vec_b, cos_key).
+    Pairwise (exact) at test scale; at corpus scale the LSH bucket
+    join above generates the candidate pairs instead."""
+    v = _vectors(emb)
+    a = v.selectExpr("vec_id AS vec_a", "vs AS va", "norm2 AS na")
+    b = v.selectExpr("vec_id AS vec_b", "vs AS vb", "norm2 AS nb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .selectExpr(
+            "vec_a", "vec_b", "na", "nb",
+            f"{dot_sql('spark', 'va', 'vb')} AS dot",
+        )
+        .selectExpr("vec_a", "vec_b", f"{cos_key_sql()} AS cos_key")
+        .filter(F.col("cos_key") >= min_cos_ppm)
+    )
+
+
+def oracle_embedding_neardup(min_cos_ppm: int = 350_000) -> str:
+    return (
+        f"WITH v AS ({_vectors_cte()}), "
+        f"scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"a.na AS na, b.na AS nb, {dot_sql('duckdb', 'a.vs', 'b.vs')} AS dot "
+        f"FROM v a JOIN v b ON a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, {cos_key_sql()} AS cos_key FROM scored "
+        f"WHERE {cos_key_sql()} >= {min_cos_ppm}"
+    )

@@ -1,0 +1,373 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families over the ``documents`` table, each a first-class
+DataFrame stage designed for 100 TB corpora:
+
+- **exact**: md5 content hash (raw + whitespace-normalized) →
+  groupBy hash; one shuffle on a 128-bit key, canonical = min doc_id.
+- **n-gram Jaccard**: word 3-gram shingles → shingle-equijoin →
+  exact Jaccard. The shingle join is the scale path: pair generation
+  is bounded by shingle document-frequency, not O(n^2).
+- **MinHash + LSH**: k=16 universal hashes over shingle hashes,
+  banded 4x4; candidate pairs join on (band, signature); candidates
+  verified with exact Jaccard (the standard filter-verify pattern).
+- **SimHash**: 32-bit sign-aggregated token-hash fingerprint; near-dup
+  pairs found by 8-bit band join + hamming<=3 verify.
+
+All arithmetic (rolling hashes, minhash permutations, sign sums) is
+integer-exact and expressed identically in Spark SQL and DuckDB, so
+the driver oracle value-checks every stage. No Python UDFs anywhere —
+everything is Catalyst higher-order expressions + joins/aggregations
+(whole-stage codegen), which is what survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import HASH_P, str_hash_sql, token_hashes_sql, tokens_sql
+
+SHINGLE_N = 3
+NUM_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+MINHASH_B = 7919
+
+
+def _size(dialect: str, e: str) -> str:
+    return f"size({e})" if dialect == "spark" else f"len({e})"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Content-hash dedup: (doc_id, content_md5, norm_md5,
+    canonical_id, group_n, is_dup). canonical = min doc_id per
+    normalized hash; is_dup flags non-canonical members."""
+    h = docs.selectExpr(
+        "doc_id",
+        "md5(text) AS content_md5",
+        f"md5(concat_ws(' ', {tokens_sql('spark')})) AS norm_md5",
+    )
+    win = Window.partitionBy("norm_md5")
+    return h.select(
+        "doc_id",
+        "content_md5",
+        "norm_md5",
+        F.min("doc_id").over(win).alias("canonical_id"),
+        F.count("*").over(win).alias("group_n"),
+    ).withColumn(
+        "is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int")
+    )
+
+
+def oracle_exact_dedup() -> str:
+    return (
+        f"WITH h AS (SELECT doc_id, md5(text) AS content_md5, "
+        f"md5(array_to_string({tokens_sql('duckdb')}, ' ')) AS norm_md5 "
+        f"FROM documents) "
+        f"SELECT doc_id, content_md5, norm_md5, "
+        f"min(doc_id) OVER (PARTITION BY norm_md5) AS canonical_id, "
+        f"count(*) OVER (PARTITION BY norm_md5) AS group_n, "
+        f"cast(doc_id <> min(doc_id) OVER (PARTITION BY norm_md5) as int) AS is_dup "
+        f"FROM h"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash)
+
+
+def shingle_list_sql(dialect: str, n: int = SHINGLE_N) -> str:
+    """Distinct word n-gram shingles of the ``toks`` array column."""
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+            f"k -> concat_ws(' ', slice(toks, k + 1, {n}))))"
+        )
+    return (
+        f"list_distinct(list_transform(range(0, len(toks) - {n} + 1), "
+        f"k -> array_to_string(toks[k + 1:k + {n}], ' ')))"
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct n-gram shingles."""
+    return (
+        docs.withColumn("toks", F.expr(tokens_sql("spark")))
+        .filter(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(shingle_list_sql("spark", n))).alias("shingle"),
+        )
+    )
+
+
+def _shingles_cte(n: int = SHINGLE_N) -> str:
+    """DuckDB CTE body for (doc_id, shingle)."""
+    return (
+        f"SELECT doc_id, unnest({shingle_list_sql('duckdb', n)}) AS shingle "
+        f"FROM (SELECT doc_id, {tokens_sql('duckdb')} AS toks FROM documents) "
+        f"WHERE len(toks) >= {n}"
+    )
+
+
+def _jacc_key() -> str:
+    """Integer-scaled Jaccard (dialect-neutral): floor(1e6 * i/u)."""
+    return (
+        "cast(floor(1000000.0E0 * cast(inter as double) "
+        "/ cast(union_n as double)) as bigint)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exhaustive filter-free path)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = SHINGLE_N, min_jacc_ppm: int = 200_000
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard >= threshold.
+    Pair generation via shingle equi-join (shuffle on shingle), then
+    integer-exact threshold test inter*1e6 >= ppm*union."""
+    sh = shingles_df(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.selectExpr("doc_id AS doc_a", "n_sh AS n_a")
+    sb = sizes.selectExpr("doc_id AS doc_b", "n_sh AS n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 1_000_000 >= min_jacc_ppm * F.col("union_n"))
+        .selectExpr("doc_a", "doc_b", "inter", "union_n", f"{_jacc_key()} AS jacc_key")
+    )
+
+
+def oracle_ngram_jaccard(n: int = SHINGLE_N, min_jacc_ppm: int = 200_000) -> str:
+    return (
+        f"WITH sh AS ({_shingles_cte(n)}), "
+        f"sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        f"ij AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+        f"FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2) "
+        f"SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_n, "
+        f"{_jacc_key().replace('union_n', '(sa.n_sh + sb.n_sh - inter)')} AS jacc_key "
+        f"FROM ij JOIN sizes sa ON sa.doc_id = doc_a "
+        f"JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE inter * 1000000 >= {min_jacc_ppm} * (sa.n_sh + sb.n_sh - inter)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, i, mh): minhash under hash_i(x) = ((2i+1)*x + i*B) % P
+    over the doc's shingle rolling-hashes."""
+    sh = shingles_df(docs).withColumn(
+        "sh_hash", F.expr(str_hash_sql("spark", "shingle"))
+    )
+    hi = sh.sparkSession.range(num_hashes).selectExpr("cast(id as bigint) AS i")
+    return (
+        sh.crossJoin(F.broadcast(hi))
+        .withColumn(
+            "hv",
+            F.expr(f"((2 * i + 1) * sh_hash + i * {MINHASH_B}) % {HASH_P}"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("mh"))
+    )
+
+
+def _band_sig_spark(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    return (
+        sigs.withColumn("band", F.expr(f"cast(i div {band_rows} as int)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(i, mh))), "
+                "s -> cast(s.mh as string)), ',')"
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+    min_jacc_ppm: int = 200_000,
+) -> DataFrame:
+    """Filter-verify near-dup: LSH band join proposes candidates,
+    exact Jaccard verifies. Output (doc_a, doc_b, n_bands, inter,
+    union_n, jacc_key, is_dup)."""
+    bands = _band_sig_spark(minhash_signatures(docs, num_hashes), band_rows)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+    sh = shingles_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa_sh = sh.selectExpr("doc_id AS doc_a", "shingle")
+    sb_sh = sh.selectExpr("doc_id AS doc_b", "shingle")
+    inter = (
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.selectExpr("doc_id AS doc_a", "n_sh AS n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n_sh AS n_b"), "doc_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            "inter",
+            "union_n",
+            f"{_jacc_key()} AS jacc_key",
+            f"cast(inter * 1000000 >= {min_jacc_ppm} * union_n as int) AS is_dup",
+        )
+    )
+
+
+def oracle_minhash_lsh(
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+    min_jacc_ppm: int = 200_000,
+) -> str:
+    return (
+        f"WITH sh AS ({_shingles_cte()}), "
+        f"shh AS (SELECT doc_id, shingle, {str_hash_sql('duckdb', 'shingle')} "
+        f"AS sh_hash FROM sh), "
+        f"sigs AS (SELECT doc_id, i, min(((2 * i + 1) * sh_hash + i * {MINHASH_B}) "
+        f"% {HASH_P}) AS mh "
+        f"FROM shh, range(0, {num_hashes}) t(i) GROUP BY doc_id, i), "
+        f"bands AS (SELECT doc_id, cast(i // {band_rows} as int) AS band, "
+        f"string_agg(cast(mh as varchar), ',' ORDER BY i) AS sig "
+        f"FROM sigs GROUP BY 1, 2), "
+        f"cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig "
+        f"AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        f"sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        f"ij AS (SELECT c.doc_a, c.doc_b, count(sb.shingle) AS inter FROM cand c "
+        f"JOIN sh sa ON sa.doc_id = c.doc_a "
+        f"LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle "
+        f"GROUP BY 1, 2) "
+        f"SELECT c.doc_a, c.doc_b, c.n_bands, ij.inter, "
+        f"sa.n_sh + sb.n_sh - ij.inter AS union_n, "
+        f"{_jacc_key().replace('union_n', '(sa.n_sh + sb.n_sh - ij.inter)')} AS jacc_key, "
+        f"cast(ij.inter * 1000000 >= {min_jacc_ppm} * (sa.n_sh + sb.n_sh - ij.inter) "
+        f"as int) AS is_dup "
+        f"FROM cand c JOIN ij ON ij.doc_a = c.doc_a AND ij.doc_b = c.doc_b "
+        f"JOIN sizes sa ON sa.doc_id = c.doc_a "
+        f"JOIN sizes sb ON sb.doc_id = c.doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: bit b = sign of the sum over
+    distinct-token hashes of +/-1 keyed on hash bit b."""
+    th = (
+        docs.withColumn("toks", F.expr(tokens_sql("spark")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({token_hashes_sql('spark', 'toks')})")
+            ).alias("th"),
+        )
+    )
+    bi = th.sparkSession.range(bits).selectExpr("cast(id as int) AS b")
+    return (
+        th.crossJoin(F.broadcast(bi))
+        .withColumn(
+            "sgn",
+            F.expr("CASE WHEN shiftright(th, b) % 2 = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("sgn").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s >= 0 THEN shiftleft(cast(1 as bigint), b) "
+                    "ELSE cast(0 as bigint) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def oracle_simhash(bits: int = 32) -> str:
+    return (
+        f"WITH th AS (SELECT doc_id, "
+        f"unnest(list_distinct({token_hashes_sql('duckdb', 'toks')})) AS th "
+        f"FROM (SELECT doc_id, {tokens_sql('duckdb')} AS toks FROM documents)), "
+        f"bitsum AS (SELECT doc_id, b, "
+        f"sum(CASE WHEN (th >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s "
+        f"FROM th, range(0, {bits}) t(b) GROUP BY 1, 2) "
+        f"SELECT doc_id, cast(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b "
+        f"ELSE 0 END) as bigint) AS simhash "
+        f"FROM bitsum GROUP BY doc_id"
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, found scalably via
+    8-bit band equi-join (a pair within hamming<=3 of a 32-bit hash
+    shares at least one of 4 bands; wider max_hamming trades recall)."""
+    sig = simhash(docs)
+    banded = sig.selectExpr(
+        "doc_id",
+        "simhash",
+        "explode(sequence(0, 3)) AS band",
+    ).withColumn("bv", F.expr("shiftright(simhash, band * 8) % 256"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def oracle_simhash_pairs(max_hamming: int = 6, bits: int = 32) -> str:
+    base = oracle_simhash(bits)
+    return (
+        f"WITH sig AS ({base}), "
+        f"banded AS (SELECT doc_id, simhash, band, "
+        f"(simhash >> (band * 8)) % 256 AS bv FROM sig, range(0, 4) t(band)) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming "
+        f"FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv "
+        f"AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )

@@ -1,0 +1,166 @@
+"""Text analysis + dedup + embedding similarity — brute-force Python
+oracles at small scale, plus invariants the SQL oracle cannot express
+(LSH recall vs the exact path, minhash candidate soundness)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.operators import ann, dedup, textops
+from tests.conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+EMBS = f"{SF_DIR}/embeddings.parquet"
+
+
+def py_hash(s: str) -> int:
+    acc = 7
+    for c in s:
+        acc = (acc * 31 + ord(c)) % textops.HASH_P
+    return acc
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def embs_pdf():
+    return pd.read_parquet(EMBS)
+
+
+def test_text_profile_matches_python(spark, docs_pdf):
+    out = textops.text_profile(spark.read.parquet(DOCS)).toPandas()
+    out = out.set_index("doc_id")
+    for rec in docs_pdf.head(40).itertuples(index=False):
+        toks = [t for t in rec.text.split(" ") if t]
+        row = out.loc[rec.doc_id]
+        assert row.n_tokens == len(toks)
+        assert row.n_types == len(dict.fromkeys(toks))
+        assert row.total_token_len == sum(len(t) for t in toks)
+        assert row.text_fp == py_hash(rec.text)
+        assert row.min_token_hash == min(py_hash(t) for t in toks)
+
+
+def test_lang_id_deterministic(spark, docs_pdf):
+    out = textops.lang_id(spark.read.parquet(DOCS)).toPandas()
+    assert len(out) == len(docs_pdf)
+    assert set(out.pred_lang) <= set(textops.LANG_ORDER)
+    # argmax consistency with the score columns
+    scores = out[[f"score_{lg}" for lg in textops.LANG_ORDER]].to_numpy()
+    best = scores.max(axis=1)
+    for k, lg in enumerate(textops.LANG_ORDER):
+        picked = out.pred_lang == lg
+        assert (scores[picked, k] == best[picked]).all()
+
+
+def test_exact_dedup_structure(spark, docs_pdf):
+    out = dedup.exact_dedup(spark.read.parquet(DOCS)).toPandas()
+    assert len(out) == len(docs_pdf)
+    # canonical is a member of its own group and group sizes add up
+    assert (out.groupby("norm_md5").doc_id.min().values
+            == out.groupby("norm_md5").canonical_id.first().values).all()
+    assert out.group_n.sum() == (out.groupby("norm_md5").group_n.first() ** 2).sum()
+
+
+def shingle_set(text: str, n: int = 3) -> set:
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs_pdf):
+    sub = docs_pdf.head(120)
+    sdf = spark.createDataFrame(sub)
+    got = dedup.ngram_jaccard_pairs(sdf, min_jacc_ppm=100_000).toPandas()
+    sets = {r.doc_id: shingle_set(r.text) for r in sub.itertuples(index=False)}
+    ids = sorted(sets)
+    exp = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 1_000_000 >= 100_000 * union:
+                exp.add((a, b, inter, union))
+    assert set(map(tuple, got[["doc_a", "doc_b", "inter", "union_n"]].values)) == exp
+
+
+def test_minhash_lsh_candidates_sound(spark, docs_pdf):
+    """Every LSH candidate's verified Jaccard must equal brute force;
+    every *identical* doc pair must be found (sig equality is exact)."""
+    sub = docs_pdf.head(60).copy()
+    # plant two exact near-dup pairs: copy of doc 0 and of doc 1
+    clone = sub.head(2).copy()
+    clone["doc_id"] = [90001, 90002]
+    sub = pd.concat([sub, clone], ignore_index=True)
+    out = dedup.minhash_lsh_pairs(spark.createDataFrame(sub)).toPandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert (sub.doc_id.iloc[0], 90001) in pairs
+    assert (sub.doc_id.iloc[1], 90002) in pairs
+    planted = out[
+        ((out.doc_a == sub.doc_id.iloc[0]) & (out.doc_b == 90001))
+        | ((out.doc_a == sub.doc_id.iloc[1]) & (out.doc_b == 90002))
+    ]
+    assert (planted.jacc_key == 1_000_000).all()
+    assert (planted.is_dup == 1).all()
+    sets = {r.doc_id: shingle_set(r.text) for r in sub.itertuples(index=False)}
+    for r in out.itertuples(index=False):
+        inter = len(sets[r.doc_a] & sets[r.doc_b])
+        union = len(sets[r.doc_a] | sets[r.doc_b])
+        assert r.inter == inter and r.union_n == union
+
+
+def test_simhash_python_parity(spark, docs_pdf):
+    out = dedup.simhash(spark.createDataFrame(docs_pdf.head(30))).toPandas()
+    out = out.set_index("doc_id")
+    for rec in docs_pdf.head(30).itertuples(index=False):
+        toks = list(dict.fromkeys(t for t in rec.text.split(" ") if t))
+        hashes = [py_hash(t) for t in toks]
+        sim = 0
+        for b in range(32):
+            s = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+            if s >= 0:
+                sim |= 1 << b
+        assert out.loc[rec.doc_id].simhash == sim
+
+
+def cos_matrix(embs_pdf):
+    v = np.floor(np.stack(embs_pdf.embedding.values).astype(np.float64) * 1e6)
+    dots = v @ v.T
+    norms = np.sqrt(np.diag(dots))
+    return np.floor(1e6 * dots / np.outer(norms, norms))
+
+
+def test_cosine_topk_matches_numpy(spark, embs_pdf):
+    out = ann.cosine_topk(spark.read.parquet(EMBS), k=5).toPandas()
+    ids = embs_pdf.vec_id.to_numpy()
+    order = np.argsort(ids)
+    cm = cos_matrix(embs_pdf.iloc[order].reset_index(drop=True))
+    sids = ids[order]
+    for qid in range(32):
+        qi = int(np.searchsorted(sids, qid))
+        keys = cm[qi].copy()
+        keys[qi] = -np.inf
+        # sort by (-cos_key, vec_id)
+        top = sorted(range(len(sids)), key=lambda j: (-keys[j], sids[j]))[:5]
+        mine = out[out.qid == qid].sort_values("rank")
+        assert list(mine.vec_id) == [int(sids[j]) for j in top]
+        assert list(mine.cos_key) == [int(keys[j]) for j in top]
+
+
+def test_ann_lsh_recall(spark, embs_pdf):
+    """The LSH path must recover a solid fraction of the exact top-5
+    (8 tables x 4 planes at this corpus size)."""
+    exact = ann.cosine_topk(spark.read.parquet(EMBS), k=5).toPandas()
+    approx = ann.ann_lsh_topk(spark.read.parquet(EMBS), k=5).toPandas()
+    e = set(map(tuple, exact[["qid", "vec_id"]].values))
+    a = set(map(tuple, approx[["qid", "vec_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_symmetric_free(spark):
+    out = ann.embedding_neardup(spark.read.parquet(EMBS)).toPandas()
+    assert (out.vec_a < out.vec_b).all()
+    assert (out.cos_key >= 350_000).all()
