@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
-from gdal_spark.operators import ann, cells, dedup, stats, textops
+from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -170,6 +170,32 @@ def _q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARP_MAX_I = 8
+
+
+def _q_warp_near_up2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp 2x upsample, nearest (GWKNearest semantics,
+    alg/gdalwarpkernel.cpp:5060) — checksum-verified against the SQL
+    pixel oracle with src = dst // 2."""
+    out = warp.warp_scale(_pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "near")
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
+def _q_warp_avg_down2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp 2x downsample, average (GWKAverageOrMode,
+    alg/gdalwarpkernel.cpp:6330) — integer-exact (sum+2)//4 oracle."""
+    out = warp.warp_scale(_pixel_images(spark, sf_dir, _WARP_MAX_I), 0.5, "average")
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings parquet tables)
 
@@ -243,6 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_agg": _q_spatial_join_agg,
         "knn_sites": _q_knn_sites,
         "caption_roundtrip": _q_caption_roundtrip,
+        "warp_near_up2": _q_warp_near_up2,
+        "warp_avg_down2": _q_warp_avg_down2,
         "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -376,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "caption_roundtrip": (
             f"SELECT image_id, caption, fmt, w, h FROM ({_images(n)}) ORDER BY image_id"
         ),
+        "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
+        "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "text_profile": textops.oracle_text_profile(),
         "quality_score": textops.oracle_quality_score(),
         "lang_id": textops.oracle_lang_id(),

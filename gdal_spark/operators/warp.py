@@ -1,0 +1,177 @@
+"""Warp / reproject as a DataFrame stage (the gdalwarp of the engine).
+
+Each image row is an independent georeferenced raster (north-up affine
+gt = (lon, res, 0, lat, 0, -res)), so warping a 10^12-row table is
+embarrassingly parallel: one ``mapInPandas`` stage, zero shuffle, and
+the resampling math is the golden-verified numpy engine in
+``gdal_spark.resample`` (parity with autotest/alg/warp.py fixtures).
+
+The multi-source mosaic warp (output tile gathers several inputs) is
+the tiling pyramid operator; this stage covers gdalwarp's per-dataset
+loop (apps/gdalwarp_lib.cpp:2475) + GDALReprojectImage
+(alg/gdalwarper.cpp:98).
+
+Reprojection 4326<->3857 is closed-form spherical mercator
+(gdal_spark.grid), applied to whole coordinate grids inside the UDF —
+the pyproj-free equivalent of the transformer chain
+(alg/gdaltransformer.cpp:1756).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs, grid, resample
+
+
+def _scaled_warp_iter(batches, factor: float, alg: str):
+    for pdf in batches:
+        out_bytes, out_w, out_h = [], [], []
+        for payload, w, h in zip(pdf["bytes"], pdf["w"], pdf["h"]):
+            arr = codecs.decode_image(bytes(payload))
+            sh, sw = arr.shape[:2]
+            dw, dh = int(round(sw * factor)), int(round(sh * factor))
+            # same-origin grid at res/factor; actual lon/lat origin is
+            # irrelevant to the pixel math, so use a unit grid
+            src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+            dst_gt = (0.0, 1.0 / factor, 0.0, 0.0, 0.0, -1.0 / factor)
+            warped = resample.warp_image(arr, src_gt, dst_gt, (dh, dw), alg)
+            out_bytes.append(codecs.encode_image(warped, "png"))
+            out_w.append(dw)
+            out_h.append(dh)
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "bytes": out_bytes,
+                "w": pd.array(out_w, dtype="int32"),
+                "h": pd.array(out_h, dtype="int32"),
+            }
+        )
+
+
+def warp_scale(images: DataFrame, factor: float, alg: str = "near") -> DataFrame:
+    """Rescale every image by ``factor`` with the given resampler;
+    output is lossless-encoded. (image_id, bytes, w, h)."""
+    return images.select("image_id", "bytes", "w", "h").mapInPandas(
+        lambda it: _scaled_warp_iter(it, factor, alg),
+        schema="image_id string, bytes binary, w int, h int",
+    )
+
+
+def _reproject_iter(batches, alg: str, dst_size: int):
+    """Warp each 4326-georeferenced image onto a WebMercator
+    (EPSG:3857) grid covering its own footprint (the
+    GDALSuggestedWarpOutput step, alg/gdaltransformer.cpp:407, done
+    per image)."""
+    for pdf in batches:
+        out = {"image_id": [], "bytes": [], "w": [], "h": [],
+               "gt0": [], "gt1": [], "gt3": [], "gt5": []}
+        for image_id, payload, lon, lat, w, h in zip(
+            pdf["image_id"], pdf["bytes"], pdf["lon"], pdf["lat"],
+            pdf["w"], pdf["h"],
+        ):
+            arr = codecs.decode_image(bytes(payload))
+            res = 0.1 / int(w)
+            src_gt = (float(lon), res, 0.0, float(lat), 0.0, -res)
+            # suggested output: project the 4 corners, take the bbox
+            cx = np.array([lon, lon + w * res, lon, lon + w * res])
+            cy = np.array([lat, lat, lat - h * res, lat - h * res])
+            mx, my = grid.lonlat_to_meters(cx, np.clip(cy, -grid.MERC_MAX_LAT, grid.MERC_MAX_LAT))
+            dst_res = (mx.max() - mx.min()) / dst_size
+            dst_h = max(1, int(round((my.max() - my.min()) / dst_res)))
+            dst_gt = (float(mx.min()), dst_res, 0.0, float(my.max()), 0.0, -dst_res)
+
+            def transform(gx, gy):
+                # dst georef (3857 meters) -> src georef (4326 degrees)
+                return grid.meters_to_lonlat(gx, gy)
+
+            warped = resample.warp_image(
+                arr, src_gt, dst_gt, (dst_h, dst_size), alg, transform
+            )
+            out["image_id"].append(image_id)
+            out["bytes"].append(codecs.encode_image(warped, "png"))
+            out["w"].append(dst_size)
+            out["h"].append(dst_h)
+            out["gt0"].append(dst_gt[0])
+            out["gt1"].append(dst_gt[1])
+            out["gt3"].append(dst_gt[3])
+            out["gt5"].append(dst_gt[5])
+        pdf_out = pd.DataFrame(out)
+        pdf_out["w"] = pdf_out["w"].astype("int32")
+        pdf_out["h"] = pdf_out["h"].astype("int32")
+        yield pdf_out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL for the driver's correctness gate: the warp output
+# is value-checked via the SQL-expressible synthetic pixel function
+# (synth.pixel_val_sql) + GDAL checksum arithmetic, with the inverse
+# mapping done in integer SQL (near up-2x: src = dst // 2; average
+# down-2x: round-half-up mean of the 2x2 block = (sum + 2) // 4).
+
+
+def _cks_prime(pos: str) -> str:
+    return (
+        f"(CASE (({pos}) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+
+
+def oracle_warp_near_up2(n: int, max_i: int) -> str:
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    inner = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"(xd // 2) AS x, (yd // 2) AS y "
+        f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
+        f"range(0, 3) tc(ch) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) "
+        f"AS cks FROM (SELECT image_id, ch, xd, yd, w, "
+        f"{synth.pixel_val_sql()} AS val FROM ({inner})) GROUP BY 1, 2"
+    )
+
+
+def oracle_warp_avg_down2(n: int, max_i: int) -> str:
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    inner = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"(2 * xd + c % 2) AS x, (2 * yd + c // 2) AS y "
+        f"FROM ({img}) i, range(0, 128) tx(xd), range(0, 128) ty(yd), "
+        f"range(0, 3) tc(ch), range(0, 4) tcr(c) "
+        f"WHERE i.i < {max_i} AND xd < i.w // 2 AND yd < i.h // 2"
+    )
+    mid = (
+        f"SELECT image_id, ch, xd, yd, w, "
+        f"(sum({synth.pixel_val_sql()}) + 2) // 4 AS val "
+        f"FROM ({inner}) GROUP BY 1, 2, 3, 4, 5"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {_cks_prime('yd * (w // 2) + xd')}) % 65536 as bigint) "
+        f"AS cks FROM ({mid}) GROUP BY 1, 2"
+    )
+
+
+def reproject_to_mercator(
+    images: DataFrame, alg: str = "bilinear", dst_size: int = 64
+) -> DataFrame:
+    """Reproject every image EPSG:4326 -> EPSG:3857 onto a per-image
+    suggested output grid. (image_id, bytes, w, h, gt0, gt1, gt3, gt5)."""
+    return images.select("image_id", "bytes", "lon", "lat", "w", "h").mapInPandas(
+        lambda it: _reproject_iter(it, alg, dst_size),
+        schema=(
+            "image_id string, bytes binary, w int, h int, "
+            "gt0 double, gt1 double, gt3 double, gt5 double"
+        ),
+    )

@@ -1,0 +1,98 @@
+"""Spark warp operator stages: scale warp round-trips + mercator
+reprojection invariants (the kernel math itself is golden-verified in
+test_warp.py against the reference's autotest fixtures)."""
+
+import numpy as np
+
+from gdal_spark import codecs, grid, resample, synth
+from gdal_spark.operators import warp
+
+
+def test_warp_scale_near_up2_matches_numpy(spark):
+    imgs = synth.images_df(spark, 6, with_pixels=True)
+    out = warp.warp_scale(imgs, 2.0, "near").toPandas().set_index("image_id")
+    meta = synth.images_pdf(6)
+    for rec in meta.itertuples(index=False):
+        src = codecs.decode_image(
+            codecs.encode_image(codecs.make_pixels(rec.i, rec.w, rec.h), rec.fmt)
+        )
+        row = out.loc[rec.image_id]
+        assert row.w == 2 * rec.w and row.h == 2 * rec.h
+        got = codecs.decode_image(bytes(row.bytes))
+        # nearest 2x upsample = pixel duplication
+        exp = np.repeat(np.repeat(src, 2, axis=0), 2, axis=1)
+        assert np.array_equal(got, exp)
+
+
+def test_warp_scale_avg_down2_matches_numpy(spark):
+    imgs = synth.images_df(spark, 4, with_pixels=True)
+    out = warp.warp_scale(imgs, 0.5, "average").toPandas().set_index("image_id")
+    meta = synth.images_pdf(4)
+    for rec in meta.itertuples(index=False):
+        src = codecs.decode_image(
+            codecs.encode_image(codecs.make_pixels(rec.i, rec.w, rec.h), rec.fmt)
+        ).astype(np.int64)
+        got = codecs.decode_image(bytes(out.loc[rec.image_id].bytes))
+        s = src[0::2, 0::2] + src[1::2, 0::2] + src[0::2, 1::2] + src[1::2, 1::2]
+        exp = ((s + 2) // 4).astype(np.uint8)
+        assert np.array_equal(got, exp)
+
+
+def test_reproject_constant_preserved(spark):
+    """Any interpolating resampler preserves a constant field through
+    the 4326->3857 transform."""
+    import pandas as pd
+
+    const = np.full((32, 32, 3), 137, dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["c1"],
+            "bytes": [codecs.encode_image(const, "png")],
+            "lon": [10.0],
+            "lat": [45.0],
+            "w": [32],
+            "h": [32],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for alg in ("near", "bilinear", "cubic", "lanczos"):
+        out = warp.reproject_to_mercator(df, alg, dst_size=48).toPandas()
+        got = codecs.decode_image(bytes(out.bytes.iloc[0]))
+        assert got.shape[1] == 48
+        assert (got == 137).all(), alg
+
+
+def test_reproject_nearest_spot_check(spark):
+    """Independent inverse-mapping check of a few output pixels."""
+    import pandas as pd
+
+    rng = (np.arange(24 * 24 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(24, 24, 3)
+    lon0, lat0 = 5.0, 40.0
+    w = h = 24
+    res = 0.1 / w
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["s1"],
+            "bytes": [codecs.encode_image(rng, "png")],
+            "lon": [lon0],
+            "lat": [lat0],
+            "w": [w],
+            "h": [h],
+        }
+    )
+    out = warp.reproject_to_mercator(
+        spark.createDataFrame(pdf), "near", dst_size=32
+    ).toPandas()
+    row = out.iloc[0]
+    got = codecs.decode_image(bytes(row.bytes))
+    dst_gt = (row.gt0, row.gt1, 0.0, row.gt3, 0.0, row.gt5)
+    for yd, xd in [(5, 7), (16, 20), (0, 0), (int(row.h) - 1, 31)]:
+        mx, my = resample.apply_gt(dst_gt, xd + 0.5, yd + 0.5)
+        lon, lat = grid.meters_to_lonlat(np.array([mx]), np.array([my]))
+        sx = (lon[0] - lon0) / res
+        sy = (lat0 - lat[0]) / res
+        ix, iy = int(np.floor(sx + 1e-10)), int(np.floor(sy + 1e-10))
+        if 0 <= ix < w and 0 <= iy < h:
+            assert (got[yd, xd] == rng[iy, ix]).all()
