@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
 from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
+from gdal_spark.operators import polygonize as polyop
+from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -196,6 +198,30 @@ def _q_warp_avg_down2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAST_GRID = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
+_POLY_W, _POLY_BS, _POLY_MOD = 192, 24, 3
+
+
+def _q_rasterize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterizeLayers ADD-mode burn of the polygon layer into a
+    360x180 global grid (scanline semantics, llrasterize.cpp:76);
+    per-scanline aggregates value-checked vs the SQL center-PIP
+    oracle."""
+    polys = synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+        F.col("kind").isin("box", "hot_box", "triangle")
+    )
+    return rastop.rasterize(spark, polys, _RAST_GRID)
+
+
+def _q_polygonize_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALPolygonize 4-connectivity over a 192x192 block raster
+    split into 32px tiles (components span tiles); cross-tile
+    union-find reduce; closed-form oracle."""
+    return polyop.polygonize_grid(
+        spark, f"block:{_POLY_BS}:{_POLY_MOD}", _POLY_W, _POLY_W, tile_px=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings parquet tables)
 
@@ -271,6 +297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_roundtrip": _q_caption_roundtrip,
         "warp_near_up2": _q_warp_near_up2,
         "warp_avg_down2": _q_warp_avg_down2,
+        "rasterize_rows": _q_rasterize_rows,
+        "polygonize_blocks": _q_polygonize_blocks,
         "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -406,6 +434,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "rasterize_rows": rastop.oracle_rasterize_rows(m, _RAST_GRID),
+        "polygonize_blocks": polyop.oracle_polygonize_blocks(
+            _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
+        ),
         "text_profile": textops.oracle_text_profile(),
         "quality_score": textops.oracle_quality_score(),
         "lang_id": textops.oracle_lang_id(),

@@ -1,0 +1,256 @@
+"""Polygonize: connected components of equal-valued pixels, distributed.
+
+GDALPolygonize semantics (alg/polygonize.cpp:980; two-row enumerator
+alg/gdalrasterpolygonenumerator.cpp): group connected (4- or
+8-connectivity) pixels of equal value into components. The reference
+runs single-process over the whole raster; the Spark shape is:
+
+  1. per-tile two-pass union-find labeling (numpy, inside
+     applyInPandas) -> (tile, local component) with a globally unique
+     label = min global pixel index seen so far,
+  2. tile boundary strips -> equivalence edges between labels of
+     adjacent tiles where values match (the cross-tile analog of the
+     enumerator's row-to-row label merging),
+  3. iterative min-label propagation over the edge list until
+     fixpoint (pointer-jumping: O(log diameter) rounds of joins),
+  4. final groupBy(root) -> component id (min global pixel index),
+     value, pixel count.
+
+The canonical component id = min linearized pixel index makes the
+output deterministic and oracle-comparable regardless of tile layout
+or execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def label_tile(vals: np.ndarray, connect8: bool = False) -> np.ndarray:
+    """Two-pass union-find connected-component labeling of a 2-D value
+    array. Returns int64 labels = linearized local index of the
+    component's first (row-major) pixel."""
+    h, w = vals.shape
+    parent = np.arange(h * w, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    # vectorized neighbor equality masks; unions in a python loop over
+    # matches (bounded by run boundaries, not pixels, in practice)
+    left = vals[:, 1:] == vals[:, :-1]
+    for a, b in zip(idx[:, 1:][left], idx[:, :-1][left]):
+        union(a, b)
+    up = vals[1:, :] == vals[:-1, :]
+    for a, b in zip(idx[1:, :][up], idx[:-1, :][up]):
+        union(a, b)
+    if connect8:
+        d1 = vals[1:, 1:] == vals[:-1, :-1]
+        for a, b in zip(idx[1:, 1:][d1], idx[:-1, :-1][d1]):
+            union(a, b)
+        d2 = vals[1:, :-1] == vals[:-1, 1:]
+        for a, b in zip(idx[1:, :-1][d2], idx[:-1, 1:][d2]):
+            union(a, b)
+    out = np.empty(h * w, dtype=np.int64)
+    for i in range(h * w):
+        out[i] = find(i)
+    return out.reshape(h, w)
+
+
+def polygonize_grid(
+    spark,
+    value_sql: str,
+    width: int,
+    height: int,
+    tile_px: int = 32,
+    connect8: bool = False,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Polygonize a deterministic raster defined by ``value_sql`` (a
+    Spark SQL expression over global pixel columns gx, gy -> bigint).
+    Returns (comp_id, val, n_pixels): component id = min global
+    linearized pixel index.
+
+    The raster is generated per tile executor-side (no driver data
+    movement); a real raster table would substitute a tiles DataFrame
+    with pixel payloads.
+    """
+    ntx = (width + tile_px - 1) // tile_px
+    nty = (height + tile_px - 1) // tile_px
+    tiles = spark.range(ntx * nty).selectExpr(
+        f"cast(id % {ntx} as int) AS tx", f"cast(id div {ntx} as int) AS ty"
+    )
+
+    cfg = {"width": width, "height": height, "tile_px": tile_px,
+           "connect8": connect8, "value_sql": value_sql}
+
+    def tile_labels(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        px0, py0 = tx * cfg["tile_px"], ty * cfg["tile_px"]
+        w = min(cfg["tile_px"], cfg["width"] - px0)
+        h = min(cfg["tile_px"], cfg["height"] - py0)
+        gy, gx = np.mgrid[py0 : py0 + h, px0 : px0 + w]
+        vals = _eval_value(cfg["value_sql"], gx, gy)
+        local = label_tile(vals, cfg["connect8"])
+        # globalize: label -> min global pixel index in this tile
+        # (labels are row-major-first local indices, so min lin per
+        # label is the label's own pixel: lin of the label index)
+        lin = gy.astype(np.int64) * cfg["width"] + gx.astype(np.int64)
+        glob = lin.ravel()[local.ravel()].reshape(local.shape)
+        flat = pd.DataFrame(
+            {
+                "label": glob.ravel(),
+                "val": vals.ravel().astype(np.int64),
+            }
+        )
+        comp = (
+            flat.groupby("label")
+            .agg(val=("val", "first"), n=("val", "size"))
+            .reset_index()
+        )
+
+        # boundary strips: (side, pos, val, label) for edge matching
+        edges = {"gx": [], "gy": [], "val": [], "label": [], "side": []}
+        if px0 + w < cfg["width"]:
+            edges["gx"] += [px0 + w - 1] * h
+            edges["gy"] += list(range(py0, py0 + h))
+            edges["val"] += list(vals[:, -1].astype(int))
+            edges["label"] += list(glob[:, -1])
+            edges["side"] += ["R"] * h
+        if px0 > 0:
+            edges["gx"] += [px0] * h
+            edges["gy"] += list(range(py0, py0 + h))
+            edges["val"] += list(vals[:, 0].astype(int))
+            edges["label"] += list(glob[:, 0])
+            edges["side"] += ["L"] * h
+        if py0 + h < cfg["height"]:
+            edges["gx"] += list(range(px0, px0 + w))
+            edges["gy"] += [py0 + h - 1] * w
+            edges["val"] += list(vals[-1, :].astype(int))
+            edges["label"] += list(glob[-1, :])
+            edges["side"] += ["B"] * w
+        if py0 > 0:
+            edges["gx"] += list(range(px0, px0 + w))
+            edges["gy"] += [py0] * w
+            edges["val"] += list(vals[0, :].astype(int))
+            edges["label"] += list(glob[0, :])
+            edges["side"] += ["T"] * w
+        edf = pd.DataFrame(edges)
+        comp["kind"] = "comp"
+        edf["kind"] = "edge"
+        return pd.concat(
+            [
+                comp.rename(columns={"n": "n"})[["kind", "label", "val", "n"]].assign(
+                    gx=-1, gy=-1, side=""
+                ),
+                edf.assign(n=0)[["kind", "label", "val", "n", "gx", "gy", "side"]],
+            ],
+            ignore_index=True,
+        )
+
+    raw = tiles.groupby("tx", "ty").applyInPandas(
+        tile_labels,
+        schema="kind string, label bigint, val bigint, n bigint, "
+        "gx bigint, gy bigint, side string",
+    ).cache()
+
+    comps = raw.filter("kind = 'comp'").select("label", "val", "n")
+    edges = raw.filter("kind = 'edge'")
+
+    # adjacency: right-edge pixel (gx, gy) matches left-edge pixel
+    # (gx+1, gy); bottom matches top (gy+1) — equal values merge
+    r = edges.filter("side = 'R'").selectExpr("gx", "gy", "val", "label AS la")
+    le = edges.filter("side = 'L'").selectExpr(
+        "gx - 1 AS gx", "gy", "val", "label AS lb"
+    )
+    b = edges.filter("side = 'B'").selectExpr("gx", "gy", "val", "label AS la")
+    t = edges.filter("side = 'T'").selectExpr(
+        "gx", "gy - 1 AS gy", "val", "label AS lb"
+    )
+    pairs = (
+        r.join(le, ["gx", "gy", "val"])
+        .select("la", "lb")
+        .union(b.join(t, ["gx", "gy", "val"]).select("la", "lb"))
+        .distinct()
+    )
+
+    # iterative min-root propagation (pointer jumping)
+    roots = comps.selectExpr("label", "label AS root")
+    sym = pairs.union(pairs.selectExpr("lb AS la", "la AS lb")).distinct().cache()
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(roots.selectExpr("label AS lb", "root AS nroot"), "lb")
+            .groupBy("la")
+            .agg(F.min("nroot").alias("min_nbr"))
+        )
+        new_roots = (
+            roots.join(nbr.selectExpr("la AS label", "min_nbr"), "label", "left")
+            .selectExpr("label", "least(root, coalesce(min_nbr, root)) AS root")
+        )
+        # root-of-root contraction (pointer jumping halves depth)
+        new_roots = (
+            new_roots.alias("a")
+            .join(
+                new_roots.selectExpr("label AS root", "root AS rroot").alias("b"),
+                "root",
+                "left",
+            )
+            .selectExpr("label", "coalesce(rroot, root) AS root")
+        ).cache()
+        changed = (
+            new_roots.alias("n")
+            .join(roots.selectExpr("label", "root AS old").alias("o"), "label")
+            .filter("root <> old")
+            .count()
+        )
+        roots = new_roots
+        if changed == 0:
+            break
+
+    return (
+        comps.join(roots, "label")
+        .groupBy("root")
+        .agg(F.min("val").alias("val"), F.sum("n").alias("n_pixels"))
+        .selectExpr("root AS comp_id", "val", "n_pixels")
+    )
+
+
+def _eval_value(value_sql: str, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Evaluate the deterministic raster function. Supported grammar is
+    the block pattern family used by tests/oracles:
+    'block:<bs>:<mod>' -> ((gx//bs + gy//bs) % mod)."""
+    if value_sql.startswith("block:"):
+        _, bs, mod = value_sql.split(":")
+        bs, mod = int(bs), int(mod)
+        return ((gx // bs + gy // bs) % mod).astype(np.int64)
+    raise ValueError(f"unknown raster spec {value_sql!r}")
+
+
+def oracle_polygonize_blocks(width: int, height: int, bs: int, mod: int) -> str:
+    """Closed-form oracle for the block raster: with 4-connectivity
+    every bs x bs block is its own component (neighbors differ mod
+    ``mod``); comp id = linearized index of the block's top-left
+    pixel."""
+    nbx, nby = width // bs, height // bs
+    return (
+        f"SELECT (by * {bs}) * {width} + bx * {bs} AS comp_id, "
+        f"cast((bx + by) % {mod} as bigint) AS val, "
+        f"cast({bs} * {bs} as bigint) AS n_pixels "
+        f"FROM range(0, {nbx}) t(bx), range(0, {nby}) u(by)"
+    )

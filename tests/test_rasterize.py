@@ -1,0 +1,113 @@
+"""Rasterize scanline/line parity (reference golden checksum 6452,
+autotest/alg/rasterize.py:87) + polygonize CC labeling vs brute
+force, including the cross-tile distributed merge."""
+
+import numpy as np
+
+from gdal_spark import scanline
+from gdal_spark.operators import polygonize as polyop
+from gdal_spark.operators.stats import gdal_checksum
+
+
+def test_rasterize_1_checksum_golden():
+    """Replicates autotest test_rasterize_1: 100x100 Byte raster,
+    gt (1000,1,0,1100,0,-1); box polygon + linestring, burn 220;
+    band checksum must equal the reference's golden 6452. The
+    linestring is traversed in reverse point order exactly as
+    GDALCollectRingsFromGeometry does for wkbLineString."""
+    arr = np.zeros((100, 100), dtype=np.float64)
+
+    def to_px(pts):
+        return [((x - 1000.0), (1100.0 - y)) for x, y in pts]
+
+    ring = to_px([(1020, 1030), (1020, 1045), (1050, 1045), (1050, 1030)])
+    scanline.fill_polygon(arr, [ring], 220)
+    line = to_px([(1000, 1000), (1100, 1050)])
+    scanline.draw_line(arr, list(reversed(line)), 220)
+    a8 = np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)
+    assert gdal_checksum(a8) == 6452
+
+    # burn clamping semantics from the same test: 256 -> 255, -1 -> 0
+    assert scanline.clamp_byte(256) == 255
+    assert scanline.clamp_byte(-1) == 0
+
+
+def test_fill_polygon_center_rule():
+    """Pixel burns iff its center is inside (half-open span rule)."""
+    arr = np.zeros((10, 10), dtype=np.float64)
+    # box [2.3, 6.7] x [1.2, 4.9]: centers x+0.5 in (2.3, 6.7) -> x=2..6
+    ring = [(2.3, 1.2), (6.7, 1.2), (6.7, 4.9), (2.3, 4.9)]
+    scanline.fill_polygon(arr, [ring], 1)
+    ys, xs = np.nonzero(arr)
+    assert xs.min() == 2 and xs.max() == 6
+    assert ys.min() == 1 and ys.max() == 4
+
+
+def test_fill_polygon_hole_even_odd():
+    arr = np.zeros((20, 20), dtype=np.float64)
+    outer = [(2.0, 2.0), (18.0, 2.0), (18.0, 18.0), (2.0, 18.0)]
+    inner = [(6.0, 6.0), (14.0, 6.0), (14.0, 14.0), (6.0, 14.0)]
+    scanline.fill_polygon(arr, [outer, inner], 1)
+    assert arr[10, 10] == 0  # hole
+    assert arr[3, 3] == 1
+    assert arr[10, 4] == 1
+
+
+def brute_cc(vals, connect8=False):
+    h, w = vals.shape
+    comp = -np.ones((h, w), dtype=np.int64)
+    nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connect8:
+        nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for y in range(h):
+        for x in range(w):
+            if comp[y, x] >= 0:
+                continue
+            cid = y * w + x
+            stack = [(y, x)]
+            comp[y, x] = cid
+            while stack:
+                cy, cx = stack.pop()
+                for dy, dx in nbrs:
+                    ny, nx = cy + dy, cx + dx
+                    if (
+                        0 <= ny < h and 0 <= nx < w
+                        and comp[ny, nx] < 0
+                        and vals[ny, nx] == vals[cy, cx]
+                    ):
+                        comp[ny, nx] = cid
+                        stack.append((ny, nx))
+    return comp
+
+
+def canon(labels, vals):
+    """{(min linear idx, val, count)} canonical component set."""
+    h, w = labels.shape
+    lin = np.arange(h * w).reshape(h, w)
+    out = set()
+    for u in np.unique(labels):
+        m = labels == u
+        out.add((int(lin[m].min()), int(vals[m][0]), int(m.sum())))
+    return out
+
+
+def test_label_tile_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 3, size=(23, 31))
+    for c8 in (False, True):
+        mine = polyop.label_tile(vals, c8)
+        ref = brute_cc(vals, c8)
+        assert canon(mine, vals) == canon(ref, vals)
+
+
+def test_polygonize_grid_cross_tile(spark):
+    """Distributed polygonize over 4 tiles == single-array labeling;
+    irregular blobs force components across tile boundaries."""
+    W = 64
+    out = polyop.polygonize_grid(spark, "block:24:3", W, W, tile_px=32).toPandas()
+    gy, gx = np.mgrid[0:W, 0:W]
+    vals = ((gx // 24 + gy // 24) % 3).astype(np.int64)
+    ref = brute_cc(vals)
+    exp = canon(ref, vals)
+    got = {(int(r.comp_id), int(r.val), int(r.n_pixels)) for r in out.itertuples()}
+    assert got == exp
