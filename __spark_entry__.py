@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
 from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
+from gdal_spark.operators import ogrsql
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators.knn import knn
@@ -311,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
     }
 
 
@@ -450,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": ann.oracle_cosine_topk(),
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
         "embedding_neardup": ann.oracle_embedding_neardup(),
+        **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 
 
