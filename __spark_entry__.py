@@ -19,6 +19,7 @@ from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
 from gdal_spark.operators import ogrsql
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
+from gdal_spark.operators import rastertable
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -199,6 +200,30 @@ def _q_warp_avg_down2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_index(spark, sf_dir):
+    return rastertable.tile_index(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
+def _q_merge_mosaic(spark, sf_dir):
+    return rastertable.merge_mosaic(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
+def _q_mosaic_plan(spark, sf_dir):
+    return rastertable.mosaic_plan(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
+def _q_raster_xyz(spark, sf_dir):
+    return rastertable.raster_to_xyz(_pixel_images(spark, sf_dir, 2))
+
+
+def _q_point_probe(spark, sf_dir):
+    return rastertable.point_probe(
+        spark,
+        synth.images_df(spark, synth.n_images(sf_dir)),
+        synth.sites_df(spark),
+    )
+
+
 _RAST_GRID = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
 _POLY_W, _POLY_BS, _POLY_MOD = 192, 24, 3
 
@@ -300,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_avg_down2": _q_warp_avg_down2,
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
+        "tile_index": _q_tile_index,
+        "merge_mosaic": _q_merge_mosaic,
+        "mosaic_plan": _q_mosaic_plan,
+        "raster_xyz": _q_raster_xyz,
+        "point_probe": _q_point_probe,
         "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -436,6 +466,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "tile_index": rastertable.oracle_tile_index(n),
+        "merge_mosaic": rastertable.oracle_merge_mosaic(n),
+        "mosaic_plan": rastertable.oracle_mosaic_plan(n),
+        "raster_xyz": (
+            f"SELECT image_id, x, y, ch, val FROM ({synth.pixels_cte(n, 2, 'duckdb')})"
+        ),
+        "point_probe": rastertable.oracle_point_probe(n),
         "rasterize_rows": rastop.oracle_rasterize_rows(m, _RAST_GRID),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
