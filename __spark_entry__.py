@@ -19,7 +19,7 @@ from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
 from gdal_spark.operators import ogrsql
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
-from gdal_spark.operators import rastertable
+from gdal_spark.operators import rastertable, tiling
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -224,6 +224,44 @@ def _q_point_probe(spark, sf_dir):
     )
 
 
+_TILE_Z = 10
+_TILE_RANGE = (543, 545, 668, 670)  # z10 tiles covering the hot cell
+_TILE_MAX_I = 512
+
+
+def _hot_tile_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = min(synth.n_images(sf_dir), 4096)
+    imgs = synth.images_df(spark, n).filter(f"i % 4 = 0 AND i < {_TILE_MAX_I}")
+    base = tiling.render_base_tiles(synth.add_pixels(imgs), _TILE_Z)
+    tx0, tx1, ty0, ty1 = _TILE_RANGE
+    return base.filter(
+        f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}"
+    )
+
+
+def _stack_cks(df: DataFrame) -> DataFrame:
+    return df.selectExpr(
+        "tx",
+        "ty",
+        "n_painted",
+        "stack(3, cast(0 as bigint), cks_0, cast(1 as bigint), cks_1, "
+        "cast(2 as bigint), cks_2) AS (channel, cks)",
+    ).select("tx", "ty", "channel", "cks", "n_painted")
+
+
+def _q_tile_render_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles base-zoom render over the hot cell: last-wins
+    nearest mosaic per z10 tile, pixel-exact vs the SQL render
+    oracle."""
+    return _stack_cks(_hot_tile_base(spark, sf_dir))
+
+
+def _q_tile_overview_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_overview_tile reduce z10 -> z9 (compose 2x2 children,
+    box average (sum+2)//4), pixel-exact SQL oracle."""
+    return _stack_cks(tiling.overview_tiles(_hot_tile_base(spark, sf_dir)))
+
+
 _RAST_GRID = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
 _POLY_W, _POLY_BS, _POLY_MOD = 192, 24, 3
 
@@ -325,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_avg_down2": _q_warp_avg_down2,
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
+        "tile_render_hot": _q_tile_render_hot,
+        "tile_overview_hot": _q_tile_overview_hot,
         "tile_index": _q_tile_index,
         "merge_mosaic": _q_merge_mosaic,
         "mosaic_plan": _q_mosaic_plan,
@@ -466,6 +506,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "tile_render_hot": tiling.oracle_tile_render(
+            min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
+        ),
+        "tile_overview_hot": tiling.oracle_tile_overview(
+            min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
+        ),
         "tile_index": rastertable.oracle_tile_index(n),
         "merge_mosaic": rastertable.oracle_merge_mosaic(n),
         "mosaic_plan": rastertable.oracle_mosaic_plan(n),

@@ -1,0 +1,358 @@
+"""Tile pyramid — the flagship layout operator (gdal2tiles semantics).
+
+Pipeline shape (SURVEY 3.2):
+
+  base zoom:  images -> covering-tiles explode (bbox of the footprint
+              on the mercator grid, GlobalMercator.MetersToTile) ->
+              groupBy(tile).applyInPandas(render): last-wins nearest
+              mosaic of every contributing image onto the tile's
+              EPSG:3857 grid (generate_base_tiles + geo_query +
+              scale_query_to_tile, osgeo_utils/gdal2tiles.py:2669,865)
+  overviews:  z -> z-1: groupBy(parent).applyInPandas: compose <=4
+              children into a 2x square, 2x box-average downsample
+              with GDAL's round-half-up ((sum+2)//4)
+              (create_overview_tile, gdal2tiles.py:1438) — a tree
+              reduce, one shuffle per zoom level
+  resume:     anti-join against the committed-tile log
+              (gdal2tiles --resume, :2720) — see checkpoint helpers
+
+Every coordinate op in the renderer is written as an explicit, fixed
+sequence of IEEE double ops so the DuckDB oracle can replicate the
+render *pixel-exactly* in SQL (the same discipline as synth.py).
+
+Scale: the covering explode keys the one shuffle; tile groups are
+independent; skewed tiles (hot cell) rely on AQE skew splitting plus
+the coarse-to-fine cell-splitting option of the spatial join. The
+per-zoom reduce touches only the previous zoom's output (4:1 fan-in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs, grid, synth
+from ..synth import flit
+
+TILE_PX = 64
+CKS_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# covering tiles
+
+
+def covering_tiles(images: DataFrame, zoom: int) -> DataFrame:
+    """Explode each image to the mercator tiles its footprint
+    overlaps at ``zoom`` (vectorized pandas UDF -> explode)."""
+
+    @F.pandas_udf("array<struct<tx:bigint,ty:bigint>>")
+    def tiles_of(
+        lon: pd.Series, lat: pd.Series, w: pd.Series, h: pd.Series
+    ) -> pd.Series:
+        out = []
+        res = 0.1 / w.values
+        minlon = lon.values
+        maxlon = lon.values + 0.1
+        maxlat = lat.values
+        minlat = lat.values - h.values * res
+        tx0, ty0 = grid.lonlat_to_tile_merc(minlon, minlat, zoom)
+        tx1, ty1 = grid.lonlat_to_tile_merc(maxlon, maxlat, zoom)
+        for a, b, c, d in zip(tx0, tx1, ty0, ty1):
+            out.append(
+                [
+                    {"tx": int(x), "ty": int(y)}
+                    for x in range(int(a), int(b) + 1)
+                    for y in range(int(c), int(d) + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        images.withColumn(
+            "tile", F.explode(tiles_of("lon", "lat", "w", "h"))
+        )
+        .withColumn("tx", F.col("tile.tx"))
+        .withColumn("ty", F.col("tile.ty"))
+        .drop("tile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# base-zoom render
+
+
+def _tile_lonlat_grids(tx: int, ty: int, zoom: int, tile_px: int):
+    """Per-axis lon/lat of tile pixel centers — explicit op sequence
+    (mirrored literally by the SQL oracle)."""
+    res = grid.INITIAL_RESOLUTION / (2.0**zoom)
+    span = 256.0 * res
+    tres = span / tile_px
+    minx = tx * span - grid.ORIGIN_SHIFT
+    maxy = (ty + 1) * span - grid.ORIGIN_SHIFT
+    x = np.arange(tile_px, dtype=np.float64)
+    y = np.arange(tile_px, dtype=np.float64)
+    mx = minx + (x + 0.5) * tres
+    my = maxy - (y + 0.5) * tres
+    lon = mx / grid.ORIGIN_SHIFT * 180.0
+    latd = my / grid.ORIGIN_SHIFT * 180.0
+    lat = 180.0 / np.pi * (2.0 * np.arctan(np.exp(latd * np.pi / 180.0)) - np.pi / 2.0)
+    return lon, lat
+
+
+def tile_checksum(band: np.ndarray) -> int:
+    flat = band.astype(np.int64).ravel()
+    primes = CKS_PRIMES[np.arange(flat.size) % 11]
+    return int((flat % primes).sum() % 65536)
+
+
+def render_base_tiles(
+    images: DataFrame, zoom: int, tile_px: int = TILE_PX
+) -> DataFrame:
+    """Render the base-zoom tile mosaic. Input needs (i, image_id,
+    bytes, lon, lat, w, h). Output: one row per painted tile:
+    (tx, ty, bytes, n_painted) + per-channel checksums cks_0..2."""
+    cov = covering_tiles(
+        images.select("i", "image_id", "bytes", "lon", "lat", "w", "h"), zoom
+    )
+
+    def render(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        lon_px, lat_px = _tile_lonlat_grids(tx, ty, zoom, tile_px)
+        buf = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        painted = np.zeros((tile_px, tile_px), dtype=bool)
+        for row in pdf.sort_values("i").itertuples(index=False):
+            arr = codecs.decode_image(bytes(row.bytes))
+            r = 0.1 / row.w
+            sx = (lon_px - row.lon) / r
+            sy = (row.lat - lat_px) / r
+            ix = np.floor(sx + 1e-10).astype(np.int64)
+            iy = np.floor(sy + 1e-10).astype(np.int64)
+            okx = (ix >= 0) & (ix < row.w)
+            oky = (iy >= 0) & (iy < row.h)
+            m = oky[:, None] & okx[None, :]
+            if not m.any():
+                continue
+            yy, xx = np.nonzero(m)
+            buf[yy, xx, :] = arr[iy[yy], ix[xx], :]
+            painted[yy, xx] = True
+        n = int(painted.sum())
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "tx": pd.array([], dtype="int64"),
+                    "ty": pd.array([], dtype="int64"),
+                    "bytes": pd.array([], dtype=object),
+                    "n_painted": pd.array([], dtype="int64"),
+                    "cks_0": pd.array([], dtype="int64"),
+                    "cks_1": pd.array([], dtype="int64"),
+                    "cks_2": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "tx": [tx],
+                "ty": [ty],
+                "bytes": [codecs.encode_image(buf, "png")],
+                "n_painted": [n],
+                "cks_0": [tile_checksum(buf[:, :, 0])],
+                "cks_1": [tile_checksum(buf[:, :, 1])],
+                "cks_2": [tile_checksum(buf[:, :, 2])],
+            }
+        )
+
+    return cov.groupby("tx", "ty").applyInPandas(
+        render,
+        schema="tx bigint, ty bigint, bytes binary, n_painted bigint, "
+        "cks_0 bigint, cks_1 bigint, cks_2 bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# overview reduce (z -> z-1)
+
+
+def overview_tiles(tiles: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
+    """One pyramid level up: each parent = 2x box-average of its <=4
+    children composed on the doubled grid (missing children = 0)."""
+
+    def reduce_parent(key, pdf):
+        ptx, pty = int(key[0]), int(key[1])
+        comp = np.zeros((2 * tile_px, 2 * tile_px, 3), dtype=np.int64)
+        for row in pdf.itertuples(index=False):
+            arr = codecs.decode_image(bytes(row.bytes)).astype(np.int64)
+            qx = int(row.tx) - 2 * ptx  # 0 = left, 1 = right
+            qy = int(row.ty) - 2 * pty  # TMS: 1 = top half of the image
+            y0 = 0 if qy == 1 else tile_px
+            comp[y0 : y0 + tile_px, qx * tile_px : (qx + 1) * tile_px, :] = arr
+        s = (
+            comp[0::2, 0::2]
+            + comp[1::2, 0::2]
+            + comp[0::2, 1::2]
+            + comp[1::2, 1::2]
+        )
+        buf = ((s + 2) // 4).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "tx": [ptx],
+                "ty": [pty],
+                "bytes": [codecs.encode_image(buf, "png")],
+                "n_painted": [int(pdf["n_painted"].sum())],
+                "cks_0": [tile_checksum(buf[:, :, 0])],
+                "cks_1": [tile_checksum(buf[:, :, 1])],
+                "cks_2": [tile_checksum(buf[:, :, 2])],
+            }
+        )
+
+    parented = tiles.withColumn("ptx", F.expr("tx div 2")).withColumn(
+        "pty", F.expr("ty div 2")
+    )
+    return parented.groupby("ptx", "pty").applyInPandas(
+        reduce_parent,
+        schema="tx bigint, ty bigint, bytes binary, n_painted bigint, "
+        "cks_0 bigint, cks_1 bigint, cks_2 bigint",
+    )
+
+
+def build_pyramid(
+    images: DataFrame, z_base: int, z_min: int, tile_px: int = TILE_PX
+) -> dict[int, DataFrame]:
+    """Full pyramid z_base down to z_min (inclusive)."""
+    out = {z_base: render_base_tiles(images, z_base, tile_px)}
+    for z in range(z_base - 1, z_min - 1, -1):
+        out[z] = overview_tiles(out[z + 1], tile_px)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# resume / lineage (gdal2tiles --resume; north-rule checkpointing).
+# Parquet-backed log standing in for the Iceberg table in this
+# sandbox; the API shape (append done-keys + metrics, anti-join to
+# skip) is the Iceberg pattern 1:1.
+
+
+def filter_not_done(tiles: DataFrame, spark, done_path: str) -> DataFrame:
+    try:
+        done = spark.read.parquet(done_path).select("tx", "ty").distinct()
+    except Exception:
+        return tiles
+    return tiles.join(done, ["tx", "ty"], "left_anti")
+
+
+def commit_done(tiles: DataFrame, done_path: str):
+    """Append the committed tile log + per-tile metrics (lineage)."""
+    tiles.select(
+        "tx", "ty", "n_painted",
+        F.expr("cast(cks_0 as bigint) AS cks_0"),
+    ).write.mode("append").parquet(done_path)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle — literal mirror of the render arithmetic
+
+
+def _merc_px_cte(zoom: int, tx0, tx1, ty0, ty1, tile_px: int) -> str:
+    """CTE 'px': (tx, ty, x, y, lon, lat) for every pixel center of
+    the tile range."""
+    res = grid.INITIAL_RESOLUTION / (2.0**zoom)
+    span = 256.0 * res
+    tres = span / tile_px
+    shift = flit(grid.ORIGIN_SHIFT)
+    mx = f"(tx * {flit(span)} - {shift} + (x + 0.5E0) * {flit(tres)})"
+    my = f"((ty + 1) * {flit(span)} - {shift} - (y + 0.5E0) * {flit(tres)})"
+    lon = f"({mx} / {shift} * 180.0E0)"
+    latd = f"({my} / {shift} * 180.0E0)"
+    lat = f"(180.0E0 / pi() * (2.0E0 * atan(exp({latd} * pi() / 180.0E0)) - pi() / 2.0E0))"
+    return (
+        f"SELECT tx, ty, x, y, {lon} AS plon, {lat} AS plat "
+        f"FROM range({tx0}, {tx1 + 1}) a(tx), range({ty0}, {ty1 + 1}) b(ty), "
+        f"range(0, {tile_px}) c(x), range(0, {tile_px}) d(y)"
+    )
+
+
+def oracle_tile_render(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int = TILE_PX
+) -> str:
+    """Per-(tile, channel) checksum + painted count of the base-zoom
+    render, recomputed from pure SQL arithmetic: same pixel-center
+    mercator math, same nearest floor(+1e-10) sampling, last-wins by
+    max image index."""
+    eps = "0.0000000001E0"
+    prime = (
+        f"(CASE ((oy * {tile_px} + ox) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH {_render_ctes(n, max_i, zoom, tx0, tx1, ty0, ty1, tile_px)} "
+        f"SELECT tx, ty, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {prime}) % 65536 as bigint) AS cks, "
+        f"count(*) AS n_painted FROM vals GROUP BY 1, 2, 3"
+    )
+
+
+def _render_ctes(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int
+) -> str:
+    eps = "0.0000000001E0"
+    return (
+        f"img AS (SELECT * FROM ({synth.images_cte(n, 'duckdb')}) "
+        f"WHERE i % 4 = 0 AND i < {max_i}), "
+        f"px AS ({_merc_px_cte(zoom, tx0, tx1, ty0, ty1, tile_px)}), "
+        # loose bbox prefilter, exact floor-sample test, winner = max i
+        # among images whose sample lands inside their raster
+        f"hit AS (SELECT px.tx, px.ty, px.x AS ox, px.y AS oy, img.i, img.w, "
+        f"img.h, img.fmt, "
+        f"cast(floor((px.plon - img.lon) / (0.1E0 / img.w) + {eps}) as bigint) AS sx, "
+        f"cast(floor((img.lat - px.plat) / (0.1E0 / img.w) + {eps}) as bigint) AS sy "
+        f"FROM px JOIN img ON px.plon >= img.lon - 0.001E0 "
+        f"AND px.plon < img.lon + 0.101E0 "
+        f"AND px.plat <= img.lat + 0.001E0 "
+        f"AND px.plat > img.lat - 0.101E0 * img.h / img.w - 0.001E0), "
+        f"win AS (SELECT * FROM hit WHERE sx >= 0 AND sx < w AND sy >= 0 "
+        f"AND sy < h "
+        f"QUALIFY row_number() OVER (PARTITION BY tx, ty, ox, oy "
+        f"ORDER BY i DESC) = 1), "
+        f"vals AS (SELECT tx, ty, ox, oy, ch, {synth.pixel_val_sql()} AS val "
+        f"FROM (SELECT win.tx, win.ty, win.ox, win.oy, win.i, win.w, win.fmt, "
+        f"win.sx AS x, win.sy AS y, ch FROM win, range(0, 3) tc(ch)))"
+    )
+
+
+def oracle_tile_overview(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int = TILE_PX
+) -> str:
+    """z-1 overview oracle: recompute the base render in SQL, compose
+    the 2x2 children (TMS y-up: cy-high half is the image top), box
+    average with (sum+2)//4, checksum per parent tile/channel."""
+    t = tile_px
+    prime = (
+        f"(CASE ((y * {t} + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH {_render_ctes(n, max_i, zoom, tx0, tx1, ty0, ty1, tile_px)}, "
+        f"parents AS (SELECT DISTINCT tx // 2 AS ptx, ty // 2 AS pty FROM vals), "
+        f"quad AS (SELECT ptx, pty, x, y, ch, "
+        f"2 * ptx + ((2 * x + dx) // {t}) AS ctx, "
+        f"2 * pty + (1 - ((2 * y + dy) // {t})) AS cty, "
+        f"(2 * x + dx) % {t} AS cx, (2 * y + dy) % {t} AS cy "
+        f"FROM parents, range(0, {t}) a(x), range(0, {t}) b(y), "
+        f"range(0, 3) c(ch), range(0, 2) d(dx), range(0, 2) e(dy)), "
+        f"summed AS (SELECT q.ptx, q.pty, q.x, q.y, q.ch, "
+        f"sum(coalesce(v.val, 0)) AS s FROM quad q LEFT JOIN vals v "
+        f"ON v.tx = q.ctx AND v.ty = q.cty AND v.ox = q.cx AND v.oy = q.cy "
+        f"AND v.ch = q.ch GROUP BY 1, 2, 3, 4, 5), "
+        f"val9 AS (SELECT ptx, pty, x, y, ch, (s + 2) // 4 AS val FROM summed), "
+        f"npaint AS (SELECT tx // 2 AS ptx, ty // 2 AS pty, ch, "
+        f"count(*) AS np FROM vals GROUP BY 1, 2, 3) "
+        f"SELECT v.ptx AS tx, v.pty AS ty, cast(v.ch as bigint) AS channel, "
+        f"cast(sum(v.val % {prime}) % 65536 as bigint) AS cks, "
+        f"min(npaint.np) AS n_painted "
+        f"FROM val9 v JOIN npaint ON npaint.ptx = v.ptx AND npaint.pty = v.pty "
+        f"AND npaint.ch = v.ch GROUP BY 1, 2, 3"
+    )
