@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import synth
-from gdal_spark.operators import ann, cells, dedup, stats, textops, warp
+from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import ogrsql
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
@@ -224,6 +224,24 @@ def _q_point_probe(spark, sf_dir):
     )
 
 
+_DEM_MAX_I = 16
+_DEM_W = 96
+
+
+def _q_dem_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope/aspect/TRI/TPI/roughness/hillshade per image
+    (3x3 focal, apps/gdaldem_lib.cpp), per-scanline integer-key sums
+    value-checked against the 9-neighbor SQL oracle."""
+    return dem.focal_stats(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+
+
+def _q_dem_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same focal ops over ONE global raster split into tiles
+    with a 1-px halo exchange (neighbor-strip join) — output is
+    tile-layout-free and matches the whole-raster SQL oracle."""
+    return dem.focal_tiled(spark, _DEM_W, _DEM_W, tile_px=32)
+
+
 _TILE_Z = 10
 _TILE_RANGE = (543, 545, 668, 670)  # z10 tiles covering the hot cell
 _TILE_MAX_I = 512
@@ -363,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_avg_down2": _q_warp_avg_down2,
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
+        "dem_images": _q_dem_images,
+        "dem_tiled": _q_dem_tiled,
         "tile_render_hot": _q_tile_render_hot,
         "tile_overview_hot": _q_tile_overview_hot,
         "tile_index": _q_tile_index,
@@ -506,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
+        "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "tile_render_hot": tiling.oracle_tile_render(
             min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
         ),

@@ -1,0 +1,366 @@
+"""gdaldem focal (3x3 neighborhood) operators — slope, aspect, TRI,
+TPI, roughness, hillshade.
+
+Semantics from apps/gdaldem_lib.cpp (formulas transcribed, not code):
+- Horn gradient (Gradient<T,HORN>::calc :705): dx = ((w0+2w3+w6) -
+  (w2+2w5+w8)) * inv_ewres; dy = ((w6+2w7+w8)-(w0+2w1+w2)) * inv_nsres
+- slope (GDALSlopeHornAlg): atan(sqrt(dx^2+dy^2)/(8*scale)) in degrees
+- aspect (GDALAspectAlg): atan2(dy, -dx) degrees, azimuth transform,
+  flat -> -9999
+- TRI Wilson (:GDALTRIAlgWilson): mean |w_k - center| over 8 neighbors
+- TPI (GDALTPIAlg): center - mean of 8 neighbors
+- roughness (GDALRoughnessAlg): max - min over the window
+- hillshade (GDALHillshadeAlg + GDALCreateHillshadeData :1114):
+  z_scaled = z/(8*scale); cang254 = (254 sin(alt) - (y*254 cos(az)
+  cos(alt) z_s - x*254 sin(az) cos(alt) z_s)) / sqrt(1 + z_s^2
+  (x^2+y^2)); shade = 1 + cang254 if positive else 1
+Defaults z=1, scale=1, az=315, alt=45; computed in float64 (GDAL
+uses float32 working precision; formulas identical).
+
+Edge pixels are not computed (GDAL default without -compute_edges).
+
+Window indexing: afWin[0..8] row-major, 0=(x-1,y-1) ... 4=center.
+
+Two execution shapes:
+- ``focal_stats``      — per-image (independent rasters, no shuffle)
+- ``focal_tiled``      — ONE global raster split into tiles with a
+  1-px halo exchange: every tile emits its edge strips, strips are
+  joined to the 8 neighbors, and each tile computes its own pixels
+  with the assembled halo (the SURVEY 2.5 neighbor-strip join). This
+  is the pattern that scales to a 10^12-pixel mosaic.
+
+All neighbor sums are integer-exact (uint8 inputs, +/-1/2 weights) so
+order of accumulation cannot perturb results; the only fp ops are the
+final atan/sqrt/atan2 — single correctly-rounded calls, identical in
+numpy and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs, synth
+from ..synth import flit
+
+# hillshade constants (defaults az=315, alt=45, z=1, scale=1) — python
+# floats embedded as SQL literals so both engines share them exactly
+DEG = np.pi / 180.0
+Z_SCALED = 1.0 / 8.0
+SIN_ALT_254 = 254.0 * np.sin(45.0 * DEG)
+COS_AZ_COS_ALT_Z_254 = 254.0 * (np.cos(315.0 * DEG) * (np.cos(45.0 * DEG) * Z_SCALED))
+SIN_AZ_COS_ALT_Z_254 = 254.0 * (np.sin(315.0 * DEG) * (np.cos(45.0 * DEG) * Z_SCALED))
+SQUARE_Z = Z_SCALED * Z_SCALED
+
+SCALE_KEY = 10_000.0
+
+
+def window_features(dem: np.ndarray):
+    """All six focal outputs for the interior of a 2-D int array.
+    Returns dict of float64 arrays of shape (h-2, w-2)."""
+    d = dem.astype(np.float64)
+    w = {
+        (dx, dy): d[1 + dy : d.shape[0] - 1 + dy, 1 + dx : d.shape[1] - 1 + dx]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    c = w[(0, 0)]
+    # Horn sums (exact integers in float64)
+    hx = (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)]) - (
+        w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)]
+    )
+    hy = (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)]) - (
+        w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)]
+    )
+    # pixel units: ewres = 1, nsres = -1 (north-up geotransform)
+    gx = hx * 1.0
+    gy = hy * -1.0
+    slope = np.arctan(np.sqrt(hx * hx + hy * hy) / 8.0) / DEG
+    # aspect: dx has the opposite sign convention in GDALAspectAlg
+    adx = -hx
+    ady = hy
+    aspect = np.arctan2(ady, -adx) / DEG
+    az = np.where(aspect > 90.0, 450.0 - aspect, 90.0 - aspect)
+    az = np.where(az == 360.0, 0.0, az)
+    aspect = np.where((adx == 0) & (ady == 0), -9999.0, az)
+    nbrsum = sum(v for k, v in w.items() if k != (0, 0))
+    tri = (
+        sum(np.abs(v - c) for k, v in w.items() if k != (0, 0))
+    ) * 0.125
+    tpi = c - nbrsum * 0.125
+    allv = np.stack(list(w.values()))
+    rough = allv.max(axis=0) - allv.min(axis=0)
+    c254 = (
+        SIN_ALT_254 - (gy * COS_AZ_COS_ALT_Z_254 - gx * SIN_AZ_COS_ALT_Z_254)
+    ) / np.sqrt(1.0 + SQUARE_Z * (gx * gx + gy * gy))
+    shade = np.where(c254 <= 0.0, 1.0, 1.0 + c254)
+    return {
+        "slope": slope, "aspect": aspect, "tri": tri, "tpi": tpi,
+        "rough": rough, "shade": shade,
+    }
+
+
+def _row_aggregate(feats: dict, id_cols: dict, y_offset: int = 1) -> pd.DataFrame:
+    keys = {k: np.floor(v * SCALE_KEY).astype(np.int64) for k, v in feats.items()}
+    h = next(iter(keys.values())).shape[0]
+    rows = {
+        **{k: [vv for vv in v] for k, v in id_cols.items()},
+    }
+    df = pd.DataFrame(
+        {
+            **{k: np.repeat(list(v) if isinstance(v, list) else v, h) for k, v in rows.items()},
+            "y": np.arange(y_offset, y_offset + h, dtype=np.int64),
+            "n": np.full(h, keys["slope"].shape[1], dtype=np.int64),
+            **{
+                f"{k}_sum": keys[k].sum(axis=1).astype(np.int64)
+                for k in ("slope", "aspect", "tri", "tpi", "rough", "shade")
+            },
+        }
+    )
+    return df
+
+
+def focal_stats(images: DataFrame) -> DataFrame:
+    """Per-image (channel 0 = DEM) focal features, aggregated per
+    interior scanline: (image_id, y, n, <op>_sum x6)."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                dem = codecs.decode_image(bytes(payload))[:, :, 0]
+                if dem.shape[0] < 3 or dem.shape[1] < 3:
+                    continue
+                feats = window_features(dem)
+                outs.append(
+                    _row_aggregate(feats, {"image_id": [image_id]})
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["image_id", "y", "n", "slope_sum", "aspect_sum",
+                         "tri_sum", "tpi_sum", "rough_sum", "shade_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, slope_sum bigint, "
+        "aspect_sum bigint, tri_sum bigint, tpi_sum bigint, "
+        "rough_sum bigint, shade_sum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# tiled global raster with 1-px halo exchange
+
+
+def _dem_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Deterministic global DEM (SQL-mirrorable integer arithmetic)."""
+    return ((gx * 3 + gy * 5 + ((gx * 7 + gy * 11) % 13) * 17) % 256).astype(
+        np.int64
+    )
+
+
+DEM_VALUE_SQL = "((gx * 3 + gy * 5 + ((gx * 7 + gy * 11) % 13) * 17) % 256)"
+
+
+def focal_tiled(spark, width: int, height: int, tile_px: int = 32) -> DataFrame:
+    """Focal ops over ONE global raster split into tiles. Each tile
+    generates its payload, every tile emits 1-px edge strips, strips
+    join to neighbor tiles (the halo exchange), and the focal window
+    runs on the haloed array. Output: per global interior scanline
+    (y, n, <op>_sum x6) — tile-boundary-free by construction."""
+    ntx = (width + tile_px - 1) // tile_px
+    nty = (height + tile_px - 1) // tile_px
+    tiles = spark.range(ntx * nty).selectExpr(
+        f"cast(id % {ntx} as int) AS tx", f"cast(id div {ntx} as int) AS ty"
+    )
+
+    # strips: every tile re-emits its border pixels once per neighbor
+    # that needs them, keyed by the RECEIVING tile (ntx_, nty_)
+    def strips(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        px0, py0 = tx * tile_px, ty * tile_px
+        w = min(tile_px, width - px0)
+        h = min(tile_px, height - py0)
+        gy, gx = np.mgrid[py0 : py0 + h, px0 : px0 + w]
+        vals = _dem_value(gx, gy)
+        out = []
+        for dtx in (-1, 0, 1):
+            for dty in (-1, 0, 1):
+                rx, ry = tx + dtx, ty + dty
+                if rx < 0 or ry < 0 or rx >= ntx or ry >= nty:
+                    continue
+                if dtx == 0 and dty == 0:
+                    m = np.ones_like(vals, dtype=bool)
+                else:
+                    # the receiver right of me needs my RIGHT edge, etc.
+                    m = np.zeros_like(vals, dtype=bool)
+                    sl_x = {-1: slice(0, 1), 0: slice(None), 1: slice(w - 1, w)}[dtx]
+                    sl_y = {-1: slice(0, 1), 0: slice(None), 1: slice(h - 1, h)}[dty]
+                    m[sl_y, sl_x] = True
+                yy, xx = np.nonzero(m)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "rtx": rx, "rty": ry,
+                            "gx": gx[yy, xx], "gy": gy[yy, xx],
+                            "val": vals[yy, xx],
+                        }
+                    )
+                )
+        return pd.concat(out)
+
+    halo = tiles.groupby("tx", "ty").applyInPandas(
+        strips, schema="rtx int, rty int, gx bigint, gy bigint, val bigint"
+    )
+
+    # per receiving tile: assemble haloed array, compute interior
+    def compute(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        px0, py0 = tx * tile_px, ty * tile_px
+        w = min(tile_px, width - px0)
+        h = min(tile_px, height - py0)
+        x0, y0 = px0 - 1, py0 - 1
+        arr = np.full((h + 2, w + 2), -1, dtype=np.int64)
+        arr[pdf["gy"].values - y0, pdf["gx"].values - x0] = pdf["val"].values
+        feats = window_features(arr)
+        # valid outputs: global interior pixels owned by this tile
+        # (haloed cells outside the raster stay -1 -> mask them off)
+        oy, ox = np.mgrid[py0 : py0 + h, px0 : px0 + w]
+        owned = (ox >= 1) & (ox < width - 1) & (oy >= 1) & (oy < height - 1)
+        rows = []
+        for yy in range(h):
+            m = owned[yy]
+            if not m.any():
+                continue
+            rows.append(
+                {
+                    "y": int(py0 + yy),
+                    "n": int(m.sum()),
+                    **{
+                        f"{k}_sum": int(
+                            np.floor(feats[k][yy][m[:]] * SCALE_KEY).astype(np.int64).sum()
+                        )
+                        for k in ("slope", "aspect", "tri", "tpi", "rough", "shade")
+                    },
+                }
+            )
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=["y", "n", "slope_sum", "aspect_sum", "tri_sum",
+                     "tpi_sum", "rough_sum", "shade_sum"]
+        )
+
+    part = halo.groupby("rtx", "rty").applyInPandas(
+        compute,
+        schema="y bigint, n bigint, slope_sum bigint, aspect_sum bigint, "
+        "tri_sum bigint, tpi_sum bigint, rough_sum bigint, shade_sum bigint",
+    )
+    agg = [F.sum(c).alias(c) for c in (
+        "n", "slope_sum", "aspect_sum", "tri_sum", "tpi_sum",
+        "rough_sum", "shade_sum")]
+    return part.groupBy("y").agg(*agg)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _feat_select(center: str = "c") -> str:
+    """Feature key expressions given per-pixel aggregates dxh, dyh
+    (Horn sums), center c, sum8, absdiff8, vmax, vmin in scope."""
+    slope = f"(atan(sqrt(dxh * dxh + dyh * dyh) / 8.0E0) / {flit(DEG)})"
+    adx, ady = "(-dxh)", "dyh"
+    raw_aspect = f"(atan2({ady}, -{adx}) / {flit(DEG)})"
+    az = (
+        f"(CASE WHEN {raw_aspect} > 90.0E0 THEN 450.0E0 - {raw_aspect} "
+        f"ELSE 90.0E0 - {raw_aspect} END)"
+    )
+    az0 = f"(CASE WHEN {az} = 360.0E0 THEN 0.0E0 ELSE {az} END)"
+    aspect = f"(CASE WHEN {adx} = 0 AND {ady} = 0 THEN -9999.0E0 ELSE {az0} END)"
+    gx, gy = "(dxh * 1.0E0)", "(dyh * -1.0E0)"
+    c254 = (
+        f"(({flit(SIN_ALT_254)} - ({gy} * {flit(COS_AZ_COS_ALT_Z_254)} "
+        f"- {gx} * {flit(SIN_AZ_COS_ALT_Z_254)})) "
+        f"/ sqrt(1.0E0 + {flit(SQUARE_Z)} * ({gx} * {gx} + {gy} * {gy})))"
+    )
+    shade = f"(CASE WHEN {c254} <= 0.0E0 THEN 1.0E0 ELSE 1.0E0 + {c254} END)"
+    k = flit(SCALE_KEY)
+
+    def key(e):
+        return f"cast(floor({e} * {k}) as bigint)"
+
+    return (
+        f"{key(slope)} AS slope_key, {key(aspect)} AS aspect_key, "
+        f"{key('(absdiff8 * 0.125E0)')} AS tri_key, "
+        f"{key(f'({center} - sum8 * 0.125E0)')} AS tpi_key, "
+        f"{key('(vmax - vmin)')} AS rough_key, {key(shade)} AS shade_key"
+    )
+
+
+_NBR = (
+    "range(-1, 2) dd(ddx), range(-1, 2) ee(ddy)"
+)
+
+_WX = "(CASE ddx WHEN -1 THEN 1 WHEN 1 THEN -1 ELSE 0 END) * (CASE ddy WHEN 0 THEN 2 ELSE 1 END)"
+_WY = "(CASE ddy WHEN 1 THEN 1 WHEN -1 THEN -1 ELSE 0 END) * (CASE ddx WHEN 0 THEN 2 ELSE 1 END)"
+
+
+def oracle_dem_images(n: int, max_i: int) -> str:
+    """Per-image per-scanline sums of the six focal keys, from the
+    synthetic pixel function (channel 0)."""
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    return (
+        f"WITH g AS ({grid}), "
+        f"nb AS (SELECT image_id, x0, y0, ddx, ddy, {nbr_val} AS v "
+        f"FROM (SELECT g.*, ddx, ddy, x0 + ddx AS x, y0 + ddy AS y, 0 AS ch "
+        f"FROM g, {_NBR})), "
+        f"ctr AS (SELECT image_id, x0, y0, {nbr_val} AS c "
+        f"FROM (SELECT g.*, x0 AS x, y0 AS y, 0 AS ch FROM g)), "
+        f"agg AS (SELECT nb.image_id, nb.x0, nb.y0, "
+        f"sum(v * {_WX}) AS dxh, sum(v * {_WY}) AS dyh, min(ctr.c) AS c, "
+        f"sum(CASE WHEN ddx = 0 AND ddy = 0 THEN 0 ELSE v END) AS sum8, "
+        f"sum(CASE WHEN ddx = 0 AND ddy = 0 THEN 0 ELSE abs(v - ctr.c) END) "
+        f"AS absdiff8, max(v) AS vmax, min(v) AS vmin "
+        f"FROM nb JOIN ctr ON ctr.image_id = nb.image_id "
+        f"AND ctr.x0 = nb.x0 AND ctr.y0 = nb.y0 "
+        f"GROUP BY 1, 2, 3), "
+        f"keys AS (SELECT image_id, x0, y0, {_feat_select('c')} FROM agg) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"sum(slope_key) AS slope_sum, sum(aspect_key) AS aspect_sum, "
+        f"sum(tri_key) AS tri_sum, sum(tpi_key) AS tpi_sum, "
+        f"sum(rough_key) AS rough_sum, sum(shade_key) AS shade_sum "
+        f"FROM keys GROUP BY 1, 2"
+    )
+
+
+def oracle_dem_tiled(width: int, height: int) -> str:
+    """Global-raster focal oracle (tile-layout-free)."""
+    val = DEM_VALUE_SQL
+    return (
+        f"WITH g AS (SELECT x0, y0 FROM range(1, {width - 1}) a(x0), "
+        f"range(1, {height - 1}) b(y0)), "
+        f"nb AS (SELECT x0, y0, ddx, ddy, "
+        f"{val.replace('gx', '(x0 + ddx)').replace('gy', '(y0 + ddy)')} AS v "
+        f"FROM g, {_NBR}), "
+        f"ctr AS (SELECT x0, y0, "
+        f"{val.replace('gx', 'x0').replace('gy', 'y0')} AS c FROM g), "
+        f"agg AS (SELECT nb.x0, nb.y0, "
+        f"sum(v * {_WX}) AS dxh, sum(v * {_WY}) AS dyh, min(ctr.c) AS c, "
+        f"sum(CASE WHEN ddx = 0 AND ddy = 0 THEN 0 ELSE v END) AS sum8, "
+        f"sum(CASE WHEN ddx = 0 AND ddy = 0 THEN 0 ELSE abs(v - ctr.c) END) "
+        f"AS absdiff8, max(v) AS vmax, min(v) AS vmin "
+        f"FROM nb JOIN ctr ON ctr.x0 = nb.x0 AND ctr.y0 = nb.y0 "
+        f"GROUP BY 1, 2), "
+        f"keys AS (SELECT x0, y0, {_feat_select('c')} FROM agg) "
+        f"SELECT y0 AS y, count(*) AS n, "
+        f"sum(slope_key) AS slope_sum, sum(aspect_key) AS aspect_sum, "
+        f"sum(tri_key) AS tri_sum, sum(tpi_key) AS tpi_sum, "
+        f"sum(rough_key) AS rough_sum, sum(shade_key) AS shade_sum "
+        f"FROM keys GROUP BY 1"
+    )

@@ -1,0 +1,63 @@
+"""gdaldem focal ops: window features vs a naive per-pixel loop, and
+the tiled halo-exchange path vs the single-array computation."""
+
+import numpy as np
+
+from gdal_spark.operators import dem
+
+
+def naive_features(d):
+    h, w = d.shape
+    out = {k: np.zeros((h - 2, w - 2)) for k in
+           ("slope", "aspect", "tri", "tpi", "rough", "shade")}
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = d[y - 1 : y + 2, x - 1 : x + 2].astype(np.float64)
+            # afWin row-major: afWin[k] = value at
+            # (x + k%3 - 1, y + k//3 - 1)  (apps/gdaldem_lib.cpp:567)
+            w0, w1, w2 = win[0, 0], win[0, 1], win[0, 2]
+            w3, w4, w5 = win[1, 0], win[1, 1], win[1, 2]
+            w6, w7, w8 = win[2, 0], win[2, 1], win[2, 2]
+            hx = (w0 + 2 * w3 + w6) - (w2 + 2 * w5 + w8)
+            hy = (w6 + 2 * w7 + w8) - (w0 + 2 * w1 + w2)
+            out["slope"][y - 1, x - 1] = np.arctan(np.hypot(hx, hy) / 8.0) / dem.DEG
+            adx, ady = -hx, hy
+            if adx == 0 and ady == 0:
+                out["aspect"][y - 1, x - 1] = -9999.0
+            else:
+                a = np.arctan2(ady, -adx) / dem.DEG
+                a = 450.0 - a if a > 90.0 else 90.0 - a
+                out["aspect"][y - 1, x - 1] = 0.0 if a == 360.0 else a
+            nb = [w0, w1, w2, w3, w5, w6, w7, w8]
+            out["tri"][y - 1, x - 1] = sum(abs(v - w4) for v in nb) * 0.125
+            out["tpi"][y - 1, x - 1] = w4 - sum(nb) * 0.125
+            out["rough"][y - 1, x - 1] = max(nb + [w4]) - min(nb + [w4])
+            gx, gy = hx * 1.0, hy * -1.0
+            c254 = (dem.SIN_ALT_254 - (gy * dem.COS_AZ_COS_ALT_Z_254
+                    - gx * dem.SIN_AZ_COS_ALT_Z_254)) / np.sqrt(
+                1.0 + dem.SQUARE_Z * (gx * gx + gy * gy))
+            out["shade"][y - 1, x - 1] = 1.0 if c254 <= 0 else 1.0 + c254
+    return out
+
+
+def test_window_features_vs_naive():
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 256, size=(12, 15)).astype(np.int64)
+    got = dem.window_features(d)
+    exp = naive_features(d)
+    for k in exp:
+        assert np.allclose(got[k], exp[k], atol=0, rtol=0), k
+
+
+def test_focal_tiled_matches_single_array(spark):
+    W = 64
+    out = dem.focal_tiled(spark, W, W, tile_px=32).toPandas().set_index("y")
+    gy, gx = np.mgrid[0:W, 0:W]
+    vals = dem._dem_value(gx, gy)
+    feats = dem.window_features(vals)
+    for y in range(1, W - 1):
+        row = out.loc[y]
+        assert row.n == W - 2
+        for k in ("slope", "tri", "tpi", "rough", "shade", "aspect"):
+            exp = int(np.floor(feats[k][y - 1] * dem.SCALE_KEY).astype(np.int64).sum())
+            assert row[f"{k}_sum"] == exp, (k, y)
