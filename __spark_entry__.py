@@ -14,9 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import synth
+from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import ogrsql
+from gdal_spark.operators import multimodal, ogrsql
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, tiling
@@ -224,6 +224,38 @@ def _q_point_probe(spark, sf_dir):
     )
 
 
+_MM_MAX_I = 16
+_PHASH_MAX_I = 64
+
+
+def _q_mm_probe(spark, sf_dir):
+    return multimodal.probe_headers(_pixel_images(spark, sf_dir, _MM_MAX_I))
+
+
+def _q_mm_resize(spark, sf_dir):
+    out = multimodal.resize_nearest(
+        _pixel_images(spark, sf_dir, _MM_MAX_I), 24, 24
+    )
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
+def _q_mm_frames(spark, sf_dir):
+    frames = multimodal.sample_frames(_pixel_images(spark, sf_dir, _MM_MAX_I))
+    return multimodal.frame_checksums(frames)
+
+
+def _q_phash(spark, sf_dir):
+    return multimodal.phash64_int(_pixel_images(spark, sf_dir, _PHASH_MAX_I))
+
+
+def _q_phash_neardup(spark, sf_dir):
+    return multimodal.phash_neardup(_pixel_images(spark, sf_dir, _PHASH_MAX_I))
+
+
 _DEM_MAX_I = 16
 _DEM_W = 96
 
@@ -381,6 +413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_avg_down2": _q_warp_avg_down2,
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
+        "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ),
+        "mm_probe_headers": _q_mm_probe,
+        "mm_resize_nearest": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
+        "phash64": _q_phash,
+        "phash_neardup": _q_phash_neardup,
         "dem_images": _q_dem_images,
         "dem_tiled": _q_dem_tiled,
         "tile_render_hot": _q_tile_render_hot,
@@ -526,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "mm_probe_headers": multimodal.oracle_probe_headers(min(n, 4096), _MM_MAX_I),
+        "mm_resize_nearest": multimodal.oracle_resize_checksum(
+            min(n, 4096), _MM_MAX_I, 24, 24
+        ),
+        "mm_frame_sample": multimodal.oracle_frame_checksum(min(n, 4096), _MM_MAX_I),
+        "phash64": multimodal.oracle_phash64(min(n, 4096), _PHASH_MAX_I),
+        "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -1,0 +1,330 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The training-data-pipeline treatment of image/audio/video columns:
+payloads stay ``binary``; metadata (w, h, fmt, frame count) lives in
+plain columns so planning never decodes; decode / resize / sample
+happen in Arrow-batched ``mapInPandas`` stages.
+
+The container has no real codec libraries, so decode goes through the
+clearly-marked deterministic fake codecs of gdal_spark.codecs (same
+contract as PNG/JPEG: magic header + payload; lossless and
+quantized-lossy variants). ``decode_video`` below is the STUB for a
+real video decoder: with real data it raises NotImplementedError; the
+deterministic fake path synthesizes frames so the Spark-side plumbing
+(schema, batching, 1->N explode, partitioning) is fully exercised and
+oracle-checked.
+
+Operators:
+- probe_headers   — header-only metadata scan (no pixel decode; the
+                    gcore/gdalopeninfo.cpp "read the header" step)
+- resize_nearest  — integer-index nearest resize (out px (x,y) <-
+                    src ((x*w)//out_w, (y*h)//out_h)); exact SQL oracle
+- sample_frames   — video frame sampling: every k-th of n_frames,
+                    emitted as lossless stills (1->N mapInPandas)
+- phash64_int     — integer-exact 8x8 average perceptual hash
+                    (block mean > global mean; all sums integer so
+                    both engines agree bit-for-bit), split into
+                    (hi, lo) 32-bit halves for SQL-safe packing
+- phash_neardup   — near-duplicate image pairs by phash hamming
+                    distance, banded 16-bit join + exact verify
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs, synth
+
+N_FRAMES = 4
+FRAME_BASE = 100_000
+
+
+def probe_headers(images: DataFrame) -> DataFrame:
+    """(image_id, w, h, c, lossy) from payload headers only."""
+
+    def probe(batches):
+        for pdf in batches:
+            ws, hs, cs, lossy = [], [], [], []
+            for payload in pdf["bytes"]:
+                b = bytes(payload)
+                w, h, c = codecs.image_dims(b)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                lossy.append(int(b[:4] == b"GSJ0"))
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "w": ws, "h": hs, "c": cs,
+                 "lossy": lossy}
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        probe, schema="image_id string, w int, h int, c int, lossy int"
+    )
+
+
+def oracle_probe_headers(n: int, max_i: int) -> str:
+    return (
+        f"SELECT image_id, w, h, 3 AS c, cast(i % 2 = 1 as int) AS lossy "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# resize
+
+
+def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest resize to (out_w, out_h) with pure integer index math
+    (sx = (x*w)//out_w) — exact cross-engine. Output stays lossless."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                small = arr[ys[:, None], xs[None, :], :]
+                outs.append((image_id, codecs.encode_image(small, "png")))
+            yield pd.DataFrame(outs, columns=["image_id", "bytes"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary"
+    )
+
+
+def oracle_resize_checksum(n: int, max_i: int, out_w: int, out_h: int) -> str:
+    prime = (
+        f"(CASE ((y2 * {out_w} + x2) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH g AS (SELECT image_id, i.i AS i, w, h, fmt, x2, y2, ch, "
+        f"(x2 * w) // {out_w} AS x, (y2 * h) // {out_h} AS y "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, {out_w}) a(x2), range(0, {out_h}) b(y2), range(0, 3) c(ch) "
+        f"WHERE i.i < {max_i}) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum({synth.pixel_val_sql()} % {prime}) % 65536 as bigint) AS cks "
+        f"FROM g GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (stubbed decode + deterministic fake)
+
+
+def decode_video(payload: bytes, n_frames: int, i: int | None = None):
+    """STUB for a real video decoder. With real video bytes this is
+    NotImplementedError (no AV libs in this container); for the
+    deterministic fake pipeline, frame f of image i is
+    make_pixels(FRAME_BASE + n_frames*i + f) at the image's size."""
+    if i is None:
+        raise NotImplementedError(
+            "real video decode requires an AV library; install one and "
+            "swap this stub (plumbing below is codec-agnostic)"
+        )
+    w, h, _ = codecs.image_dims(payload)
+    return [
+        codecs.make_pixels(FRAME_BASE + n_frames * i + f, w, h)
+        for f in range(n_frames)
+    ]
+
+
+def sample_frames(
+    images: DataFrame, n_frames: int = N_FRAMES, every: int = 2
+) -> DataFrame:
+    """1->N frame explode: every ``every``-th frame as a lossless
+    still: (image_id, frame_idx, bytes)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, i in zip(
+                pdf["image_id"], pdf["bytes"], pdf["i"]
+            ):
+                frames = decode_video(bytes(payload), n_frames, int(i))
+                for f in range(0, n_frames, every):
+                    rows.append(
+                        (image_id, f, codecs.encode_image(frames[f], "png"))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "frame_idx", "bytes"]
+            )
+
+    return images.select("image_id", "i", "bytes").mapInPandas(
+        run, schema="image_id string, frame_idx int, bytes binary"
+    )
+
+
+def oracle_frame_checksum(
+    n: int, max_i: int, n_frames: int = N_FRAMES, every: int = 2
+) -> str:
+    """Checksums of sampled frames — the frame pixel function is the
+    synth pixel function at index FRAME_BASE + n_frames*i + f (png,
+    lossless)."""
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH g AS (SELECT image_id, frame_idx, "
+        f"{FRAME_BASE} + {n_frames} * img.i + frame_idx AS i, w, h, "
+        f"'png' AS fmt, x, y, ch "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) img, "
+        f"range(0, {n_frames}) f(frame_idx), range(0, 256) a(x), "
+        f"range(0, 256) b(y), range(0, 3) c(ch) "
+        f"WHERE img.i < {max_i} AND frame_idx % {every} = 0 "
+        f"AND x < img.w AND y < img.h) "
+        f"SELECT image_id, cast(frame_idx as bigint) AS frame_idx, "
+        f"cast(ch as bigint) AS channel, "
+        f"cast(sum({synth.pixel_val_sql()} % {prime}) % 65536 as bigint) AS cks "
+        f"FROM g GROUP BY 1, 2, 3"
+    )
+
+
+def frame_checksums(frames: DataFrame) -> DataFrame:
+    """(image_id, frame_idx, channel, cks) per sampled frame."""
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, fi, payload in zip(
+                pdf["image_id"], pdf["frame_idx"], pdf["bytes"]
+            ):
+                arr = codecs.decode_image(bytes(payload))
+                for c in range(arr.shape[2]):
+                    rows.append(
+                        (image_id, int(fi), c, gdal_checksum(arr[:, :, c]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "frame_idx", "channel", "cks"]
+            )
+
+    return frames.mapInPandas(
+        run,
+        schema="image_id string, frame_idx bigint, channel bigint, cks bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact perceptual hash + near-dup
+
+
+def phash64_int(images: DataFrame) -> DataFrame:
+    """8x8 average-hash with integer-exact arithmetic: block value =
+    sum of (c0+c1+c2) over the block (exact int); bit set iff
+    block_sum * (3*w*h) > total_sum * (3*block_px)  — the cross-
+    multiplied form of block_mean > global_mean, zero fp. Output
+    (image_id, phash_hi, phash_lo) 32-bit halves."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                g = arr.sum(axis=2)  # 3x gray, exact int
+                total = int(g.sum())
+                yb = (np.arange(9, dtype=np.int64) * h) // 8
+                xb = (np.arange(9, dtype=np.int64) * w) // 8
+                hi = lo = 0
+                for a in range(8):
+                    for b in range(8):
+                        blk = g[yb[a] : yb[a + 1], xb[b] : xb[b + 1]]
+                        bs = int(blk.sum())
+                        npx = blk.size
+                        k = a * 8 + b
+                        if bs * (w * h) > total * npx:
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                rows.append((image_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["image_id", "phash_hi", "phash_lo"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, phash_hi bigint, phash_lo bigint"
+    )
+
+
+def oracle_phash64(n: int, max_i: int) -> str:
+    """SQL replica: per-block integer sums from the pixel function,
+    cross-multiplied threshold, bits packed into 32-bit halves."""
+    return (
+        f"WITH px AS (SELECT image_id, w, h, x, y, sum(val) AS g "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) GROUP BY 1, 2, 3, 4, 5), "
+        # block index matching the engine's floor boundaries
+        # yb[a] = (a*h)//8: pixel y belongs to a = (y*8 + 7) // h
+        f"blk AS (SELECT image_id, w, h, "
+        f"(y * 8 + 7) // h AS a, (x * 8 + 7) // w AS b, "
+        f"sum(g) AS bs, count(*) AS npx FROM px GROUP BY 1, 2, 3, 4, 5), "
+        f"tot AS (SELECT image_id, sum(bs) AS total FROM blk GROUP BY 1), "
+        f"bits AS (SELECT blk.image_id, a * 8 + b AS k, "
+        f"cast(bs * (w * h) > total * npx as int) AS bit "
+        f"FROM blk JOIN tot ON tot.image_id = blk.image_id) "
+        f"SELECT image_id, "
+        f"cast(sum(CASE WHEN k >= 32 AND bit = 1 THEN 1::BIGINT << (k - 32) "
+        f"ELSE 0 END) as bigint) AS phash_hi, "
+        f"cast(sum(CASE WHEN k < 32 AND bit = 1 THEN 1::BIGINT << k "
+        f"ELSE 0 END) as bigint) AS phash_lo "
+        f"FROM bits GROUP BY 1"
+    )
+
+
+def phash_neardup(images: DataFrame, max_hamming: int = 14) -> DataFrame:
+    """Near-duplicate image pairs by phash hamming distance: 16-bit
+    band equi-join proposes candidates, exact popcount verifies."""
+    ph = phash64_int(images)
+    banded = ph.selectExpr(
+        "image_id", "phash_hi", "phash_lo", "explode(sequence(0, 3)) AS band"
+    ).withColumn(
+        "bv",
+        F.expr(
+            "CASE band WHEN 0 THEN phash_lo % 65536 "
+            "WHEN 1 THEN phash_lo div 65536 "
+            "WHEN 2 THEN phash_hi % 65536 ELSE phash_hi div 65536 END"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.expr(
+                "bit_count(a.phash_lo ^ b.phash_lo) + "
+                "bit_count(a.phash_hi ^ b.phash_hi)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def oracle_phash_neardup(n: int, max_i: int, max_hamming: int = 14) -> str:
+    base = oracle_phash64(n, max_i)
+    return (
+        f"WITH ph AS ({base}), "
+        f"banded AS (SELECT image_id, phash_hi, phash_lo, band, "
+        f"CASE band WHEN 0 THEN phash_lo % 65536 "
+        f"WHEN 1 THEN phash_lo // 65536 "
+        f"WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bv "
+        f"FROM ph, range(0, 4) t(band)) "
+        f"SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b, "
+        f"cast(bit_count(xor(a.phash_lo, b.phash_lo)) + "
+        f"bit_count(xor(a.phash_hi, b.phash_hi)) as int) AS hamming "
+        f"FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv "
+        f"AND a.image_id < b.image_id "
+        f"WHERE bit_count(xor(a.phash_lo, b.phash_lo)) + "
+        f"bit_count(xor(a.phash_hi, b.phash_hi)) <= {max_hamming}"
+    )

@@ -1,0 +1,85 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming engine (SURVEY 1.3) — its closest
+analogs are GDALAsyncReader progressive reads and gdal2tiles --resume
+incremental batches. For a 100 TB ingest pipeline the engine still
+needs the streaming shape, so this module defines the standard
+windowed aggregation once, usable both as:
+
+- a BATCH DataFrame stage (driver-oracle-checked: tumbling windows
+  are pure epoch arithmetic), and
+- a STREAM: ``readStream`` file source -> withWatermark -> the same
+  aggregation -> sink, exercised with Trigger.AvailableNow in tests
+  and asserted equal to the batch result (the batch/stream unification
+  contract of Structured Streaming).
+
+Timestamps are NTZ; windows are computed on epoch microseconds so the
+arithmetic is integer-exact and timezone-free in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WINDOW_US = 3_600_000_000  # 1 hour tumbling
+
+
+def windowed_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type: count, distinct users, and
+    integer-cent value sum. Works identically on batch and streaming
+    DataFrames (except countDistinct, replaced by approx on streams)."""
+    base = events.selectExpr(
+        "event_type",
+        "user_id",
+        f"(unix_micros(cast(ts as timestamp)) div {WINDOW_US}) * {WINDOW_US} "
+        "AS win_start_us",
+        "cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents",
+    )
+    return base.groupBy("win_start_us", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("value_cents_sum"),
+    )
+
+
+ORACLE_WINDOWED = (
+    f"SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS win_start_us, "
+    "event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users, "
+    "sum(cast(floor(value * 100.0E0 + 0.5E0) as bigint)) AS value_cents_sum "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def stream_windowed_counts(
+    spark: SparkSession, src_dir: str, schema, checkpoint: str
+):
+    """The streaming variant: file-source stream -> 10-minute
+    watermark -> tumbling window counts (complete-output ready).
+    Returns the streaming DataFrame; callers attach a sink and
+    trigger (tests use Trigger.AvailableNow + memory sink)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    win = stream.withColumn(
+        "ts2", F.expr("cast(ts as timestamp)")
+    ).withWatermark("ts2", "10 minutes")
+    return (
+        win.groupBy(
+            F.window("ts2", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.expr(
+                "sum(cast(floor(value * 100.0E0 + 0.5E0) as bigint))"
+            ).alias("value_cents_sum"),
+        )
+        .selectExpr(
+            "unix_micros(win.start) AS win_start_us",
+            "event_type",
+            "n_events",
+            "value_cents_sum",
+        )
+    )
