@@ -52,8 +52,14 @@ def polygon_cells(
     """Explode polygons to covering geodetic cells at a per-polygon
     adaptive zoom in [min_zoom, join_zoom]. Output: polygon columns +
     ``cell_id``."""
+    env_fields = [
+        T.StructField(c, T.DoubleType(), False)
+        for c in ("env_minx", "env_miny", "env_maxx", "env_maxy")
+    ] + [T.StructField("is_rect", T.BooleanType(), False)]
     out_schema = T.StructType(
-        polys.schema.fields + [T.StructField("cell_id", T.LongType(), False)]
+        polys.schema.fields
+        + [T.StructField("cell_id", T.LongType(), False)]
+        + env_fields
     )
     cols = [f.name for f in polys.schema.fields]
 
@@ -61,21 +67,43 @@ def polygon_cells(
         for pdf in batches:
             rows = {c: [] for c in cols}
             cells = []
+            envs = {c.name: [] for c in env_fields}
             for rec in pdf.itertuples(index=False):
                 d = dict(zip(cols, rec))
                 g = bytes(d["geom_wkb"])
                 z = geom_mod.zoom_for_max_cells(g, max_cells, max_zoom=join_zoom)
                 z = max(z, min_zoom)
                 cids = geom_mod.covering_cells_geodetic(g, z)
+                env = (*wkb.envelope(g), _is_rectangle(g))
                 for c in cols:
                     rows[c].extend([d[c]] * len(cids))
+                for name, v in zip(envs, env):
+                    envs[name].extend([v] * len(cids))
                 cells.append(cids)
             if cells:
                 yield pd.DataFrame(
-                    {**rows, "cell_id": np.concatenate(cells).astype(np.int64)}
+                    {**rows, "cell_id": np.concatenate(cells).astype(np.int64),
+                     **envs}
                 )
 
     return polys.mapInPandas(explode_cells, schema=out_schema)
+
+
+def _is_rectangle(geom_wkb: bytes) -> bool:
+    """True iff the polygon IS its envelope (single axis-aligned
+    rectangular ring) — then the bbox test is exact and the ray cast
+    can be skipped (the m_bFilterIsEnvelope fast path of
+    OGRLayer::FilterGeometry)."""
+    rings = wkb.polygon_rings(geom_wkb)
+    if len(rings) != 1:
+        return False
+    r = np.asarray(rings[0], dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) != 4:
+        return False
+    xs, ys = np.unique(r[:, 0]), np.unique(r[:, 1])
+    return len(xs) == 2 and len(ys) == 2
 
 
 def make_pip_udf():
@@ -110,7 +138,7 @@ def spatial_join(
     broadcast_max_rows: int = 2_000_000,
     point_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
-    engine: str = "pandas",
+    engine: str = "sql",
 ) -> DataFrame:
     """Inner PIP join: rows = (point, polygon) pairs where the point
     lies inside the polygon (even-odd rule)."""
@@ -119,8 +147,17 @@ def spatial_join(
     ]
     poly_cols = poly_cols or [c for c in polys.columns if c != "geom_wkb"]
 
-    pcells = polygon_cells(polys, join_zoom, min_zoom, max_cells).select(
-        "cell_id", "geom_wkb", *poly_cols
+    env_cols = ["env_minx", "env_miny", "env_maxx", "env_maxy"]
+    # the exploded polygon side is small (<= max_cells * n_poly rows)
+    # and feeds two broadcast builds -> persist so the explode UDF
+    # runs once, not once per branch
+    pcells = polygon_cells(polys, join_zoom, min_zoom, max_cells).persist()
+    # rectangle polygons: the envelope test IS the exact test
+    # (m_bFilterIsEnvelope, ogrlayer.cpp) -> a pure-JVM branch that
+    # never ships WKB through the broadcast nor rows through Arrow
+    rect_cells = pcells.filter("is_rect").select("cell_id", *env_cols, *poly_cols)
+    geom_cells = pcells.filter("NOT is_rect").select(
+        "cell_id", "geom_wkb", *env_cols, *poly_cols
     )
     if broadcast is None:
         # decide from the un-exploded polygon count (cheap; bounded by
@@ -128,7 +165,8 @@ def spatial_join(
         n_poly = polys.count()
         broadcast = n_poly * max_cells <= broadcast_max_rows
     if broadcast:
-        pcells = F.broadcast(pcells)
+        rect_cells = F.broadcast(rect_cells)
+        geom_cells = F.broadcast(geom_cells)
 
     # point side: cell at join_zoom (pandas UDF per north star), then
     # ancestors via pure int arithmetic, exploded on a narrow projection
@@ -148,10 +186,25 @@ def spatial_join(
         lon_col, lat_col, *point_cols, F.explode(F.array(*levels)).alias("cell_id")
     )
 
-    cand = pts.join(pcells, "cell_id", "inner")
+    # envelope reject, JVM-side (FilterGeometry's bbox fast path,
+    # ogrlayer.cpp:1468) — cuts the refine input before any Python
+    def bbox(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col(lon_col) >= F.col("env_minx"))
+            & (F.col(lon_col) <= F.col("env_maxx"))
+            & (F.col(lat_col) >= F.col("env_miny"))
+            & (F.col(lat_col) <= F.col("env_maxy"))
+        )
+
+    out_cols = [lon_col, lat_col, *point_cols, *poly_cols]
+    rect_out = bbox(pts.join(rect_cells, "cell_id", "inner")).select(*out_cols)
+    cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
+    # homogenize Arrow batches by polygon (local sort, no shuffle) so
+    # the refine factorization sees few distinct geometries per batch
+    cand = cand.sortWithinPartitions("geom_wkb")
     pip = make_pip_udf()
     refined = cand.filter(pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb")))
-    return refined.select(lon_col, lat_col, *point_cols, *poly_cols)
+    return rect_out.unionAll(refined.select(*out_cols))
 
 
 def spatial_join_bruteforce(
