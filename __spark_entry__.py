@@ -16,10 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import multimodal, ogrsql
+from gdal_spark.operators import multimodal, ogrsql, proximity, sieve
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
-from gdal_spark.operators import rastertable, tiling
+from gdal_spark.operators import rastertable, skew, tiling
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -224,6 +224,47 @@ def _q_point_probe(spark, sf_dir):
     )
 
 
+_PROX_W, _PROX_MAXDIST = 96, 6
+_SIEVE_W = 96
+
+
+def _q_proximity_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeProximity (MAXDIST-capped) over a tiled global
+    raster with MAXDIST-wide halo exchange; integer-exact whole-raster
+    oracle."""
+    return proximity.proximity_tiled(spark, _PROX_W, _PROX_W, _PROX_MAXDIST)
+
+
+def _q_sieve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALSieveFilter: speckled block raster -> sieve removes the
+    interior single-pixel speckles; closed-form oracle."""
+    return sieve.sieve_blocks(spark, _SIEVE_W, _SIEVE_W)
+
+
+_ADAPT_BASE_Z, _ADAPT_FINE_Z, _ADAPT_T = 6, 9, 256
+
+
+def _q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive cell splitting (hot cells re-keyed 3 zooms deeper —
+    the distributed CollectChunkListInternal): per-final-cell
+    histogram, exact SQL oracle."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = skew.adaptive_cells(
+        imgs, _ADAPT_BASE_Z, _ADAPT_FINE_Z, _ADAPT_T
+    )
+    return out.groupBy("cell_id", "cell_zoom").agg(F.count("*").alias("n"))
+
+
+def _q_salted_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed cell key; result
+    provably equals the plain GROUP BY (which the oracle runs)."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    cells_df = cells.assign_cells(imgs, 8, "mercator", engine="sql")
+    return skew.salted_count(cells_df, "cell_id", "i % 16").select(
+        "cell_id", "n"
+    )
+
+
 _MM_MAX_I = 16
 _PHASH_MAX_I = 64
 
@@ -416,6 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
+        "proximity_tiled": _q_proximity_tiled,
+        "sieve_blocks": _q_sieve_blocks,
+        "adaptive_cells": _q_adaptive_cells,
+        "salted_density": _q_salted_density,
         "mm_probe_headers": _q_mm_probe,
         "mm_resize_nearest": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
@@ -567,6 +612,17 @@ def oracle_sql() -> dict[str, str]:
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "proximity_tiled": proximity.oracle_proximity(
+            _PROX_W, _PROX_W, _PROX_MAXDIST
+        ),
+        "sieve_blocks": sieve.oracle_sieve_blocks(_SIEVE_W, _SIEVE_W),
+        "adaptive_cells": skew.oracle_adaptive_cells(
+            _images(n), _ADAPT_BASE_Z, _ADAPT_FINE_Z, _ADAPT_T
+        ),
+        "salted_density": (
+            f"SELECT {cells.cell_id_sql(merc8_x, merc8_y, DENSITY_ZOOM)} AS cell_id, "
+            f"count(*) AS n FROM ({_images(n)}) GROUP BY 1"
+        ),
         "mm_probe_headers": multimodal.oracle_probe_headers(min(n, 4096), _MM_MAX_I),
         "mm_resize_nearest": multimodal.oracle_resize_checksum(
             min(n, 4096), _MM_MAX_I, 24, 24
