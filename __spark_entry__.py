@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import multimodal, ogrsql, proximity, sieve
+from gdal_spark.operators import multimodal, ogrsql, proximity, raster_misc, sieve
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling
@@ -222,6 +222,33 @@ def _q_point_probe(spark, sf_dir):
         synth.images_df(spark, synth.n_images(sf_dir)),
         synth.sites_df(spark),
     )
+
+
+def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpen vs the synthetic pan companion;
+    checksum-verified against the SQL pixel oracle."""
+    return raster_misc.pansharpen(_pixel_images(spark, sf_dir, _MM_MAX_I))
+
+
+def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack collar scan: per-scanline left/right trim widths."""
+    return raster_misc.nearblack_collar(_pixel_images(spark, sf_dir, _MM_MAX_I))
+
+
+def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridCreate IDW power-2 (scattered points -> raster); fp
+    accumulation order is engine-defined, so this entry is rows-only
+    checked (pytest covers values vs brute force)."""
+    import pandas as pd
+
+    pts = pd.DataFrame(
+        {
+            "px": [3.0, 17.5, 40.0, 55.25, 9.0, 60.0],
+            "py": [4.0, 30.0, 12.5, 50.0, 58.0, 33.0],
+            "v": [10.0, 200.0, 80.0, 140.0, 55.0, 250.0],
+        }
+    )
+    return raster_misc.grid_idw(spark, pts, 64, 64)
 
 
 _PROX_W, _PROX_MAXDIST = 96, 6
@@ -457,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
+        "pansharpen": _q_pansharpen,
+        "nearblack": _q_nearblack,
+        "grid_idw": _q_grid_idw,
         "proximity_tiled": _q_proximity_tiled,
         "sieve_blocks": _q_sieve_blocks,
         "adaptive_cells": _q_adaptive_cells,
@@ -612,6 +642,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "pansharpen": raster_misc.oracle_pansharpen(min(n, 4096), _MM_MAX_I),
+        "nearblack": raster_misc.oracle_nearblack(min(n, 4096), _MM_MAX_I),
+        # grid_idw intentionally has no oracle (fp accumulation order)
         "proximity_tiled": proximity.oracle_proximity(
             _PROX_W, _PROX_W, _PROX_MAXDIST
         ),

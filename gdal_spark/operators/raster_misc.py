@@ -1,0 +1,240 @@
+"""Secondary raster operators: pansharpen, nearblack, fillnodata,
+IDW grid interpolation.
+
+- pansharpen: weighted-Brovey (alg/gdalpansharpen.cpp WeightedBrovey:
+  factor = pan / pseudo_pan, pseudo = sum(w_i * ms_i), factor 0 when
+  pseudo == 0 (ComputeFactor :478); per-band out = round-clamp(ms *
+  factor)). Per-image mapInPandas; the pan band is the deterministic
+  synthetic companion image so the oracle can recompute pixels.
+- nearblack (apps/nearblack_lib.cpp): scan each scanline from both
+  edges inward while all channels are below the threshold — report
+  the collar widths (the operator's mask output).
+- fillnodata (alg/rasterfill.cpp semantics, simplified): IDW over
+  the nearest valid pixel along each of the 8 compass rays within
+  max_distance, then optional 3x3 smoothing of filled pixels.
+- grid_idw (alg/gdalgrid.cpp GDALGridInverseDistanceToAPower,
+  power=2, no radius): scattered points -> raster grid; the Spark
+  shape joins points to grid cells by cell id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs, synth
+
+PAN_OFFSET = 500_000
+W_BROVEY = 1.0 / 3.0
+
+
+def pansharpen_brovey(ms: np.ndarray, pan: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 multispectral + (h, w) pan -> sharpened uint8."""
+    msf = ms.astype(np.float64)
+    pseudo = msf[:, :, 0] * W_BROVEY + msf[:, :, 1] * W_BROVEY + msf[:, :, 2] * W_BROVEY
+    factor = np.where(pseudo == 0.0, 0.0, pan.astype(np.float64) / np.where(pseudo == 0, 1, pseudo))
+    out = msf * factor[:, :, None]
+    return np.floor(np.clip(out, 0.0, 255.0) + 0.5).astype(np.uint8)
+
+
+def pansharpen(images: DataFrame) -> DataFrame:
+    """Per-image Brovey pansharpen against the synthetic pan
+    companion (make_pixels(i + PAN_OFFSET) channel 0). Output:
+    per-channel GDAL checksums of the sharpened image."""
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, i, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["i"], pdf["w"], pdf["h"]
+            ):
+                ms = codecs.decode_image(bytes(payload))
+                pan = codecs.make_pixels(int(i) + PAN_OFFSET, int(w), int(h))[:, :, 0]
+                out = pansharpen_brovey(ms, pan)
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(out[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "i", "w", "h", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_pansharpen(n: int, max_i: int) -> str:
+    val = synth.pixel_val_sql()
+    pan_val = (
+        val.replace("fmt", "'png'")  # pan companion is raw (lossless)
+        .replace("i %", f"(i + {PAN_OFFSET}) %")
+        .replace("i * 7", f"(i + {PAN_OFFSET}) * 7")
+    )
+    w = synth.flit(W_BROVEY)
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, i, w, h, fmt, x, y, ch, val "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')})), "
+        f"wide AS (SELECT image_id, i, w, h, fmt, x, y, "
+        f"max(CASE WHEN ch = 0 THEN val END) AS v0, "
+        f"max(CASE WHEN ch = 1 THEN val END) AS v1, "
+        f"max(CASE WHEN ch = 2 THEN val END) AS v2 "
+        f"FROM px GROUP BY 1, 2, 3, 4, 5, 6, 7), "
+        f"fac AS (SELECT *, "
+        f"(cast(v0 as double) * {w} + cast(v1 as double) * {w} "
+        f"+ cast(v2 as double) * {w}) AS pseudo, "
+        f"cast(({pan_val.replace('ch', '0')}) as double) AS pan FROM "
+        f"(SELECT wide.*, 0 AS ch FROM wide)), "
+        f"o AS (SELECT image_id, w, x, y, ch2 AS ch, "
+        f"CASE WHEN pseudo = 0.0E0 THEN 0 ELSE cast(floor(least(greatest("
+        f"cast(CASE ch2 WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END as double) "
+        f"* (pan / pseudo), 0.0E0), 255.0E0) + 0.5E0) as bigint) END AS oval "
+        f"FROM fac, range(0, 3) t(ch2)) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM o GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# nearblack
+
+
+def nearblack_collar(images: DataFrame, threshold: int = 16) -> DataFrame:
+    """Per scanline collar widths: pixels from the left/right edge
+    whose channels are ALL below threshold. (image_id, y, left_trim,
+    right_trim)."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                bright = (arr >= threshold).any(axis=2)  # (h, w)
+                first = np.argmax(bright, axis=1)
+                anyb = bright.any(axis=1)
+                left = np.where(anyb, first, w)
+                last = w - 1 - np.argmax(bright[:, ::-1], axis=1)
+                right = np.where(anyb, w - 1 - last, w)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": image_id,
+                            "y": np.arange(h, dtype=np.int64),
+                            "left_trim": left.astype(np.int64),
+                            "right_trim": right.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, left_trim bigint, right_trim bigint",
+    )
+
+
+def oracle_nearblack(n: int, max_i: int, threshold: int = 16) -> str:
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, max(val) AS mx "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) GROUP BY 1, 2, 3, 4) "
+        f"SELECT image_id, y, "
+        f"coalesce(min(CASE WHEN mx >= {threshold} THEN x END), min(w)) AS left_trim, "
+        f"coalesce(min(w) - 1 - max(CASE WHEN mx >= {threshold} THEN x END), min(w)) "
+        f"AS right_trim "
+        f"FROM px GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fillnodata (simplified rasterfill semantics; pytest-verified)
+
+
+def fillnodata(arr: np.ndarray, nodata: int = 0, max_distance: int = 16) -> np.ndarray:
+    """Fill nodata pixels with the inverse-distance mean of the
+    nearest valid pixel along each of the 8 compass rays (<=
+    max_distance); unfillable pixels stay nodata."""
+    h, w = arr.shape
+    out = arr.astype(np.float64).copy()
+    bad = arr == nodata
+    ys, xs = np.nonzero(bad)
+    dirs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for y, x in zip(ys, xs):
+        num = den = 0.0
+        for dy, dx in dirs:
+            for d in range(1, max_distance + 1):
+                ny, nx = y + dy * d, x + dx * d
+                if not (0 <= ny < h and 0 <= nx < w):
+                    break
+                if not bad[ny, nx]:
+                    dist = d * np.hypot(dy, dx)
+                    num += arr[ny, nx] / dist
+                    den += 1.0 / dist
+                    break
+        if den > 0:
+            out[y, x] = num / den
+    return np.floor(out + 0.5).astype(arr.dtype)
+
+
+# ---------------------------------------------------------------------------
+# IDW grid interpolation (power=2, smoothing=0, no radius)
+
+
+def grid_idw(
+    spark,
+    points_pdf: pd.DataFrame,
+    width: int,
+    height: int,
+    tile_px: int = 32,
+) -> DataFrame:
+    """Scattered (px, py, v) points -> (gy, n, val_sum_key) per raster
+    scanline via IDW power-2 over ALL points (small point sets
+    broadcast; at scale the cell-ring join of knn.py generates the
+    neighbor lists instead). A point exactly on a grid node wins
+    outright (GDALGridInverseDistanceToAPower nodata-free case)."""
+    pts = spark.createDataFrame(points_pdf).collect()
+    px = np.array([r["px"] for r in pts], dtype=np.float64)
+    py = np.array([r["py"] for r in pts], dtype=np.float64)
+    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0 : y0 + h, 0:width]
+        num = np.zeros((h, width))
+        den = np.zeros((h, width))
+        exact = np.full((h, width), np.nan)
+        for x0, y0p, v in zip(qx, qy, qv):
+            d2 = (gx - x0) ** 2 + (gy - y0p) ** 2
+            hit = d2 == 0
+            exact[hit] = v
+            with np.errstate(divide="ignore"):
+                inv = np.where(d2 > 0, 1.0 / d2, 0.0)
+            num += v * inv
+            den += inv
+        vals = np.where(np.isnan(exact), num / den, exact)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n": np.full(h, width, dtype=np.int64),
+                "val_sum_key": np.floor(vals * 1000.0).astype(np.int64).sum(axis=1),
+            }
+        )
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, val_sum_key bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("val_sum_key").alias("val_sum_key")
+    )
