@@ -19,7 +19,7 @@ from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import multimodal, ogrsql, proximity, raster_misc, sieve
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
-from gdal_spark.operators import rastertable, skew, tiling
+from gdal_spark.operators import rastertable, skew, tiling, translate
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -222,6 +222,25 @@ def _q_point_probe(spark, sf_dir):
         synth.images_df(spark, synth.n_images(sf_dir)),
         synth.sites_df(spark),
     )
+
+
+_T_SRCWIN = (2, 3, 10, 8)
+_T_SCALE = (20.0, 220.0, 10.0, 250.0)
+_CALC_EXPR = "(A + B) / 2 + C / 4"
+
+
+def _q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin + -scale (window crop + linear rescale,
+    apps/gdal_translate_lib.cpp); checksum-exact SQL oracle."""
+    return translate.translate(
+        _pixel_images(spark, sf_dir, _MM_MAX_I), _T_SRCWIN, _T_SCALE
+    )
+
+
+def _q_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc numpy band expression '(A+B)/2 + C/4' (VRT derived
+    band / Python pixel function surface)."""
+    return translate.calc(_pixel_images(spark, sf_dir, _MM_MAX_I), _CALC_EXPR)
 
 
 def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
+        "translate_scale": _q_translate_scale,
+        "calc_expr": _q_calc_expr,
         "pansharpen": _q_pansharpen,
         "nearblack": _q_nearblack,
         "grid_idw": _q_grid_idw,
@@ -642,6 +663,10 @@ def oracle_sql() -> dict[str, str]:
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "translate_scale": translate.oracle_translate(
+            min(n, 4096), _MM_MAX_I, _T_SRCWIN, _T_SCALE
+        ),
+        "calc_expr": translate.oracle_calc_halfsum(min(n, 4096), _MM_MAX_I),
         "pansharpen": raster_misc.oracle_pansharpen(min(n, 4096), _MM_MAX_I),
         "nearblack": raster_misc.oracle_nearblack(min(n, 4096), _MM_MAX_I),
         # grid_idw intentionally has no oracle (fp accumulation order)

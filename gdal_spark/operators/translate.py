@@ -1,0 +1,153 @@
+"""gdal_translate + gdal_calc as DataFrame stages.
+
+- ``translate``: the -srcwin window crop + -scale linear rescale +
+  -outsize combo of apps/gdal_translate_lib.cpp (window crop in pixel
+  space, linear [src_min,src_max]->[dst_min,dst_max] mapping with
+  clamping, optional nearest resize). Per-image mapInPandas; the
+  whole option struct is a plain broadcast dict.
+- ``calc``: osgeo_utils/gdal_calc.py — evaluate a numpy expression
+  over the image's bands (A = ch0, B = ch1, C = ch2). The expression
+  is compiled once per batch and applied to whole arrays (the
+  vectorized-Python-UDF contract of VRT derived bands,
+  frmts/vrt/vrtderivedrasterband.cpp Python pixel functions).
+
+Both emit per-channel GDAL checksums so the DuckDB oracle can
+recompute the exact output from the synthetic pixel function.
+
+Scale note: -scale uses GDAL's formula
+  dst = (src - src_min) * (dst_max - dst_min) / (src_max - src_min)
+        + dst_min
+rounded half-up and clamped to the byte range
+(apps/gdal_translate_lib.cpp:683 scale params).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs, synth
+from .stats import gdal_checksum
+
+SAFE_FUNCS = {
+    "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "sqrt": np.sqrt, "where": np.where,
+}
+
+
+def translate(
+    images: DataFrame,
+    srcwin: tuple[int, int, int, int] | None = None,
+    scale: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Crop + rescale; output per-channel checksums + dims."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.float64)
+                if srcwin is not None:
+                    x0, y0, w_, h_ = srcwin
+                    arr = arr[y0 : y0 + h_, x0 : x0 + w_, :]
+                if scale is not None:
+                    s0, s1, d0, d1 = scale
+                    arr = (arr - s0) * (d1 - d0) / (s1 - s0) + d0
+                out = np.floor(np.clip(arr, 0.0, 255.0) + 0.5).astype(np.uint8)
+                for c in range(out.shape[2]):
+                    rows.append(
+                        (image_id, c, gdal_checksum(out[:, :, c]),
+                         out.shape[1], out.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "channel", "cks", "out_w", "out_h"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, channel bigint, cks bigint, "
+        "out_w bigint, out_h bigint",
+    )
+
+
+def oracle_translate(
+    n: int,
+    max_i: int,
+    srcwin: tuple[int, int, int, int],
+    scale: tuple[float, float, float, float],
+) -> str:
+    x0, y0, cw, chh = srcwin
+    s0, s1, d0, d1 = scale
+    fl = synth.flit
+    scaled = (
+        f"cast(floor(least(greatest((cast(val as double) - {fl(s0)}) "
+        f"* ({fl(d1)} - {fl(d0)}) / ({fl(s1)} - {fl(s0)}) + {fl(d0)}, "
+        f"0.0E0), 255.0E0) + 0.5E0) as bigint)"
+    )
+    prime = (
+        f"(CASE (((y - {y0}) * least(w - {x0}, {cw}) + (x - {x0})) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT * FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) "
+        f"WHERE x >= {x0} AND x < {x0} + {cw} AND y >= {y0} AND y < {y0} + {chh}) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum({scaled} % {prime}) % 65536 as bigint) AS cks, "
+        f"least(min(w) - {x0}, {cw}) AS out_w, "
+        f"least(min(h) - {y0}, {chh}) AS out_h "
+        f"FROM px GROUP BY 1, 2"
+    )
+
+
+def calc(images: DataFrame, expr: str) -> DataFrame:
+    """gdal_calc: evaluate ``expr`` over bands A/B/C (numpy arrays),
+    output clamp-rounded byte + checksum. Expression is evaluated
+    with a restricted namespace (numpy funcs only)."""
+
+    def run(batches):
+        code = compile(expr, "<calc>", "eval")
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.float64)
+                ns = {"A": arr[:, :, 0], "B": arr[:, :, 1], "C": arr[:, :, 2],
+                      **SAFE_FUNCS}
+                res = eval(code, {"__builtins__": {}}, ns)
+                out = np.floor(np.clip(res, 0.0, 255.0) + 0.5).astype(np.uint8)
+                rows.append((image_id, gdal_checksum(out)))
+            yield pd.DataFrame(rows, columns=["image_id", "cks"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, cks bigint"
+    )
+
+
+def oracle_calc_halfsum(n: int, max_i: int) -> str:
+    """Oracle for expr '(A + B) / 2 + C / 4': recomputed from the
+    pixel function with the identical fp op sequence."""
+    v = synth.pixel_val_sql()
+
+    def ch(c):
+        return f"cast(({v.replace('ch', str(c))}) as double)"
+
+    formula = (
+        f"cast(floor(least(greatest(({ch(0)} + {ch(1)}) / 2.0E0 "
+        f"+ {ch(2)} / 4.0E0, 0.0E0), 255.0E0) + 0.5E0) as bigint)"
+    )
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH g AS (SELECT image_id, i.i AS i, w, h, fmt, x, y "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 256) a(x), range(0, 256) b(y) "
+        f"WHERE i.i < {max_i} AND x < i.w AND y < i.h) "
+        f"SELECT image_id, cast(sum({formula} % {prime}) % 65536 as bigint) "
+        f"AS cks FROM g GROUP BY 1"
+    )
