@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import multimodal, ogrsql, proximity, raster_misc, sieve
+from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
+from gdal_spark.operators import raster_misc, sieve
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling, translate
@@ -270,6 +271,18 @@ def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_misc.grid_idw(spark, pts, 64, 64)
 
 
+def _q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-level edge crossings, tiled with 1-px
+    halo; whole-raster oracle proves seam-free tiling."""
+    return contour.contour_crossings(spark, 96, 96)
+
+
+def _q_quantize_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut palette + Floyd-Steinberg dither (iterative /
+    order-dependent -> rows-only check; invariants in pytest)."""
+    return quantize.quantize_images(_pixel_images(spark, sf_dir, 8))
+
+
 _PROX_W, _PROX_MAXDIST = 96, 6
 _SIEVE_W = 96
 
@@ -503,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
+        "contour_crossings": _q_contour_crossings,
+        "quantize_dither": _q_quantize_dither,
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
         "pansharpen": _q_pansharpen,
@@ -663,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "contour_crossings": contour.oracle_contour(96, 96),
+        # quantize_dither intentionally has no oracle (iterative FS dither)
         "translate_scale": translate.oracle_translate(
             min(n, 4096), _MM_MAX_I, _T_SRCWIN, _T_SCALE
         ),

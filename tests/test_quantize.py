@@ -1,0 +1,42 @@
+"""Median cut + Floyd-Steinberg dither invariants."""
+
+import numpy as np
+
+from gdal_spark.operators import quantize
+
+
+def test_palette_passthrough():
+    """An image that already uses <= n distinct colors reconstructs
+    exactly (palette covers it, dither finds exact matches)."""
+    colors = np.array([[10, 20, 30], [200, 100, 50], [0, 0, 0], [255, 255, 255]])
+    idx = np.random.default_rng(1).integers(0, 4, size=(16, 16))
+    arr = colors[idx].astype(np.uint8)
+    # enough budget for median cut to isolate every distinct color
+    # (unbalanced counts can need several splits per color)
+    pal = quantize.median_cut_palette(arr, 64)
+    out = quantize.dither_fs(arr, pal)
+    assert np.array_equal(pal[out], arr)
+
+
+def test_palette_size_and_error():
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    pal = quantize.median_cut_palette(arr, 16)
+    assert len(pal) <= 16
+    out = quantize.dither_fs(arr, pal)
+    recon = pal[out]
+    mse = ((recon.astype(float) - arr.astype(float)) ** 2).mean()
+    # 16 colors on uniform noise: error bounded well below variance
+    assert mse < ((255**2) / 12)
+    # determinism
+    assert np.array_equal(out, quantize.dither_fs(arr, pal))
+
+
+def test_dither_diffuses_error():
+    """A constant mid-gray image with a 2-color palette must dither
+    to a mix whose mean approximates the input."""
+    arr = np.full((32, 32, 3), 128, dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    out = quantize.dither_fs(arr, pal)
+    frac_white = out.mean()
+    assert 0.45 <= frac_white <= 0.55
