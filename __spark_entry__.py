@@ -360,6 +360,12 @@ _DEM_MAX_I = 16
 _DEM_W = 96
 
 
+def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief: linear ramp interpolation of channel 0
+    (GDALColorReliefGetRGBA), checksum-exact SQL oracle."""
+    return dem.color_relief(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+
+
 def _q_dem_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem slope/aspect/TRI/TPI/roughness/hillshade per image
     (3x3 focal, apps/gdaldem_lib.cpp), per-scanline integer-key sums
@@ -534,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": _q_phash_neardup,
         "dem_images": _q_dem_images,
         "dem_tiled": _q_dem_tiled,
+        "color_relief": _q_color_relief,
         "tile_render_hot": _q_tile_render_hot,
         "tile_overview_hot": _q_tile_overview_hot,
         "tile_index": _q_tile_index,
@@ -707,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
+        "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(
             min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
         ),

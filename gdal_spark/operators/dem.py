@@ -150,6 +150,96 @@ def focal_stats(images: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# color-relief (gdaldem color-relief, GDALColorReliefGetRGBA
+# apps/gdaldem_lib.cpp:1562: linear ramp interpolation, channel =
+# trunc(0.45 + c0 + ratio * (c1 - c0)) clamped; exact entry wins)
+
+COLOR_RAMP = (
+    (0, (0, 0, 128)),
+    (64, (0, 128, 0)),
+    (128, (240, 230, 140)),
+    (192, (139, 69, 19)),
+    (255, (255, 255, 255)),
+)
+
+
+def color_relief_band(dem: np.ndarray, ramp=COLOR_RAMP) -> np.ndarray:
+    """(h, w) values -> (h, w, 3) uint8 via interpolated color ramp."""
+    v = dem.astype(np.float64)
+    out = np.zeros((*dem.shape, 3), dtype=np.uint8)
+    first_v, first_c = ramp[0]
+    for c in range(3):
+        out[v <= first_v, c] = first_c[c]
+    for (v0, c0), (v1, c1) in zip(ramp, ramp[1:]):
+        m = (v > v0) & (v <= v1)
+        if not m.any():
+            continue
+        ratio = (v[m] - v0) / (v1 - v0)
+        for c in range(3):
+            val = np.trunc(0.45 + c0[c] + ratio * (c1[c] - c0[c]))
+            out[m, c] = np.clip(val, 0, 255).astype(np.uint8)
+    last_v, last_c = ramp[-1]
+    for c in range(3):
+        out[v > last_v, c] = last_c[c]
+    return out
+
+
+def color_relief(images: DataFrame, ramp=COLOR_RAMP) -> DataFrame:
+    """Per-image color relief of channel 0; per-output-channel GDAL
+    checksums."""
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                rgb = color_relief_band(demb, ramp)
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(rgb[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_color_relief(n: int, max_i: int, ramp=COLOR_RAMP) -> str:
+    """Piecewise CASE ladder mirroring the interpolation arithmetic."""
+    def chan(c):
+        first_v, first_c = ramp[0]
+        cases = [f"WHEN val <= {first_v} THEN {first_c[c]}"]
+        for (v0, c0), (v1, c1) in zip(ramp, ramp[1:]):
+            interp = (
+                f"cast(trunc(0.45E0 + {c0[c]} + "
+                f"(cast(val as double) - {flit(float(v0))}) / {flit(float(v1 - v0))} "
+                f"* {c1[c] - c0[c]}) as bigint)"
+            )
+            cases.append(
+                f"WHEN val <= {v1} THEN least(greatest({interp}, 0), 255)"
+            )
+        last_c = ramp[-1][1]
+        return f"(CASE {' '.join(cases)} ELSE {last_c[c]} END)"
+
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, val FROM "
+        f"({synth.pixels_cte(n, max_i, 'duckdb')}) WHERE ch = 0), "
+        f"o AS (SELECT image_id, w, x, y, c AS channel, "
+        f"CASE c WHEN 0 THEN {chan(0)} WHEN 1 THEN {chan(1)} "
+        f"ELSE {chan(2)} END AS oval FROM px, range(0, 3) t(c)) "
+        f"SELECT image_id, cast(channel as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM o GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
 # tiled global raster with 1-px halo exchange
 
 

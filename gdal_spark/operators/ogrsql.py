@@ -214,6 +214,79 @@ ORACLE_EVENTS_WINDOW = (
 )
 
 
+def q_union_layers(spark, sf_dir):
+    """OGRUnionLayer: virtual concatenation with schema merge
+    (ogr/ogrsf_frmts/generic/ogrunionlayer.cpp) — unionByName with
+    allowMissingColumns; absent fields become NULL."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS k", "'lineitem' AS src", f"{QKEY} AS qty_cents"
+    )
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "'orders' AS src", f"{OCENTS} AS price_cents"
+    )
+    return (
+        li.unionByName(o, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qty_cents").alias("qty_cents_sum"),
+            F.sum("price_cents").alias("price_cents_sum"),
+        )
+    )
+
+
+ORACLE_UNION_LAYERS = (
+    "SELECT src, count(*) AS n, sum(qty_cents) AS qty_cents_sum, "
+    "sum(price_cents) AS price_cents_sum FROM ("
+    "SELECT l_orderkey AS k, 'lineitem' AS src, "
+    "cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint) AS qty_cents, "
+    "NULL AS price_cents FROM lineitem "
+    "UNION ALL SELECT o_orderkey, 'orders', NULL, "
+    "cast(floor(o_totalprice * 100.0E0 + 0.5E0) as bigint) FROM orders) "
+    "GROUP BY src"
+)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream (30-min
+    inactivity gap): lag + cumulative new-session flags; per session
+    (user_id, session_idx, n_events, start/end us). The stateful-
+    streaming analog is applyInPandasWithState with a session
+    timeout; batch and stream share these exact semantics."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "unix_micros(cast(ts as timestamp)) AS us"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_s",
+        F.expr(
+            f"CASE WHEN lag(us) OVER (PARTITION BY user_id "
+            f"ORDER BY us, event_id) IS NULL THEN 1 "
+            f"WHEN us - lag(us) OVER (PARTITION BY user_id "
+            f"ORDER BY us, event_id) > {gap} THEN 1 ELSE 0 END"
+        ),
+    ).withColumn("session_idx", F.sum("new_s").over(w))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+ORACLE_SESSIONIZE = (
+    "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
+    "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1 "
+    "WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+    "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id) AS session_idx FROM f) "
+    "SELECT user_id, session_idx, count(*) AS n_events, "
+    "min(us) AS start_us, max(us) AS end_us "
+    "FROM s GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "ogr_sql_where": (q_where, ORACLE_WHERE),
     "ogr_sql_join": (q_join, ORACLE_JOIN),
@@ -222,4 +295,6 @@ QUERIES = {
     "ogr_sql_union_distinct": (q_union_distinct, ORACLE_UNION),
     "ogr_sql_scalars": (q_scalars, ORACLE_SCALARS),
     "events_window_rank": (q_events_window, ORACLE_EVENTS_WINDOW),
+    "ogr_union_layers": (q_union_layers, ORACLE_UNION_LAYERS),
+    "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
 }
