@@ -20,7 +20,7 @@ from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantiz
 from gdal_spark.operators import raster_misc, sieve
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
-from gdal_spark.operators import rastertable, skew, tiling, translate
+from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
 
@@ -269,6 +269,31 @@ def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return raster_misc.grid_idw(spark, pts, 64, 64)
+
+
+def _oracle_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+        F.col("kind").isin("box", "hot_box", "triangle")
+    )
+
+
+def _q_geom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR geometry special fields (OGR_GEOM_AREA etc.): shoelace
+    area, perimeter, vertex count, envelope centroid."""
+    return vector_ops.geom_fields(_oracle_polys(spark, sf_dir))
+
+
+def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -segmentize 1.5: vertex counts before/after."""
+    return vector_ops.segmentize_counts(_oracle_polys(spark, sf_dir), 1.5)
+
+
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -simplify (Douglas-Peucker); rows-only (recursive,
+    not SQL-expressible), invariants in pytest."""
+    return vector_ops.simplify_counts(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir)), 0.05
+    )
 
 
 def _q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
+        "geom_fields": _q_geom_fields,
+        "segmentize": _q_segmentize,
+        "simplify_dp": _q_simplify,
         "contour_crossings": _q_contour_crossings,
         "quantize_dither": _q_quantize_dither,
         "translate_scale": _q_translate_scale,
@@ -685,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "geom_fields": vector_ops.oracle_geom_fields(m),
+        "segmentize": vector_ops.oracle_segmentize(m, 1.5),
+        # simplify_dp intentionally has no oracle (recursive DP)
         "contour_crossings": contour.oracle_contour(96, 96),
         # quantize_dither intentionally has no oracle (iterative FS dither)
         "translate_scale": translate.oracle_translate(

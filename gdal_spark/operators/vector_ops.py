@@ -1,0 +1,202 @@
+"""ogr2ogr-style vector geometry operators.
+
+The -simplify / -segmentize / field-computation surface of
+apps/ogr2ogr_lib.cpp plus OGR's geometry special fields
+(OGR_GEOM_AREA, ogr/ogr_p.h:142; shoelace area
+OGRLinearRing::get_Area):
+
+- ``geom_fields``   — area (shoelace, holes subtract), perimeter,
+  vertex count, envelope centroid per polygon; vectorized numpy over
+  WKB inside mapInPandas. Closed-form SQL oracle for the box/
+  triangle subset.
+- ``segmentize``    — insert vertices so no segment exceeds
+  max_length (OGRGeometry::segmentize semantics: each edge splits
+  into ceil(len/max_length) equal parts). Oracle: per-edge counts in
+  SQL for the box/triangle subset.
+- ``simplify_dp``   — Douglas-Peucker with tolerance (the algorithm
+  behind OGRGeometry::Simplify); order-dependent recursion ->
+  pytest-verified invariants, rows-only driver check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import synth, wkb
+
+
+def _ring_array(ring) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    return r
+
+
+def shoelace_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    )
+
+
+def perimeter(r: np.ndarray) -> float:
+    d = np.roll(r, -1, axis=0) - r
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def geom_fields(polys: DataFrame) -> DataFrame:
+    """(poly_id, area_key, perim_key, n_vertices, cx_key, cy_key)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                rings = [_ring_array(r) for r in wkb.polygon_rings(bytes(g))]
+                area = shoelace_area(rings[0]) - sum(
+                    shoelace_area(r) for r in rings[1:]
+                )
+                per = perimeter(rings[0])
+                nv = sum(len(r) for r in rings)
+                minx, miny, maxx, maxy = wkb.envelope(bytes(g))
+                rows.append(
+                    (
+                        poly_id,
+                        # 1e3 quantum + 1e-6 nudge: shoelace/sqrt
+                        # op-order noise (~1e-10) can land exactly-
+                        # representable values a hair below the grid
+                        int(np.floor(area * 1e3 + 1e-6)),
+                        int(np.floor(per * 1e3 + 1e-6)),
+                        nv,
+                        int(np.floor((minx + maxx) / 2.0 * 1e6)),
+                        int(np.floor((miny + maxy) / 2.0 * 1e6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["poly_id", "area_key", "perim_key", "n_vertices",
+                         "cx_key", "cy_key"],
+            )
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run,
+        schema="poly_id string, area_key bigint, perim_key bigint, "
+        "n_vertices bigint, cx_key bigint, cy_key bigint",
+    )
+
+
+def oracle_geom_fields(m: int) -> str:
+    """Closed form for boxes (area 4*hw*hh, perimeter 4hw+4hh, 4
+    vertices) and triangles (area 2*hw*hh, perimeter base+2 slants,
+    3 vertices); centroid = envelope center = (cx, cy)."""
+    slant = "sqrt(hw * hw + 4.0E0 * hh * hh)"
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"cast(floor(CASE WHEN kind = 'triangle' "
+        f"THEN 0.5E0 * abs((2.0E0 * hw) * (2.0E0 * hh)) "
+        f"ELSE 4.0E0 * hw * hh END * 1000.0E0 + 0.000001E0) as bigint) AS area_key, "
+        f"cast(floor(CASE WHEN kind = 'triangle' "
+        f"THEN 2.0E0 * hw + 2.0E0 * {slant} "
+        f"ELSE 4.0E0 * hw + 4.0E0 * hh END * 1000.0E0 + 0.000001E0) as bigint) AS perim_key, "
+        f"CASE WHEN kind = 'triangle' THEN 3 ELSE 4 END AS n_vertices, "
+        f"cast(floor((((cx - hw) + (cx + hw)) / 2.0E0) * 1000000.0E0) as bigint) "
+        f"AS cx_key, "
+        f"cast(floor((((cy - hh) + (cy + hh)) / 2.0E0) * 1000000.0E0) as bigint) "
+        f"AS cy_key "
+        f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
+    )
+
+
+def segmentize_ring(r: np.ndarray, max_len: float) -> np.ndarray:
+    """Split every edge into ceil(len/max_len) equal parts."""
+    out = []
+    n = len(r)
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        seg = np.sqrt(((b - a) ** 2).sum())
+        parts = max(1, int(np.ceil(seg / max_len)))
+        for t in range(parts):
+            out.append(a + (b - a) * (t / parts))
+    return np.asarray(out)
+
+
+def segmentize_counts(polys: DataFrame, max_len: float) -> DataFrame:
+    """(poly_id, n_before, n_after) vertex counts (outer ring)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                r = _ring_array(wkb.polygon_rings(bytes(g))[0])
+                rows.append(
+                    (poly_id, len(r), len(segmentize_ring(r, max_len)))
+                )
+            yield pd.DataFrame(rows, columns=["poly_id", "n_before", "n_after"])
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run, schema="poly_id string, n_before bigint, n_after bigint"
+    )
+
+
+def oracle_segmentize(m: int, max_len: float) -> str:
+    ml = synth.flit(max_len)
+    slant = f"ceil(sqrt(hw * hw + 4.0E0 * hh * hh) / {ml})"
+    box_edges = (
+        f"(2 * greatest(1, cast(ceil(2.0E0 * hw / {ml}) as bigint)) "
+        f"+ 2 * greatest(1, cast(ceil(2.0E0 * hh / {ml}) as bigint)))"
+    )
+    tri_edges = (
+        f"(greatest(1, cast(ceil(2.0E0 * hw / {ml}) as bigint)) "
+        f"+ 2 * greatest(1, cast({slant} as bigint)))"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"CASE WHEN kind = 'triangle' THEN 3 ELSE 4 END AS n_before, "
+        f"CASE WHEN kind = 'triangle' THEN {tri_edges} ELSE {box_edges} END "
+        f"AS n_after "
+        f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
+    )
+
+
+def simplify_dp(r: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on an open polyline (first/last kept)."""
+    if len(r) < 3:
+        return r
+    a, b = r[0], r[-1]
+    ab = b - a
+    ab2 = float((ab * ab).sum())
+    if ab2 == 0:
+        d = np.sqrt(((r - a) ** 2).sum(axis=1))
+    else:
+        t = ((r - a) @ ab) / ab2
+        proj = a + np.clip(t, 0, 1)[:, None] * ab
+        d = np.sqrt(((r - proj) ** 2).sum(axis=1))
+    i = int(np.argmax(d))
+    if d[i] <= tol:
+        return np.array([a, b])
+    left = simplify_dp(r[: i + 1], tol)
+    right = simplify_dp(r[i:], tol)
+    return np.concatenate([left[:-1], right])
+
+
+def simplify_counts(polys: DataFrame, tol: float) -> DataFrame:
+    """(poly_id, n_before, n_after) for the outer ring (closed ring
+    split at vertex 0). Rows-only driver check; pytest pins the DP
+    invariants."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                r = _ring_array(wkb.polygon_rings(bytes(g))[0])
+                closed = np.concatenate([r, r[:1]])
+                simp = simplify_dp(closed, tol)
+                rows.append((poly_id, len(r), len(simp) - 1))
+            yield pd.DataFrame(rows, columns=["poly_id", "n_before", "n_after"])
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run, schema="poly_id string, n_before bigint, n_after bigint"
+    )

@@ -164,3 +164,22 @@ def test_embedding_neardup_symmetric_free(spark):
     out = ann.embedding_neardup(spark.read.parquet(EMBS)).toPandas()
     assert (out.vec_a < out.vec_b).all()
     assert (out.cos_key >= 350_000).all()
+
+
+def test_simplify_dp_invariants(spark):
+    """DP simplify: endpoints kept, output subset of input vertices,
+    removed vertices within tolerance of the simplified line."""
+    import numpy as np
+
+    from gdal_spark.operators import vector_ops
+
+    rng = np.random.default_rng(11)
+    base = np.stack(
+        [np.linspace(0, 10, 40), np.sin(np.linspace(0, 3, 40))], axis=1
+    )
+    noisy = base + rng.normal(0, 0.002, base.shape)
+    out = vector_ops.simplify_dp(noisy, tol=0.05)
+    assert (out[0] == noisy[0]).all() and (out[-1] == noisy[-1]).all()
+    assert len(out) < len(noisy)
+    in_set = {tuple(p) for p in noisy}
+    assert all(tuple(p) in in_set for p in out)
