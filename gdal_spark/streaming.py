@@ -50,6 +50,66 @@ ORACLE_WINDOWED = (
 )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def stream_sessionize(spark: SparkSession, src_dir: str, schema):
+    """Custom stateful streaming operator: gap-based sessionization
+    with ``applyInPandasWithState`` (the applyInPandasWithState slot
+    of SURVEY 2.12 / the north-star custom-operator tier). State per
+    user = the open session; closed sessions emit as soon as the gap
+    rule fires, the open session emits on timeout/end-of-stream.
+    Semantics identical to the batch ogrsql.q_sessionize query."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(cast(ts as timestamp)) AS us",
+    )
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+        if state.exists:
+            start, last, n, idx = state.get
+        else:
+            start, last, n, idx = None, None, 0, 0
+        out = []
+        for us in rows["us"]:
+            us = int(us)
+            if last is None:
+                idx += 1
+                start, last, n = us, us, 1
+            elif us - last > SESSION_GAP_US:
+                out.append((user_id, idx, n, start, last, True))
+                idx += 1
+                start, last, n = us, us, 1
+            else:
+                last = us
+                n += 1
+        state.update((start, last, n, idx))
+        # emit the open session as a partial row (closed=False);
+        # downstream dedup keeps the latest per (user, session)
+        out.append((user_id, idx, n, start, last, False))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_idx", "n_events", "start_us",
+                     "end_us", "closed"],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, session_idx bigint, n_events bigint, "
+        "start_us bigint, end_us bigint, closed boolean",
+        stateStructType="start_us bigint, end_us bigint, n bigint, idx bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_windowed_counts(
     spark: SparkSession, src_dir: str, schema, checkpoint: str
 ):
