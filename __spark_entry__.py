@@ -523,6 +523,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann.ann_lsh_topk(_embs(spark, sf_dir))
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    return ann.ann_ivf_topk(_embs(spark, sf_dir))
+
+
 def _q_embedding_neardup(spark, sf_dir):
     return ann.embedding_neardup(_embs(spark, sf_dir))
 
@@ -587,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
     }
@@ -774,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.oracle_simhash_pairs(),
         "cosine_topk": ann.oracle_cosine_topk(),
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
+        "ann_ivf_topk": ann.oracle_ann_ivf_topk(),
         "embedding_neardup": ann.oracle_embedding_neardup(),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }

@@ -226,6 +226,192 @@ def oracle_ann_lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters
+#
+# The centroid arithmetic is kept integer-exact so the oracle can
+# replay it: vectors are scaled to ints at IVF_SCALE; a centroid is
+# represented as (component sums S, count n); the distance comparison
+# ||v - S/n||^2 is evaluated as ||n*v - S||^2 (scaled by n^2, order-
+# free integer arithmetic). Lloyd iterations are fixed (IVF_ITERS)
+# with deterministic init (the first K vectors by vec_id) — fully
+# deterministic, no RNG, reproducible in SQL.
+
+IVF_SCALE = 10_000
+IVF_K = 8
+IVF_ITERS = 2
+IVF_PROBES = 2
+
+
+def ivf_scaled_sql(dialect: str, col: str = "embedding") -> str:
+    lam = f"x -> cast(floor(cast(x as double) * {IVF_SCALE}.0E0) as bigint)"
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({col}, {lam})"
+
+
+def _sqdist_scaled_sql(dialect: str, v: str, s: str, n: str) -> str:
+    """||v - S/n||^2 = ||n*v - S||^2 / n^2: the numerator is an
+    order-free integer fold; the single final division is a
+    correctly-rounded double op, identical cross-engine (comparable
+    across clusters of different sizes)."""
+    if dialect == "spark":
+        num = (
+            f"aggregate(zip_with({v}, {s}, (x, y) -> ({n} * x - y) * ({n} * x - y)), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    else:
+        num = (
+            f"cast(list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> ({n} * {v}[i] - {s}[i]) * ({n} * {v}[i] - {s}[i]))) as bigint)"
+        )
+    return f"(cast({num} as double) / (cast({n} as double) * cast({n} as double)))"
+
+
+def _vec_sum_sql(dialect: str, col: str) -> str:
+    """Element-wise sum aggregate of array columns (64 dims)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(collect_list({col}), "
+            f"transform(sequence(1, {DIM}), d -> cast(0 as bigint)), "
+            f"(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+        )
+    raise NotImplementedError
+
+
+def ivf_assignments(emb: DataFrame):
+    """Run the fixed Lloyd iterations; returns (vectors_df with
+    cluster col, centroids_df (cid, s (array), n))."""
+    v = emb.selectExpr("vec_id", f"{ivf_scaled_sql('spark')} AS vs")
+    cents = (
+        v.filter(F.col("vec_id") < IVF_K)
+        .selectExpr("vec_id AS cid", "vs AS s", "cast(1 as bigint) AS n")
+    )
+    for _ in range(IVF_ITERS):
+        scored = v.crossJoin(F.broadcast(cents)).selectExpr(
+            "vec_id", "vs", "cid",
+            f"{_sqdist_scaled_sql('spark', 'vs', 's', 'n')} AS d",
+        )
+        win = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(win))
+            .filter("rk = 1")
+            .select("vec_id", "vs", "cid")
+        )
+        cents = assigned.groupBy("cid").agg(
+            F.expr(_vec_sum_sql("spark", "vs")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    return assigned, cents
+
+
+def ann_ivf_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF ANN: assign vectors to k-means clusters, probe each
+    query's ``probes`` nearest centroids, exact cosine re-rank within
+    the probed clusters. Same schema as cosine_topk."""
+    assigned, cents = ivf_assignments(emb)
+    q = assigned.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "vs AS qv"
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).selectExpr(
+        "qid", "cid", f"{_sqdist_scaled_sql('spark', 'qv', 's', 'n')} AS d"
+    )
+    win = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        qscored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= probes)
+        .select("qid", "cid")
+    )
+    cand = (
+        probe.join(assigned.select("vec_id", "cid"), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    v = _vectors(emb)
+    qv = v.selectExpr("vec_id AS qid", "vs AS qv", "norm2 AS na")
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(v, "vec_id")
+        .selectExpr(
+            "qid", "vec_id", "na", "norm2 AS nb",
+            f"{dot_sql('spark', 'qv', 'vs')} AS dot",
+        )
+        .selectExpr("qid", "vec_id", f"{cos_key_sql()} AS cos_key")
+    )
+    rwin = Window.partitionBy("qid").orderBy(F.desc("cos_key"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rwin))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_key")
+    )
+
+
+def oracle_ann_ivf_topk(
+    k: int = 5, n_queries: int = N_QUERIES, probes: int = IVF_PROBES
+) -> str:
+    vs = ivf_scaled_sql("duckdb")
+    d = _sqdist_scaled_sql("duckdb", "v.vs", "c.s", "c.n")
+    qd = _sqdist_scaled_sql("duckdb", "q.vs", "c.s", "c.n")
+    ctes = [
+        f"v AS (SELECT vec_id, {vs} AS vs FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, vs AS s, cast(1 as bigint) AS n "
+        f"FROM v WHERE vec_id < {IVF_K})",
+    ]
+    prev = "c0"
+    for it in range(IVF_ITERS):
+        a, c = f"a{it}", f"c{it + 1}"
+        ctes.append(
+            f"{a} AS (SELECT vec_id, vs, cid FROM ("
+            f"SELECT v.vec_id, v.vs, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS rk "
+            f"FROM v, {prev} c) WHERE rk = 1)"
+        )
+        # element-wise integer sum of assigned vectors per cluster
+        # (count per (cid, dim) group == member count)
+        ctes.append(
+            f"{c} AS (SELECT cid, list(sv ORDER BY dim) AS s, "
+            f"any_value(nn) AS n FROM ("
+            f"SELECT cid, dim, cast(sum(vs[dim]) as bigint) AS sv, "
+            f"count(*) AS nn "
+            f"FROM {a}, range(1, {DIM} + 1) t(dim) GROUP BY cid, dim) "
+            f"GROUP BY cid)"
+        )
+        prev = c
+    final_a, final_c = f"a{IVF_ITERS - 1}", f"c{IVF_ITERS}"
+    ctes.append(
+        f"probe AS (SELECT qid, cid FROM ("
+        f"SELECT q.vec_id AS qid, c.cid, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {qd}, c.cid) AS rk "
+        f"FROM v q, {final_c} c WHERE q.vec_id < {n_queries}) WHERE rk <= {probes})"
+    )
+    ctes.append(
+        f"cand AS (SELECT DISTINCT probe.qid, a.vec_id "
+        f"FROM probe JOIN {final_a} a ON a.cid = probe.cid "
+        f"AND a.vec_id <> probe.qid)"
+    )
+    ctes.append(
+        f"vv AS ({_vectors_cte()})"
+    )
+    ctes.append(
+        f"scored AS (SELECT cand.qid, cand.vec_id, q.na AS na, c2.na AS nb, "
+        f"{dot_sql('duckdb', 'q.vs', 'c2.vs')} AS dot FROM cand "
+        f"JOIN vv q ON q.vec_id = cand.qid JOIN vv c2 ON c2.vec_id = cand.vec_id)"
+    )
+    ctes.append(
+        f"keyed AS (SELECT qid, vec_id, {cos_key_sql()} AS cos_key, "
+        f"row_number() OVER (PARTITION BY qid ORDER BY {cos_key_sql()} DESC, "
+        f"vec_id) AS rank FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
+        f"FROM keyed WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # cosine near-duplicate pairs
 
 

@@ -183,3 +183,14 @@ def test_simplify_dp_invariants(spark):
     assert len(out) < len(noisy)
     in_set = {tuple(p) for p in noisy}
     assert all(tuple(p) in in_set for p in out)
+
+
+def test_ann_ivf_recall(spark, embs_pdf):
+    """IVF with 2 probes over 8 clusters must recover a reasonable
+    share of the exact top-5 (vectors are near-random at this SF)."""
+    exact = ann.cosine_topk(spark.read.parquet(EMBS), k=5).toPandas()
+    approx = ann.ann_ivf_topk(spark.read.parquet(EMBS), k=5).toPandas()
+    e = set(map(tuple, exact[["qid", "vec_id"]].values))
+    a = set(map(tuple, approx[["qid", "vec_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
