@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
-from gdal_spark.operators import raster_misc, sieve
+from gdal_spark.operators import raster_misc, sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
@@ -312,6 +312,16 @@ _PROX_W, _PROX_MAXDIST = 96, 6
 _SIEVE_W = 96
 
 
+_VS_W, _VS_OX, _VS_OY = 64, 31, 29
+
+
+def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALViewshedGenerate semantics (line-of-sight, bilinear
+    terrain sampling) over the analytic DEM; per-scanline visible
+    counts, fully replayed by the SQL oracle."""
+    return viewshed.viewshed_rows(spark, _VS_W, _VS_W, _VS_OX, _VS_OY)
+
+
 def _q_proximity_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALComputeProximity (MAXDIST-capped) over a tiled global
     raster with MAXDIST-wide halo exchange; integer-exact whole-raster
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": _q_grid_idw,
         "proximity_tiled": _q_proximity_tiled,
         "sieve_blocks": _q_sieve_blocks,
+        "viewshed": _q_viewshed,
         "adaptive_cells": _q_adaptive_cells,
         "salted_density": _q_salted_density,
         "mm_probe_headers": _q_mm_probe,
@@ -734,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
             _PROX_W, _PROX_W, _PROX_MAXDIST
         ),
         "sieve_blocks": sieve.oracle_sieve_blocks(_SIEVE_W, _SIEVE_W),
+        "viewshed": viewshed.oracle_viewshed(_VS_W, _VS_W, _VS_OX, _VS_OY),
         "adaptive_cells": skew.oracle_adaptive_cells(
             _images(n), _ADAPT_BASE_Z, _ADAPT_FINE_Z, _ADAPT_T
         ),

@@ -1,0 +1,155 @@
+"""Viewshed — visibility of every pixel from one observer.
+
+Reference: alg/viewshed.cpp (GDALViewshedGenerate): a target cell is
+visible when the line of sight from the observer's eye clears the
+terrain everywhere along the ray. The reference sweeps cells with
+reference planes; this implementation uses the equivalent explicit
+line-of-sight test with a FIXED sampling rule so the SQL oracle can
+replay it bit-for-bit:
+
+  K = max(|tx-ox|, |ty-oy|)  (dominant-axis steps)
+  for k in 1..K-1:  p_k = o + (k/K) * (t - o)
+  terrain(p_k) = bilinear interpolation of the 4 surrounding pixels
+  los(p_k)     = eye_z + (k/K) * (terrain(t) - eye_z)
+  visible  <=>  los(p_k) > terrain(p_k) for every k
+
+Distributed shape: the output raster is split into row bands; the
+terrain is the deterministic analytic DEM, so each band regenerates
+the full (small) surface locally — the stand-in for broadcasting the
+DEM tile pyramid. At real scale the rays partition by angular sector
+instead (each sector's rays touch a contiguous wedge of tiles).
+
+Every operation is a fixed sequence of IEEE double ops on integer
+inputs -> deterministic and identical in numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .dem import DEM_VALUE_SQL, _dem_value
+
+OBS_HEIGHT = 20.0
+
+
+def los_visible(dem: np.ndarray, ox: int, oy: int, tx: int, ty: int) -> bool:
+    """Line-of-sight test for one target (python mirror of the
+    vectorized band kernel; used by tests)."""
+    h, w = dem.shape
+    K = max(abs(tx - ox), abs(ty - oy))
+    if K == 0:
+        return True
+    eye = dem[oy, ox] + OBS_HEIGHT
+    tz = float(dem[ty, tx])
+    for k in range(1, K):
+        f = k / K
+        px = ox + f * (tx - ox)
+        py = oy + f * (ty - oy)
+        x0, y0 = int(np.floor(px)), int(np.floor(py))
+        fx, fy = px - x0, py - y0
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        terr = (1.0 - fy) * (
+            (1.0 - fx) * dem[y0, x0] + fx * dem[y0, x1]
+        ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+        los = eye + f * (tz - eye)
+        if not (los > terr):
+            return False
+    return True
+
+
+def viewshed_rows(
+    spark, width: int, height: int, ox: int, oy: int, band_px: int = 16
+) -> DataFrame:
+    """(y, n, n_visible) per scanline for the analytic DEM and an
+    observer at (ox, oy, terrain + OBS_HEIGHT)."""
+    nb = (height + band_px - 1) // band_px
+    bands = spark.range(nb).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * band_px
+        h = min(band_px, height - y0)
+        gy, gx = np.mgrid[0:height, 0:width]
+        dem = _dem_value(gx, gy).astype(np.float64)
+        out = []
+        eye = dem[oy, ox] + OBS_HEIGHT
+        for ty in range(y0, y0 + h):
+            nvis = 0
+            for tx in range(width):
+                K = max(abs(tx - ox), abs(ty - oy))
+                if K == 0:
+                    nvis += 1
+                    continue
+                ks = np.arange(1, K, dtype=np.float64)
+                f = ks / K
+                px = ox + f * (tx - ox)
+                py = oy + f * (ty - oy)
+                x0 = np.floor(px).astype(np.int64)
+                y0i = np.floor(py).astype(np.int64)
+                fx = px - x0
+                fy = py - y0i
+                x1 = np.minimum(x0 + 1, width - 1)
+                y1 = np.minimum(y0i + 1, height - 1)
+                terr = (1.0 - fy) * (
+                    (1.0 - fx) * dem[y0i, x0] + fx * dem[y0i, x1]
+                ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+                los = eye + f * (dem[ty, tx] - eye)
+                if (los > terr).all():
+                    nvis += 1
+            out.append((ty, width, nvis))
+        return pd.DataFrame(out, columns=["y", "n", "n_visible"])
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, n_visible bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("n_visible").alias("n_visible")
+    )
+
+
+def oracle_viewshed(width: int, height: int, ox: int, oy: int) -> str:
+    val = DEM_VALUE_SQL
+
+    def dem_at(x, y):
+        return f"cast({val.replace('gx', f'({x})').replace('gy', f'({y})')} as double)"
+
+    eye = f"({dem_at(str(ox), str(oy))} + {OBS_HEIGHT}E0)"
+    steps = (
+        f"SELECT t.tx, t.ty, k, greatest(abs(t.tx - {ox}), abs(t.ty - {oy})) AS kk "
+        f"FROM (SELECT gx AS tx, gy AS ty FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) b(gy)) t, range(1, {max(width, height)}) s(k) "
+        f"WHERE k < greatest(abs(t.tx - {ox}), abs(t.ty - {oy}))"
+    )
+    terr = (
+        "((1.0E0 - fy) * ((1.0E0 - fx) * v00 + fx * v10) "
+        "+ fy * ((1.0E0 - fx) * v01 + fx * v11))"
+    )
+    los = f"({eye} + f * ({dem_at('tx', 'ty')} - {eye}))"
+    return (
+        f"WITH s AS ({steps}), "
+        f"pos AS (SELECT tx, ty, "
+        f"(cast(k as double) / cast(kk as double)) AS f, "
+        f"({ox} + (cast(k as double) / cast(kk as double)) * (tx - {ox})) AS px, "
+        f"({oy} + (cast(k as double) / cast(kk as double)) * (ty - {oy})) AS py "
+        f"FROM s), "
+        f"cells AS (SELECT tx, ty, f, "
+        f"cast(floor(px) as bigint) AS x0, cast(floor(py) as bigint) AS y0, "
+        f"(px - cast(floor(px) as bigint)) AS fx, "
+        f"(py - cast(floor(py) as bigint)) AS fy FROM pos), "
+        f"vals AS (SELECT tx, ty, f, fx, fy, "
+        f"{dem_at('x0', 'y0')} AS v00, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', 'y0')} AS v10, "
+        f"{dem_at('x0', f'least(y0 + 1, {height - 1})')} AS v01, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', f'least(y0 + 1, {height - 1})')} "
+        f"AS v11 FROM cells), "
+        f"blocked AS (SELECT DISTINCT tx, ty FROM vals "
+        f"WHERE NOT ({los} > {terr})) "
+        f"SELECT t.gy AS y, count(*) AS n, "
+        f"count(*) - count(b.tx) AS n_visible "
+        f"FROM (SELECT gx, gy FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) c(gy)) t "
+        f"LEFT JOIN blocked b ON b.tx = t.gx AND b.ty = t.gy "
+        f"GROUP BY 1"
+    )

@@ -61,3 +61,19 @@ def test_focal_tiled_matches_single_array(spark):
         for k in ("slope", "tri", "tpi", "rough", "shade", "aspect"):
             exp = int(np.floor(feats[k][y - 1] * dem.SCALE_KEY).astype(np.int64).sum())
             assert row[f"{k}_sum"] == exp, (k, y)
+
+
+def test_viewshed_los_basic():
+    """Flat terrain: everything visible; a wall blocks what's behind."""
+    import numpy as np
+
+    from gdal_spark.operators import viewshed
+
+    flat = np.zeros((20, 20), dtype=np.int64)
+    assert viewshed.los_visible(flat, 10, 10, 0, 0)
+    assert viewshed.los_visible(flat, 10, 10, 19, 19)
+    wall = flat.copy()
+    wall[10, 13] = 1000  # wall east of the observer (y=10, x=13)
+    assert not viewshed.los_visible(wall, 10, 10, 18, 10)  # behind wall
+    assert viewshed.los_visible(wall, 10, 10, 12, 10)  # in front of wall
+    assert viewshed.los_visible(wall, 10, 10, 2, 10)  # other direction
