@@ -23,11 +23,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
+    # geospatial core (north-rule metric: assign + join)
     "tile_assign_merc",
     "spatial_join_pip",
     "knn_sites",
     "cell_density_topk",
     "pyramid_rollup",
+    # raster engine
+    "tile_render_hot",
+    "warp_avg_down2",
+    "rasterize_rows",
+    "dem_tiled",
+    # training-data pipeline
+    "minhash_lsh",
+    "cosine_topk",
 ]
 
 

@@ -172,34 +172,45 @@ def oracle_ngram_jaccard(n: int = SHINGLE_N, min_jacc_ppm: int = 200_000) -> str
 # MinHash + LSH
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, i, mh): minhash under hash_i(x) = ((2i+1)*x + i*B) % P
-    over the doc's shingle rolling-hashes."""
+def minhash_wide(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): all minhashes in ONE aggregation pass —
+    no explode over hash indices, the k mins ride the same map-side
+    combine (hash_i(x) = ((2i+1)*x + i*B) % P over shingle hashes)."""
     sh = shingles_df(docs).withColumn(
         "sh_hash", F.expr(str_hash_sql("spark", "shingle"))
     )
-    hi = sh.sparkSession.range(num_hashes).selectExpr("cast(id as bigint) AS i")
-    return (
-        sh.crossJoin(F.broadcast(hi))
-        .withColumn(
-            "hv",
-            F.expr(f"((2 * i + 1) * sh_hash + i * {MINHASH_B}) % {HASH_P}"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("mh"))
+    aggs = [
+        F.min(
+            F.expr(f"((2 * {i} + 1) * sh_hash + {i} * {MINHASH_B}) % {HASH_P}")
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, i, mh) long format (unpivoted from the wide pass)."""
+    wide = minhash_wide(docs, num_hashes)
+    pairs = ", ".join(
+        f"cast({i} as bigint), mh{i}" for i in range(num_hashes)
+    )
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {pairs}) AS (i, mh)"
     )
 
 
-def _band_sig_spark(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    return (
-        sigs.withColumn("band", F.expr(f"cast(i div {band_rows} as int)"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(i, mh))), "
-                "s -> cast(s.mh as string)), ',')"
-            ).alias("sig")
-        )
+def _band_sig_spark(docs: DataFrame, num_hashes: int, band_rows: int) -> DataFrame:
+    """(doc_id, band, sig) from the wide minhash pass."""
+    wide = minhash_wide(docs, num_hashes)
+    n_bands = num_hashes // band_rows
+    band_exprs = ", ".join(
+        f"cast({b} as int), concat_ws(',', "
+        + ", ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + ")"
+        for b in range(n_bands)
+    )
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, sig)"
     )
 
 
@@ -212,7 +223,7 @@ def minhash_lsh_pairs(
     """Filter-verify near-dup: LSH band join proposes candidates,
     exact Jaccard verifies. Output (doc_a, doc_b, n_bands, inter,
     union_n, jacc_key, is_dup)."""
-    bands = _band_sig_spark(minhash_signatures(docs, num_hashes), band_rows)
+    bands = _band_sig_spark(docs, num_hashes, band_rows)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band", "sig"])

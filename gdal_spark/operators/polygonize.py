@@ -190,9 +190,15 @@ def polygonize_grid(
         .distinct()
     )
 
-    # iterative min-root propagation (pointer jumping)
-    roots = comps.selectExpr("label", "label AS root")
-    sym = pairs.union(pairs.selectExpr("lb AS la", "la AS lb")).distinct().cache()
+    # iterative min-root propagation (pointer jumping); lineage is
+    # truncated each round (localCheckpoint) so round k doesn't
+    # re-execute rounds 0..k-1
+    roots = comps.selectExpr("label", "label AS root").localCheckpoint(eager=True)
+    sym = (
+        pairs.union(pairs.selectExpr("lb AS la", "la AS lb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
         nbr = (
             sym.join(roots.selectExpr("label AS lb", "root AS nroot"), "lb")
@@ -212,7 +218,7 @@ def polygonize_grid(
                 "left",
             )
             .selectExpr("label", "coalesce(rroot, root) AS root")
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_roots.alias("n")
             .join(roots.selectExpr("label", "root AS old").alias("o"), "label")
