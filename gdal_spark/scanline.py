@@ -147,6 +147,116 @@ def _burn_px(arr, y, x, value, merge):
         arr[y, x] = value
 
 
+def draw_line_all_touched(
+    arr: np.ndarray,
+    pts,
+    value: float,
+    merge: str = "replace",
+    intersect_only: bool = False,
+):
+    """ALL_TOUCHED line walk (GDALdllImageLineAllTouched,
+    alg/llrasterize.cpp:370): burn every pixel the segment passes
+    through. Vertical/horizontal segments within 0.01 of an integer
+    grid line are skipped when ``intersect_only`` (the polygon-outline
+    mode, gdalrasterize.cpp bAllTouched path); the general case walks
+    pixel boundary crossings along x."""
+    h, w = arr.shape
+    pts = np.asarray(pts, dtype=np.float64)
+    for j in range(1, len(pts)):
+        x, y = float(pts[j - 1, 0]), float(pts[j - 1, 1])
+        xe, ye = float(pts[j, 0]), float(pts[j, 1])
+        if (y < 0 and ye < 0) or (y > h and ye > h) or (
+            x < 0 and xe < 0
+        ) or (x > w and xe > w):
+            continue
+        if x > xe:
+            x, xe, y, ye = xe, x, ye, y
+        # vertical special case
+        if math.floor(x) == math.floor(xe) or abs(x - xe) < 0.01:
+            if intersect_only and abs(x - round(x)) < 0.01 and abs(
+                xe - round(xe)
+            ) < 0.01:
+                continue
+            if ye < y:
+                y, ye = ye, y
+            ix = int(math.floor(xe))
+            iy, iye = int(math.floor(y)), int(math.floor(ye))
+            if ix < 0 or ix >= w:
+                continue
+            iy = max(iy, 0)
+            iye = min(iye, h - 1)
+            for yy in range(iy, iye + 1):
+                _burn_px(arr, yy, ix, value, merge)
+            continue
+        # horizontal special case
+        if math.floor(y) == math.floor(ye) or abs(y - ye) < 0.01:
+            if intersect_only and abs(y - round(y)) < 0.01 and abs(
+                ye - round(ye)
+            ) < 0.01:
+                continue
+            if xe < x:
+                x, xe = xe, x
+            ix, ixe = int(math.floor(x)), int(math.floor(xe))
+            iy = int(math.floor(y))
+            if iy < 0 or iy >= h:
+                continue
+            ix = max(ix, 0)
+            ixe = min(ixe, w - 1)
+            for xx in range(ix, ixe + 1):
+                _burn_px(arr, iy, xx, value, merge)
+            continue
+        # general sloped case: clip, then walk boundary crossings
+        slope = (ye - y) / (xe - x)
+        if xe > w:
+            ye -= (xe - w) * slope
+            xe = float(w)
+        if x < 0.0:
+            y += (0.0 - x) * slope
+            x = 0.0
+        if ye > y:
+            if y < 0.0:
+                x += (0.0 - y) / slope
+                y = 0.0
+            if ye >= h:
+                xe += (ye - h) / slope
+                xe = min(xe, float(w))
+        else:
+            if y >= h:
+                x += (h - y) / slope
+                y = float(h)
+            if ye < 0.0:
+                xe -= (ye - 0.0) / slope
+        while 0.0 <= x < xe:
+            ix = int(math.floor(x))
+            iy = int(math.floor(y))
+            if 0 <= iy < h and 0 <= ix < w:
+                _burn_px(arr, iy, ix, value, merge)
+            step_x = math.floor(x + 1.0) - x
+            step_y = step_x * slope
+            if int(math.floor(y + step_y)) == iy:
+                x += step_x
+                y += step_y
+            elif slope < 0:
+                step_y = min(iy - y, -1e-9)
+                x += step_y / slope
+                y += step_y
+            else:
+                step_y = max((iy + 1) - y, 1e-9)
+                x += step_y / slope
+                y += step_y
+
+
+def fill_polygon_all_touched(arr: np.ndarray, rings, value, merge="replace"):
+    """ALL_TOUCHED polygon burn: scanline fill + all-touched outline
+    (the gdalrasterize.cpp bAllTouched composition)."""
+    fill_polygon(arr, rings, value, merge)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 2 or not (r[0] == r[-1]).all():
+            r = np.concatenate([r, r[:1]])
+        draw_line_all_touched(arr, r, value, merge, intersect_only=True)
+
+
 def clamp_byte(value: float) -> float:
     """Byte-band burn clamping (256 -> 255, -1 -> 0)."""
     return min(max(value, 0.0), 255.0)

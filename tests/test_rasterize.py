@@ -111,3 +111,19 @@ def test_polygonize_grid_cross_tile(spark):
     exp = canon(ref, vals)
     got = {(int(r.comp_id), int(r.val), int(r.n_pixels)) for r in out.itertuples()}
     assert got == exp
+
+
+def test_rasterize_all_touched_golden():
+    """autotest test_rasterize_2: cutline.csv polygons, 12x12 raster,
+    ALL_TOUCHED=TRUE, burn 220 -> golden checksum 121."""
+    polys = [
+        [(6.25, 1.25), (7.25, 1.25), (7.25, 2.25), (6.25, 2.25)],
+        [(4.25, 4.25), (6.25, 4.25), (6.25, 6.25), (4.25, 6.25)],
+        [(1.001, 1.001), (3.999, 3.999), (3.2, 1.6)],
+    ]
+    arr = np.zeros((12, 12), dtype=np.float64)
+    for p in polys:
+        ring = [(x, 12.0 - y) for x, y in p]  # gt (0,1,0,12,0,-1)
+        scanline.fill_polygon_all_touched(arr, [ring], 220)
+    a8 = np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)
+    assert gdal_checksum(a8) == 121
