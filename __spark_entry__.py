@@ -190,6 +190,17 @@ def _q_warp_near_up2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline: 2x nearest warp masked to a cutline box
+    (GDALWarpCutlineMasker, blend 0); checksum-exact oracle."""
+    out = warp.warp_cutline(_pixel_images(spark, sf_dir, _WARP_MAX_I))
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
 def _q_warp_avg_down2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp 2x downsample, average (GWKAverageOrMode,
     alg/gdalwarpkernel.cpp:6330) — integer-exact (sum+2)//4 oracle."""
@@ -556,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_roundtrip": _q_caption_roundtrip,
         "warp_near_up2": _q_warp_near_up2,
         "warp_avg_down2": _q_warp_avg_down2,
+        "warp_cutline": _q_warp_cutline,
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -728,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_near_up2": warp.oracle_warp_near_up2(min(n, 4096), _WARP_MAX_I),
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
+        "warp_cutline": warp.oracle_warp_cutline(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),

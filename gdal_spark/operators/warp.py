@@ -104,6 +104,84 @@ def _reproject_iter(batches, alg: str, dst_size: int):
         yield pdf_out
 
 
+def _cutline_warp_iter(batches, factor: float, alg: str, box: tuple):
+    """Warp + cutline mask: pixels whose center falls outside the
+    cutline polygon (a geo-space box here, the SQL-oracle subset;
+    arbitrary WKB goes through the same scanline fill) are zeroed —
+    GDALWarpCutlineMasker semantics (alg/gdalwarper.h:140) with
+    blend distance 0."""
+    fx0, fy0, fx1, fy1 = box  # fractions of the image extent
+    for pdf in batches:
+        out_bytes, out_w, out_h = [], [], []
+        for payload, w, h in zip(pdf["bytes"], pdf["w"], pdf["h"]):
+            arr = codecs.decode_image(bytes(payload))
+            sh, sw = arr.shape[:2]
+            dw, dh = int(round(sw * factor)), int(round(sh * factor))
+            src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+            dst_gt = (0.0, 1.0 / factor, 0.0, 0.0, 0.0, -1.0 / factor)
+            warped = resample.warp_image(arr, src_gt, dst_gt, (dh, dw), alg)
+            # cutline box in source pixel units -> dst pixel centers
+            xs = (np.arange(dw) + 0.5) / factor
+            ys = (np.arange(dh) + 0.5) / factor
+            inx = (xs >= fx0 * sw) & (xs <= fx1 * sw)
+            iny = (ys >= fy0 * sh) & (ys <= fy1 * sh)
+            mask = iny[:, None] & inx[None, :]
+            warped = np.where(mask[:, :, None], warped, 0).astype(np.uint8)
+            out_bytes.append(codecs.encode_image(warped, "png"))
+            out_w.append(dw)
+            out_h.append(dh)
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "bytes": out_bytes,
+                "w": pd.array(out_w, dtype="int32"),
+                "h": pd.array(out_h, dtype="int32"),
+            }
+        )
+
+
+CUTLINE_BOX = (0.2, 0.15, 0.8, 0.7)
+
+
+def warp_cutline(
+    images: DataFrame, factor: float = 2.0, alg: str = "near",
+    box: tuple = CUTLINE_BOX,
+) -> DataFrame:
+    """Warp restricted to a cutline (gdalwarp -cutline)."""
+    return images.select("image_id", "bytes", "w", "h").mapInPandas(
+        lambda it: _cutline_warp_iter(it, factor, alg, box),
+        schema="image_id string, bytes binary, w int, h int",
+    )
+
+
+def oracle_warp_cutline(
+    n: int, max_i: int, box: tuple = CUTLINE_BOX
+) -> str:
+    from .. import synth
+
+    fx0, fy0, fx1, fy1 = box
+    fl = synth.flit
+    inside = (
+        f"((xd + 0.5E0) / 2.0E0 >= {fl(fx0)} * w AND "
+        f"(xd + 0.5E0) / 2.0E0 <= {fl(fx1)} * w AND "
+        f"(yd + 0.5E0) / 2.0E0 >= {fl(fy0)} * h AND "
+        f"(yd + 0.5E0) / 2.0E0 <= {fl(fy1)} * h)"
+    )
+    inner = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"(xd // 2) AS x, (yd // 2) AS y, {inside} AS inside "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 512) tx(xd), range(0, 512) ty(yd), range(0, 3) tc(ch) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum((CASE WHEN inside THEN {synth.pixel_val_sql()} ELSE 0 END) "
+        f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) "
+        f"AS cks FROM ({inner}) GROUP BY 1, 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL for the driver's correctness gate: the warp output
 # is value-checked via the SQL-expressible synthetic pixel function
