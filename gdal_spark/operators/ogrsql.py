@@ -287,6 +287,26 @@ ORACLE_SESSIONIZE = (
 )
 
 
+def q_hstore(spark, sf_dir):
+    """HSTORE_GET_VALUE (ogr/swq_op_registrar.cpp HSTORE) — keyed
+    lookup inside a packed property column, as JSON extraction
+    (MapType/element_at being the other Spark-native spelling)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id",
+            "cast(get_json_object(props, '$.k') as bigint) AS k_val",
+        )
+        .filter("k_val >= 90")
+    )
+
+
+ORACLE_HSTORE = (
+    "SELECT event_id, cast(json_extract(props, '$.k') as bigint) AS k_val "
+    "FROM events WHERE cast(json_extract(props, '$.k') as bigint) >= 90"
+)
+
+
 QUERIES = {
     "ogr_sql_where": (q_where, ORACLE_WHERE),
     "ogr_sql_join": (q_join, ORACLE_JOIN),
@@ -297,4 +317,5 @@ QUERIES = {
     "events_window_rank": (q_events_window, ORACLE_EVENTS_WINDOW),
     "ogr_union_layers": (q_union_layers, ORACLE_UNION_LAYERS),
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "ogr_hstore_get": (q_hstore, ORACLE_HSTORE),
 }
