@@ -552,60 +552,31 @@ def _q_embedding_neardup(spark, sf_dir):
     return ann.embedding_neardup(_embs(spark, sf_dir))
 
 
+# New round-2 operator queries land here (name -> callable); populated
+# below as operators are built so the window layout stays in one place.
+_ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver checks the FIRST 50 entries each round; insertion order
+    # is deliberate. Round-2 window rotation: (a) the 7 queries whose r01
+    # hash failure (HUGEINT oracle sums) is now fixed, (b) the dedup/ANN/
+    # OGR-SQL families the r01 window never reached, (c) new round-2
+    # operators, (d) a re-verify sample of r01 greens. Everything past
+    # position 50 stayed driver-green in r01 and remains locally gated by
+    # tools/check_oracle.py.
     return {
-        "band_stats": _q_band_stats,
-        "histogram": _q_histogram,
-        "checksum": _q_checksum,
-        "tile_assign_merc": _q_tile_assign_merc,
-        "tile_assign_geodetic": _q_tile_assign_geodetic,
-        "cell_density_topk": _q_cell_density_topk,
-        "pyramid_rollup": _q_pyramid_rollup,
-        "spatial_join_pip": _q_spatial_join_pip,
-        "spatial_join_agg": _q_spatial_join_agg,
-        "knn_sites": _q_knn_sites,
-        "caption_roundtrip": _q_caption_roundtrip,
-        "warp_near_up2": _q_warp_near_up2,
-        "warp_avg_down2": _q_warp_avg_down2,
-        "warp_cutline": _q_warp_cutline,
-        "rasterize_rows": _q_rasterize_rows,
-        "polygonize_blocks": _q_polygonize_blocks,
+        # (a) r01 hash-fail, now fixed — prove it
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
-        "geom_fields": _q_geom_fields,
-        "segmentize": _q_segmentize,
-        "simplify_dp": _q_simplify,
         "contour_crossings": _q_contour_crossings,
-        "quantize_dither": _q_quantize_dither,
-        "translate_scale": _q_translate_scale,
-        "calc_expr": _q_calc_expr,
-        "pansharpen": _q_pansharpen,
-        "nearblack": _q_nearblack,
-        "grid_idw": _q_grid_idw,
         "proximity_tiled": _q_proximity_tiled,
         "sieve_blocks": _q_sieve_blocks,
-        "viewshed": _q_viewshed,
-        "adaptive_cells": _q_adaptive_cells,
-        "salted_density": _q_salted_density,
-        "mm_probe_headers": _q_mm_probe,
-        "mm_resize_nearest": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frames,
-        "phash64": _q_phash,
-        "phash_neardup": _q_phash_neardup,
         "dem_images": _q_dem_images,
         "dem_tiled": _q_dem_tiled,
-        "color_relief": _q_color_relief,
-        "tile_render_hot": _q_tile_render_hot,
-        "tile_overview_hot": _q_tile_overview_hot,
-        "tile_index": _q_tile_index,
-        "merge_mosaic": _q_merge_mosaic,
         "mosaic_plan": _q_mosaic_plan,
-        "raster_xyz": _q_raster_xyz,
-        "point_probe": _q_point_probe,
-        "text_profile": _q_text_profile,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
+        # (b) never inside the r01 window
         "token_topk": _q_token_topk,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -617,6 +588,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
+        # (c) new round-2 operators
+        **_ROUND2_QUERIES,
+        # (d) re-verify sample of r01 greens
+        "band_stats": _q_band_stats,
+        "checksum": _q_checksum,
+        "spatial_join_pip": _q_spatial_join_pip,
+        "knn_sites": _q_knn_sites,
+        "warp_near_up2": _q_warp_near_up2,
+        "warp_avg_down2": _q_warp_avg_down2,
+        "warp_cutline": _q_warp_cutline,
+        "rasterize_rows": _q_rasterize_rows,
+        "polygonize_blocks": _q_polygonize_blocks,
+        "tile_render_hot": _q_tile_render_hot,
+        "tile_overview_hot": _q_tile_overview_hot,
+        "phash_neardup": _q_phash_neardup,
+        "viewshed": _q_viewshed,
+        # --- past the driver's 50-query cap: driver-green in r01,
+        #     still locally gated every round ---
+        "histogram": _q_histogram,
+        "tile_assign_merc": _q_tile_assign_merc,
+        "tile_assign_geodetic": _q_tile_assign_geodetic,
+        "cell_density_topk": _q_cell_density_topk,
+        "pyramid_rollup": _q_pyramid_rollup,
+        "spatial_join_agg": _q_spatial_join_agg,
+        "caption_roundtrip": _q_caption_roundtrip,
+        "geom_fields": _q_geom_fields,
+        "segmentize": _q_segmentize,
+        "simplify_dp": _q_simplify,
+        "quantize_dither": _q_quantize_dither,
+        "translate_scale": _q_translate_scale,
+        "calc_expr": _q_calc_expr,
+        "pansharpen": _q_pansharpen,
+        "nearblack": _q_nearblack,
+        "grid_idw": _q_grid_idw,
+        "adaptive_cells": _q_adaptive_cells,
+        "salted_density": _q_salted_density,
+        "mm_probe_headers": _q_mm_probe,
+        "mm_resize_nearest": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
+        "phash64": _q_phash,
+        "color_relief": _q_color_relief,
+        "tile_index": _q_tile_index,
+        "merge_mosaic": _q_merge_mosaic,
+        "raster_xyz": _q_raster_xyz,
+        "point_probe": _q_point_probe,
+        "text_profile": _q_text_profile,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
     }
 
 

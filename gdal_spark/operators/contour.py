@@ -84,6 +84,7 @@ def oracle_contour(width: int, height: int, levels=(64, 128, 192)) -> str:
         f"THEN 1 ELSE 0 END AS hc, "
         f"CASE WHEN gy < {height - 1} AND (({val}) < lv) <> (({vd}) < lv) "
         f"THEN 1 ELSE 0 END AS vc FROM g) "
-        f"SELECT level, y, sum(hc) AS h_cross, sum(vc) AS v_cross "
+        f"SELECT level, y, cast(sum(hc) as bigint) AS h_cross, "
+        f"cast(sum(vc) as bigint) AS v_cross "
         f"FROM c GROUP BY 1, 2"
     )

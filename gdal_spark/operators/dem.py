@@ -422,9 +422,12 @@ def oracle_dem_images(n: int, max_i: int) -> str:
         f"GROUP BY 1, 2, 3), "
         f"keys AS (SELECT image_id, x0, y0, {_feat_select('c')} FROM agg) "
         f"SELECT image_id, y0 AS y, count(*) AS n, "
-        f"sum(slope_key) AS slope_sum, sum(aspect_key) AS aspect_sum, "
-        f"sum(tri_key) AS tri_sum, sum(tpi_key) AS tpi_sum, "
-        f"sum(rough_key) AS rough_sum, sum(shade_key) AS shade_sum "
+        f"cast(sum(slope_key) as bigint) AS slope_sum, "
+        f"cast(sum(aspect_key) as bigint) AS aspect_sum, "
+        f"cast(sum(tri_key) as bigint) AS tri_sum, "
+        f"cast(sum(tpi_key) as bigint) AS tpi_sum, "
+        f"cast(sum(rough_key) as bigint) AS rough_sum, "
+        f"cast(sum(shade_key) as bigint) AS shade_sum "
         f"FROM keys GROUP BY 1, 2"
     )
 
@@ -449,8 +452,11 @@ def oracle_dem_tiled(width: int, height: int) -> str:
         f"GROUP BY 1, 2), "
         f"keys AS (SELECT x0, y0, {_feat_select('c')} FROM agg) "
         f"SELECT y0 AS y, count(*) AS n, "
-        f"sum(slope_key) AS slope_sum, sum(aspect_key) AS aspect_sum, "
-        f"sum(tri_key) AS tri_sum, sum(tpi_key) AS tpi_sum, "
-        f"sum(rough_key) AS rough_sum, sum(shade_key) AS shade_sum "
+        f"cast(sum(slope_key) as bigint) AS slope_sum, "
+        f"cast(sum(aspect_key) as bigint) AS aspect_sum, "
+        f"cast(sum(tri_key) as bigint) AS tri_sum, "
+        f"cast(sum(tpi_key) as bigint) AS tpi_sum, "
+        f"cast(sum(rough_key) as bigint) AS rough_sum, "
+        f"cast(sum(shade_key) as bigint) AS shade_sum "
         f"FROM keys GROUP BY 1"
     )

@@ -107,5 +107,5 @@ def oracle_proximity(width: int, height: int, maxdist: int = 6) -> str:
         f"FROM g LEFT JOIN t ON abs(g.gx - t.tx2) <= {maxdist} "
         f"AND abs(g.gy - t.ty2) <= {maxdist} GROUP BY 1, 2) "
         f"SELECT gy AS y, count(*) AS n, "
-        f"sum(least(d2, {cap})) AS d2_sum FROM m GROUP BY 1"
+        f"cast(sum(least(d2, {cap})) as bigint) AS d2_sum FROM m GROUP BY 1"
     )

@@ -89,13 +89,13 @@ def mosaic_plan(images: DataFrame, zoom: int = 8) -> DataFrame:
 
     with_cells = cells.assign_cells(images, zoom, "mercator", engine="sql")
     return with_cells.groupBy("cell_id").agg(
-        F.expr(f"min(cast(round({RES} * 1000000000.0E0) as bigint))").alias(
+        F.expr(f"min(cast(floor({RES} * 1000000000.0E0) as bigint))").alias(
             "res_highest_nano"
         ),
-        F.expr(f"max(cast(round({RES} * 1000000000.0E0) as bigint))").alias(
+        F.expr(f"max(cast(floor({RES} * 1000000000.0E0) as bigint))").alias(
             "res_lowest_nano"
         ),
-        F.expr(f"sum(cast(round({RES} * 1000000000.0E0) as bigint))").alias(
+        F.expr(f"sum(cast(floor({RES} * 1000000000.0E0) as bigint))").alias(
             "res_sum_nano"
         ),
         F.count("*").alias("n_images"),
@@ -107,11 +107,11 @@ def oracle_mosaic_plan(n: int, zoom: int = 8) -> str:
 
     tx = cells.merc_tile_sql("lon", "lat", zoom, "x")
     ty = cells.merc_tile_sql("lon", "lat", zoom, "y")
-    r = f"cast(round({RES} * 1000000000.0E0) as bigint)"
+    r = f"cast(floor({RES} * 1000000000.0E0) as bigint)"
     return (
         f"SELECT {cells.cell_id_sql(tx, ty, zoom)} AS cell_id, "
         f"min({r}) AS res_highest_nano, max({r}) AS res_lowest_nano, "
-        f"sum({r}) AS res_sum_nano, count(*) AS n_images "
+        f"cast(sum({r}) as bigint) AS res_sum_nano, count(*) AS n_images "
         f"FROM ({synth.images_cte(n, 'duckdb')}) GROUP BY 1"
     )
 

@@ -128,7 +128,7 @@ def oracle_sieve_blocks(width: int, height: int, bs: int = 24, mod: int = 3) -> 
     restoring the pure block pattern."""
     return (
         f"SELECT gy AS y, count(*) AS n, "
-        f"sum((gx // {bs} + gy // {bs}) % {mod}) AS val_sum "
+        f"cast(sum((gx // {bs} + gy // {bs}) % {mod}) as bigint) AS val_sum "
         f"FROM range(0, {width}) a(gx), range(0, {height}) b(gy) "
         f"GROUP BY 1"
     )

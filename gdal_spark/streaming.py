@@ -31,7 +31,10 @@ def windowed_event_stats(events: DataFrame) -> DataFrame:
     base = events.selectExpr(
         "event_type",
         "user_id",
-        f"(unix_micros(cast(ts as timestamp)) div {WINDOW_US}) * {WINDOW_US} "
+        # floor-to-window via mod (pmod for pre-epoch safety): exact
+        # integer arithmetic, matches DuckDB's floor-division `//`.
+        f"unix_micros(cast(ts as timestamp)) - "
+        f"pmod(unix_micros(cast(ts as timestamp)), {WINDOW_US}) "
         "AS win_start_us",
         "cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents",
     )
@@ -45,7 +48,8 @@ def windowed_event_stats(events: DataFrame) -> DataFrame:
 ORACLE_WINDOWED = (
     f"SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS win_start_us, "
     "event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users, "
-    "sum(cast(floor(value * 100.0E0 + 0.5E0) as bigint)) AS value_cents_sum "
+    "cast(sum(cast(floor(value * 100.0E0 + 0.5E0) as bigint)) as bigint) "
+    "AS value_cents_sum "
     "FROM events GROUP BY 1, 2"
 )
 

@@ -15,6 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from gdal_spark.session import get_spark  # noqa: E402
@@ -33,7 +34,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(name: str, spark_df, duck_df) -> list[str]:
+def compare(name: str, spark_df, duck_df, duck_types=None) -> list[str]:
     problems = []
     a, b = normalize(spark_df), normalize(duck_df)
     if list(a.columns) != list(b.columns):
@@ -42,8 +43,24 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     if len(a) != len(b):
         problems.append(f"rows: spark={len(a)} duck={len(b)}")
         return problems
+    # dtype-strict: the driver's value hash distinguishes int64 from
+    # HUGEINT/DECIMAL (DuckDB sum(BIGINT) -> HUGEINT); .df() would
+    # silently coerce those to float64 and mask the mismatch.
+    for c, t in (duck_types or {}).items():
+        if pa.types.is_decimal(t):
+            problems.append(
+                f"col {c}: duckdb arrow type {t} (HUGEINT/DECIMAL) — "
+                f"wrap the oracle aggregate in cast(... as bigint)"
+            )
     for c in a.columns:
         av, bv = a[c], b[c]
+        if av.dtype.kind != bv.dtype.kind and not (
+            av.dtype == object or bv.dtype == object
+        ):
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype}"
+            )
+            continue
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = ((av == bv) | (av.isna() & bv.isna())).all()
@@ -82,9 +99,11 @@ def main():
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows ({t1 - t0:.1f}s)")
             continue
-        ddf = con.execute(oracles[name]).df()
+        dtbl = con.execute(oracles[name]).fetch_arrow_table()
+        ddf = dtbl.to_pandas()
+        duck_types = {f.name: f.type for f in dtbl.schema}
         t2 = time.time()
-        problems = compare(name, sdf, ddf)
+        problems = compare(name, sdf, ddf, duck_types)
         status = "OK" if not problems else "FAIL"
         print(
             f"[{status}] {name}: {len(sdf)} rows "
