@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
-from gdal_spark.operators import raster_misc, sieve, viewshed
+from gdal_spark.operators import raster_misc, reproject, sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
@@ -552,9 +552,23 @@ def _q_embedding_neardup(spark, sf_dir):
     return ann.embedding_neardup(_embs(spark, sf_dir))
 
 
+_REPROJ_MAX_I = 8
+
+
+def _q_utm_corners(spark, sf_dir):
+    return reproject.utm_corners(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
+def _q_warp_reproject_utm(spark, sf_dir):
+    return reproject.reproject_utm(_pixel_images(spark, sf_dir, _REPROJ_MAX_I))
+
+
 # New round-2 operator queries land here (name -> callable); populated
 # below as operators are built so the window layout stays in one place.
-_ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "utm_corners": _q_utm_corners,
+    "warp_reproject_utm": _q_warp_reproject_utm,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -825,6 +839,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
         "ann_ivf_topk": ann.oracle_ann_ivf_topk(),
         "embedding_neardup": ann.oracle_embedding_neardup(),
+        "utm_corners": reproject.oracle_utm_corners(n),
+        "warp_reproject_utm": reproject.oracle_reproject_utm(
+            min(n, 4096), _REPROJ_MAX_I
+        ),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

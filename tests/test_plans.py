@@ -62,6 +62,16 @@ def test_cell_assign_sql_engine_is_jvm_only(spark):
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 
+def test_utm_corners_is_jvm_only(spark):
+    """The Krueger forward series runs as Catalyst expressions — the
+    transformer-chain query must contain no Python eval nodes."""
+    from gdal_spark.operators import reproject
+
+    imgs = synth.images_df(spark, 256)
+    s = plan(reproject.utm_corners(imgs))
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
 def test_aggregation_is_partial_final(spark):
     """groupBy compiles to partial (map-side) + final aggregation."""
     df = ogrsql.q_agg(spark, SF_DIR)

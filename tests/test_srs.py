@@ -1,0 +1,166 @@
+"""gdal_spark.srs — transverse mercator chain, independent checks.
+
+The Krueger-series coefficients are validated against *independent*
+math: a brute-force numerical integration of the meridian arc, the
+exact conformal-latitude definition, and closed-form UTM invariants —
+not against the implementation's own series.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark import srs
+
+
+def _grid(n=4000, lat_hi=84.0):
+    rng = np.random.default_rng(42)
+    lon0 = -75.0
+    lon = lon0 + rng.uniform(-3.2, 3.2, n)
+    lat = rng.uniform(-80.0, lat_hi, n)
+    return lon, lat, lon0
+
+
+def test_roundtrip_nanometer():
+    lon, lat, lon0 = _grid()
+    x, y = srs.tm_forward(lon, lat, lon0)
+    lon2, lat2 = srs.tm_inverse(x, y, lon0)
+    # degrees -> meters scale ~1.1e5
+    err_m = np.hypot(
+        (lon2 - lon) * 111320.0 * np.cos(np.radians(lat)),
+        (lat2 - lat) * 110574.0,
+    )
+    assert err_m.max() < 1e-6  # sub-micrometer round trip
+
+
+def test_central_meridian_invariants():
+    lats = np.array([0.0, 10.0, 45.0, -30.0, 80.0])
+    x, y = srs.tm_forward(np.full(5, -75.0), lats, -75.0)
+    assert np.allclose(x, srs.FE, atol=1e-9)  # CM maps to false easting
+    assert y[0] == 0.0  # equator origin
+    assert y[3] < 0.0  # southern latitude, FN not applied here
+
+
+def test_meridian_arc_vs_numerical_integration():
+    """N on the central meridian == k0 * rectifying arc length, with
+    the arc computed by brute-force quadrature of the public meridian
+    radius integrand a(1-e^2)/(1-e^2 sin^2)^(3/2)."""
+    for lat_deg in (13.0, 45.0, 71.5):
+        phi = np.linspace(0.0, np.radians(lat_deg), 1_000_001)
+        integrand = srs.A * (1 - srs.E2) / (1 - srs.E2 * np.sin(phi) ** 2) ** 1.5
+        arc = np.trapz(integrand, phi)
+        _, n_tm = srs.tm_forward(np.array([-75.0]), np.array([lat_deg]), -75.0)
+        assert abs(n_tm[0] - srs.K0 * arc) < 1e-5
+
+
+def test_conformal_latitude_definition():
+    """The forward's conformal tangent t matches the textbook
+    definition tan(chi), chi = 2 atan( tan(pi/4+phi/2) *
+    ((1-e sin phi)/(1+e sin phi))^(e/2) ) - pi/2."""
+    lat = np.linspace(-84, 84, 1001)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t_impl = np.sinh(np.arctanh(s) - srs.E * np.arctanh(srs.E * s))
+    chi = (
+        2.0
+        * np.arctan(
+            np.tan(np.pi / 4 + phi / 2)
+            * ((1 - srs.E * s) / (1 + srs.E * s)) ** (srs.E / 2)
+        )
+        - np.pi / 2
+    )
+    assert np.max(np.abs(t_impl - np.tan(chi))) < 1e-9
+
+
+def test_scale_factor_at_cm():
+    """Point scale on the central meridian is exactly k0 (checked via
+    a finite-difference derivative against the meridian radius)."""
+    lat = 37.0
+    eps = 1e-4
+    _, y1 = srs.tm_forward(np.array([-75.0]), np.array([lat - eps]), -75.0)
+    _, y2 = srs.tm_forward(np.array([-75.0]), np.array([lat + eps]), -75.0)
+    m_radius = srs.A * (1 - srs.E2) / (1 - srs.E2 * np.sin(np.radians(lat)) ** 2) ** 1.5
+    k = (y2[0] - y1[0]) / (np.radians(2 * eps) * m_radius)
+    assert abs(k - srs.K0) < 1e-7
+
+
+def test_zone_selection():
+    lon = np.array([-75.0, -3.0, 0.0, 179.9, -179.9, 11.4])
+    z = srs.utm_zone(lon, np.zeros_like(lon))
+    assert z.tolist() == [18, 30, 31, 60, 1, 32]
+    assert srs.utm_lon0(np.array([18])).tolist() == [-75.0]
+
+
+def test_epsg_registry_chain():
+    """4326 -> 32618 -> 4326 and 3857 -> 32618 round trips."""
+    fwd = srs.make_transform(4326, 32618)
+    inv = srs.make_transform(32618, 4326)
+    lon = np.array([-74.0, -76.5])
+    lat = np.array([40.7, -33.9])  # south lat through a north zone: FN=0 code path
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    assert np.allclose(lon, lon2, atol=1e-11)
+    assert np.allclose(lat, lat2, atol=1e-11)
+    # southern-zone false northing
+    fs = srs.make_transform(4326, 32718)
+    xs, ys = fs(np.array([-76.5]), np.array([-33.9]))
+    assert ys[0] > 6e6  # FN applied
+    back = srs.make_transform(32718, 4326)
+    lon3, lat3 = back(xs, ys)
+    assert abs(lat3[0] + 33.9) < 1e-11
+    # mercator leg composes through the hub
+    m2u = srs.make_transform(3857, 32618)
+    from gdal_spark import grid
+
+    mx, my = grid.lonlat_to_meters(np.array([-74.0]), np.array([40.7]))
+    xu, yu = m2u(mx, my)
+    assert np.allclose([xu[0], yu[0]], [x[0], y[0]], atol=1e-6)
+
+
+def test_unsupported_epsg():
+    with pytest.raises(ValueError):
+        srs.make_transform(4326, 2154)  # Lambert93 not in the registry
+
+
+def test_approx_transformer_tolerance():
+    """GDALApproxTransformer semantics: linearized scanline equals the
+    exact transform within 0.125 px at the *target* grid resolution."""
+    t = srs.make_transform(4326, 32618)
+    # a scanline across 2 degrees at ~30 m output pixels
+    xs = np.linspace(-76.0, -74.0, 2049)
+    y = 40.0
+
+    def px_transform(ax, ay):
+        # transform to UTM then express in 30 m pixel units
+        ux, uy = t(ax, ay)
+        return ux / 30.0, uy / 30.0
+
+    ex, ey = px_transform(xs, np.full_like(xs, y))
+    ax_, ay_ = srs.approx_transform_scanline(px_transform, xs, y, max_err=0.125)
+    assert np.max(np.abs(ax_ - ex)) <= 0.125
+    assert np.max(np.abs(ay_ - ey)) <= 0.125
+
+
+def test_forward_sql_twin_matches_numpy(duckdb_con=None):
+    import duckdb
+
+    con = duckdb.connect()
+    n = 2000
+    con.execute(
+        "CREATE TABLE t AS SELECT i, "
+        "-78.0E0 + 6.0E0*((i*0.6180339887498949E0)-floor(i*0.6180339887498949E0)) AS lon, "
+        "-80.0E0 + 164.0E0*((i*0.41421356237309515E0)-floor(i*0.41421356237309515E0)) AS lat "
+        f"FROM range(1,{n + 1}) r(i)"
+    )
+    ex, nx = srs.tm_forward_sql("lon", "lat", "-75.0E0")
+    d = con.execute(f"SELECT lon, lat, {ex} AS e, {nx} AS n2 FROM t ORDER BY i").df()
+    e_np, n_np = srs.tm_forward(d["lon"].to_numpy(), d["lat"].to_numpy(), -75.0)
+    assert np.abs(d["e"].to_numpy() - e_np).max() < 1e-6
+    assert np.abs(d["n2"].to_numpy() - n_np).max() < 1e-6
+    cte = srs.tm_inverse_sql_cte("e", "n2", "-75.0E0", "fw", "i")
+    q = (
+        f"WITH fw AS (SELECT i, {ex} AS e, {nx} AS n2 FROM t),\n{cte}\n"
+        "SELECT i, lon, lat FROM tminv ORDER BY i"
+    )
+    dinv = con.execute(q).df()
+    assert np.abs(dinv["lon"].to_numpy() - d["lon"].to_numpy()).max() < 1e-11
+    assert np.abs(dinv["lat"].to_numpy() - d["lat"].to_numpy()).max() < 1e-11
