@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
-from gdal_spark.operators import raster_misc, reproject, sieve, viewshed
+from gdal_spark.operators import overlay, raster_misc, reproject, sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
@@ -563,11 +563,25 @@ def _q_warp_reproject_utm(spark, sf_dir):
     return reproject.reproject_utm(_pixel_images(spark, sf_dir, _REPROJ_MAX_I))
 
 
+def _q_overlay_boxes(spark, sf_dir):
+    return overlay.overlay_boxes_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+def _q_overlay_erase_rect(spark, sf_dir):
+    return overlay.overlay_erase_rect_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
 # New round-2 operator queries land here (name -> callable); populated
 # below as operators are built so the window layout stays in one place.
 _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "utm_corners": _q_utm_corners,
     "warp_reproject_utm": _q_warp_reproject_utm,
+    "overlay_intersection": _q_overlay_boxes,
+    "overlay_erase": _q_overlay_erase_rect,
 }
 
 
@@ -843,6 +857,8 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject_utm": reproject.oracle_reproject_utm(
             min(n, 4096), _REPROJ_MAX_I
         ),
+        "overlay_intersection": overlay.oracle_overlay_boxes(m),
+        "overlay_erase": overlay.oracle_overlay_erase_rect(m),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 
