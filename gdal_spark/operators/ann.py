@@ -133,15 +133,23 @@ def lsh_buckets(emb: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLAN
     hash table. Explode over (table, plane, dim), two tree
     aggregations — all map-side combinable."""
     v = _vectors(emb).selectExpr("vec_id", "vs")
-    spark = emb.sparkSession
-    tj = spark.range(tables * planes).selectExpr(
-        f"cast(id div {planes} as bigint) AS t",
-        f"cast(id % {planes} as bigint) AS j",
-    )
-    dims = spark.range(DIM).selectExpr("cast(id as bigint) AS d")
+    # fan out over (table, plane) x dim with explode(sequence(...)):
+    # map-only (no join nodes at all), unlike a crossJoin which
+    # compiles to BroadcastNestedLoopJoin
     terms = (
-        v.crossJoin(F.broadcast(tj))
-        .crossJoin(F.broadcast(dims))
+        v.selectExpr(
+            "vec_id", "vs",
+            f"explode(sequence(0, {tables * planes - 1})) AS tp",
+        )
+        .selectExpr(
+            "vec_id", "vs",
+            f"cast(tp div {planes} as bigint) AS t",
+            f"cast(tp % {planes} as bigint) AS j",
+        )
+        .selectExpr(
+            "vec_id", "t", "j", "vs",
+            f"explode(sequence(0, {DIM - 1})) AS d",
+        )
         .selectExpr(
             "vec_id", "t", "j",
             f"element_at(vs, cast(d + 1 as int)) * {_plane_sign_sql()} AS term",
@@ -415,10 +423,47 @@ def oracle_ann_ivf_topk(
 # cosine near-duplicate pairs
 
 
-def embedding_neardup(emb: DataFrame, min_cos_ppm: int = 350_000) -> DataFrame:
-    """All pairs with cosine >= threshold: (vec_a, vec_b, cos_key).
-    Pairwise (exact) at test scale; at corpus scale the LSH bucket
-    join above generates the candidate pairs instead."""
+def embedding_neardup(
+    emb: DataFrame,
+    min_cos_ppm: int = 350_000,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Near-duplicate pairs with cosine >= threshold:
+    (vec_a, vec_b, cos_key). Candidate pairs come from LSH bucket
+    collisions (same (table, bucket) in any of the ``tables`` hash
+    tables) — a self-equi-join on the bucket key, never an all-pairs
+    cross join — then an exact cosine verify. Recall < 1 by LSH design
+    (~0.7 at the default threshold, recall-tested); the oracle replays
+    the identical bucket assignment, so the contract is deterministic.
+    """
+    b = lsh_buckets(emb, tables, planes)
+    l = b.selectExpr("vec_id AS vec_a", "t", "bucket")
+    r = b.selectExpr("vec_id AS vec_b", "t", "bucket")
+    cand = (
+        l.join(r, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    v = _vectors(emb)
+    va = v.selectExpr("vec_id AS vec_a", "vs AS va", "norm2 AS na")
+    vb = v.selectExpr("vec_id AS vec_b", "vs AS vb", "norm2 AS nb")
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .selectExpr(
+            "vec_a", "vec_b", "na", "nb",
+            f"{dot_sql('spark', 'va', 'vb')} AS dot",
+        )
+        .selectExpr("vec_a", "vec_b", f"{cos_key_sql()} AS cos_key")
+        .filter(F.col("cos_key") >= min_cos_ppm)
+    )
+
+
+def embedding_neardup_exact(emb: DataFrame, min_cos_ppm: int = 350_000) -> DataFrame:
+    """Exhaustive all-pairs variant (recall baseline for tests —
+    O(n^2), never the scale path)."""
     v = _vectors(emb)
     a = v.selectExpr("vec_id AS vec_a", "vs AS va", "norm2 AS na")
     b = v.selectExpr("vec_id AS vec_b", "vs AS vb", "norm2 AS nb")
@@ -433,12 +478,29 @@ def embedding_neardup(emb: DataFrame, min_cos_ppm: int = 350_000) -> DataFrame:
     )
 
 
-def oracle_embedding_neardup(min_cos_ppm: int = 350_000) -> str:
+def oracle_embedding_neardup(
+    min_cos_ppm: int = 350_000,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> str:
+    """Replays the LSH-bucketed candidate generation + exact verify."""
+    sign = _plane_sign_sql()
     return (
         f"WITH v AS ({_vectors_cte()}), "
-        f"scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"terms AS (SELECT vec_id, t, j, vs[cast(d + 1 as int)] * {sign} AS term "
+        f"FROM v, range(0, {tables}) tt(t), range(0, {planes}) tj(j), "
+        f"range(0, {DIM}) td(d)), "
+        f"bits AS (SELECT vec_id, t, j, cast(sum(term) >= 0 as bigint) AS bit "
+        f"FROM terms GROUP BY 1, 2, 3), "
+        f"buckets AS (SELECT vec_id, t, cast(sum(bit << cast(j as int)) as bigint) "
+        f"AS bucket FROM bits GROUP BY 1, 2), "
+        f"cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        f"FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket "
+        f"AND a.vec_id < b.vec_id), "
+        f"scored AS (SELECT cand.vec_a, cand.vec_b, "
         f"a.na AS na, b.na AS nb, {dot_sql('duckdb', 'a.vs', 'b.vs')} AS dot "
-        f"FROM v a JOIN v b ON a.vec_id < b.vec_id) "
+        f"FROM cand JOIN v a ON a.vec_id = cand.vec_a "
+        f"JOIN v b ON b.vec_id = cand.vec_b) "
         f"SELECT vec_a, vec_b, {cos_key_sql()} AS cos_key FROM scored "
         f"WHERE {cos_key_sql()} >= {min_cos_ppm}"
     )

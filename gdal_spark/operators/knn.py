@@ -84,7 +84,14 @@ def knn(
         sites = sites_pdf.assign(scx=scx, scy=scy)
         cell_deg = 180.0 / (2.0**zoom)  # tile width in degrees (tms geodetic)
 
-        results = None  # accumulated candidate DataFrame
+        # Running top-k per site is merged DRIVER-side (sites are the
+        # tiny query side by contract — pandas in, k small). Each round
+        # runs ONE Spark job over only the NEW ring cells, collects at
+        # most k rows per unsatisfied site, and never re-executes
+        # earlier rounds' candidates (a point lives in exactly one
+        # cell, so rounds are disjoint and a per-round top-k loses
+        # nothing).
+        best: dict = {}  # site_id -> DataFrame(id, d2) sorted, <= k rows
         unsat = sites
         r_prev, r_cur = -1, 1
         for _ in range(max_rounds):
@@ -108,25 +115,31 @@ def knn(
                         f"({lat_col} - slat) * ({lat_col} - slat)"
                     ).alias("d2"),
                 )
-                results = cand if results is None else results.unionByName(cand)
+                win = Window.partitionBy("site_id").orderBy("d2", id_col)
+                round_topk = (
+                    cand.withColumn("rank", F.row_number().over(win))
+                    .filter(F.col("rank") <= k)
+                    .select("site_id", id_col, "d2")
+                ).toPandas()
+                for site_id, g in round_topk.groupby("site_id"):
+                    prev = best.get(site_id)
+                    merged = (
+                        g[[id_col, "d2"]]
+                        if prev is None
+                        else pd.concat([prev, g[[id_col, "d2"]]])
+                    )
+                    best[site_id] = merged.sort_values(
+                        ["d2", id_col], kind="mergesort"
+                    ).head(k)
 
-            # check satisfaction: kth distance within the guaranteed-covered
+            # satisfaction: kth distance within the guaranteed-covered
             # square around each site
-            win = Window.partitionBy("site_id").orderBy("d2", id_col)
-            topk = (
-                results.withColumn("rank", F.row_number().over(win))
-                .filter(F.col("rank") <= k)
-                .groupBy("site_id")
-                .agg(F.count("*").alias("n"), F.max("d2").alias("kth_d2"))
-            )
-            stats = {r["site_id"]: r for r in topk.collect()}
             still = []
             for rec in sites.itertuples(index=False):
-                st = stats.get(rec.site_id)
-                if st is None or st["n"] < k:
+                b = best.get(rec.site_id)
+                if b is None or len(b) < k:
                     still.append(rec.site_id)
                     continue
-                # guaranteed covered square (planar degrees)
                 lon_min = (int(rec.scx) - r_cur) * cell_deg - 180.0
                 lon_max = (int(rec.scx) + r_cur + 1) * cell_deg - 180.0
                 lat_min = (int(rec.scy) - r_cur) * cell_deg - 90.0
@@ -137,30 +150,31 @@ def knn(
                     rec.slat - lat_min,
                     lat_max - rec.slat,
                 )
-                # whole grid covered -> nothing outside
                 whole = (
                     lon_min <= -180.0
                     and lon_max >= 180.0
                     and lat_min <= -90.0
                     and lat_max >= 90.0
                 )
-                if not whole and float(st["kth_d2"]) > bound * bound:
+                if not whole and float(b["d2"].iloc[-1]) > bound * bound:
                     still.append(rec.site_id)
             if not still:
                 break
             unsat = sites[sites["site_id"].isin(still)]
             r_prev, r_cur = r_cur, r_cur * 2
 
-        win = Window.partitionBy("site_id").orderBy("d2", id_col)
-        out = (
-            results.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= k)
-            .select("site_id", "rank", id_col, "d2")
+        rows = []
+        for site_id in sorted(best):
+            b = best[site_id].reset_index(drop=True)
+            for rank, rec in enumerate(b.itertuples(index=False), start=1):
+                rows.append((site_id, rank, getattr(rec, id_col), float(rec.d2)))
+        out_pdf = pd.DataFrame(rows, columns=["site_id", "rank", id_col, "d2"])
+        out_pdf["rank"] = out_pdf["rank"].astype("int32")
+        out_pdf[id_col] = out_pdf[id_col].astype("int64")
+        return spark.createDataFrame(
+            out_pdf,
+            schema=f"site_id string, rank int, {id_col} bigint, d2 double",
         )
-        # materialize before unpersisting the candidate cache
-        out = out.persist()
-        out.count()
-        return out
     finally:
         pts.unpersist()
 

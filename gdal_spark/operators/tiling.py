@@ -44,38 +44,26 @@ CKS_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int6
 
 
 def covering_tiles(images: DataFrame, zoom: int) -> DataFrame:
-    """Explode each image to the mercator tiles its footprint
-    overlaps at ``zoom`` (vectorized pandas UDF -> explode)."""
+    """Explode each image to the mercator tiles its footprint overlaps
+    at ``zoom``. Pure Catalyst: corner tile indices via the shared
+    mercator SQL fragment, fan-out via JVM sequence()+explode — no
+    Python anywhere in the flagship render's fan-out stage (mercator
+    is axis-separable, so tile_x depends only on lon, tile_y on lat)."""
+    from .cells import merc_tile_sql
 
-    @F.pandas_udf("array<struct<tx:bigint,ty:bigint>>")
-    def tiles_of(
-        lon: pd.Series, lat: pd.Series, w: pd.Series, h: pd.Series
-    ) -> pd.Series:
-        out = []
-        res = 0.1 / w.values
-        minlon = lon.values
-        maxlon = lon.values + 0.1
-        maxlat = lat.values
-        minlat = lat.values - h.values * res
-        tx0, ty0 = grid.lonlat_to_tile_merc(minlon, minlat, zoom)
-        tx1, ty1 = grid.lonlat_to_tile_merc(maxlon, maxlat, zoom)
-        for a, b, c, d in zip(tx0, tx1, ty0, ty1):
-            out.append(
-                [
-                    {"tx": int(x), "ty": int(y)}
-                    for x in range(int(a), int(b) + 1)
-                    for y in range(int(c), int(d) + 1)
-                ]
-            )
-        return pd.Series(out)
-
+    minlat = "(lat - 0.1E0 * cast(h as double) / cast(w as double))"
     return (
         images.withColumn(
-            "tile", F.explode(tiles_of("lon", "lat", "w", "h"))
+            "tx0", F.expr(merc_tile_sql("lon", "lat", zoom, "x"))
         )
-        .withColumn("tx", F.col("tile.tx"))
-        .withColumn("ty", F.col("tile.ty"))
-        .drop("tile")
+        .withColumn(
+            "tx1", F.expr(merc_tile_sql("(lon + 0.1E0)", "lat", zoom, "x"))
+        )
+        .withColumn("ty0", F.expr(merc_tile_sql("lon", minlat, zoom, "y")))
+        .withColumn("ty1", F.expr(merc_tile_sql("lon", "lat", zoom, "y")))
+        .withColumn("tx", F.explode(F.expr("sequence(tx0, tx1)")))
+        .withColumn("ty", F.explode(F.expr("sequence(ty0, ty1)")))
+        .drop("tx0", "tx1", "ty0", "ty1")
     )
 
 
@@ -112,7 +100,14 @@ def render_base_tiles(
 ) -> DataFrame:
     """Render the base-zoom tile mosaic. Input needs (i, image_id,
     bytes, lon, lat, w, h). Output: one row per painted tile:
-    (tx, ty, bytes, n_painted) + per-channel checksums cks_0..2."""
+    (tx, ty, bytes, n_painted) + per-channel checksums cks_0..2.
+
+    An image overlapping k tiles is decoded once per tile group. With
+    this repo's codec that is a zero-copy frombuffer (decode is
+    cheaper than shipping decoded pixels through the shuffle, which
+    is why we deliberately explode the ENCODED payload); with a real
+    PNG/JPEG codec, insert a pre-decode mapInPandas before
+    covering_tiles and explode the raw array instead."""
     cov = covering_tiles(
         images.select("i", "image_id", "bytes", "lon", "lat", "w", "h"), zoom
     )

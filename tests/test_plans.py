@@ -72,6 +72,17 @@ def test_utm_corners_is_jvm_only(spark):
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 
+def test_embedding_neardup_has_no_cartesian(spark):
+    """The near-dup pair generator must be the LSH bucket equi-join —
+    no cartesian-class join anywhere in the plan."""
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan(ann.embedding_neardup(emb))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
 def test_aggregation_is_partial_final(spark):
     """groupBy compiles to partial (map-side) + final aggregation."""
     df = ogrsql.q_agg(spark, SF_DIR)

@@ -164,6 +164,14 @@ def test_embedding_neardup_symmetric_free(spark):
     out = ann.embedding_neardup(spark.read.parquet(EMBS)).toPandas()
     assert (out.vec_a < out.vec_b).all()
     assert (out.cos_key >= 350_000).all()
+    # the LSH-bucketed pairs are a subset of the exact all-pairs
+    # result, with usable recall at the default threshold
+    exact = ann.embedding_neardup_exact(spark.read.parquet(EMBS)).toPandas()
+    e = set(map(tuple, exact[["vec_a", "vec_b"]].values))
+    g = set(map(tuple, out[["vec_a", "vec_b"]].values))
+    assert g <= e
+    if e:
+        assert len(g) / len(e) >= 0.5, f"neardup recall {len(g)/len(e):.2f}"
 
 
 def test_simplify_dp_invariants(spark):
