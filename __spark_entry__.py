@@ -575,6 +575,26 @@ def _q_overlay_erase_rect(spark, sf_dir):
     )
 
 
+_FILL_MAX_I = 6
+
+
+def _q_fillnodata(spark, sf_dir):
+    return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
+
+
+def _q_warp_nodata(spark, sf_dir):
+    """Average 2x downsample with a source-nodata mask (taps skipped +
+    renormalized, GDALWarpNoDataMasker semantics)."""
+    out = warp.warp_scale(
+        _pixel_images(spark, sf_dir, _WARP_MAX_I), 0.5, "average", nodata=0
+    )
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
 # New round-2 operator queries land here (name -> callable); populated
 # below as operators are built so the window layout stays in one place.
 _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -582,6 +602,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warp_reproject_utm": _q_warp_reproject_utm,
     "overlay_intersection": _q_overlay_boxes,
     "overlay_erase": _q_overlay_erase_rect,
+    "fillnodata": _q_fillnodata,
+    "warp_nodata": _q_warp_nodata,
 }
 
 
@@ -859,6 +881,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "overlay_intersection": overlay.oracle_overlay_boxes(m),
         "overlay_erase": overlay.oracle_overlay_erase_rect(m),
+        "fillnodata": raster_misc.oracle_fillnodata(min(n, 4096), _FILL_MAX_I),
+        "warp_nodata": warp.oracle_warp_nodata_avg_down2(
+            min(n, 4096), _WARP_MAX_I
+        ),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

@@ -155,30 +155,131 @@ def oracle_nearblack(n: int, max_i: int, threshold: int = 16) -> str:
 # fillnodata (simplified rasterfill semantics; pytest-verified)
 
 
+FILL_DIRS = (
+    (-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)
+)
+
+
 def fillnodata(arr: np.ndarray, nodata: int = 0, max_distance: int = 16) -> np.ndarray:
     """Fill nodata pixels with the inverse-distance mean of the
     nearest valid pixel along each of the 8 compass rays (<=
-    max_distance); unfillable pixels stay nodata."""
+    max_distance); unfillable pixels stay nodata. Semantics follow
+    GDALFillNodata's ray search (alg/rasterfill.cpp:409).
+
+    Vectorized: per direction, a shifted-mask sweep finds each bad
+    pixel's first valid hit; the per-pixel accumulation order matches
+    the scalar definition (directions in FILL_DIRS order), so results
+    are bit-identical to a per-pixel loop."""
     h, w = arr.shape
-    out = arr.astype(np.float64).copy()
     bad = arr == nodata
-    ys, xs = np.nonzero(bad)
-    dirs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
-    for y, x in zip(ys, xs):
-        num = den = 0.0
-        for dy, dx in dirs:
-            for d in range(1, max_distance + 1):
-                ny, nx = y + dy * d, x + dx * d
-                if not (0 <= ny < h and 0 <= nx < w):
-                    break
-                if not bad[ny, nx]:
-                    dist = d * np.hypot(dy, dx)
-                    num += arr[ny, nx] / dist
-                    den += 1.0 / dist
-                    break
-        if den > 0:
-            out[y, x] = num / den
+    num = np.zeros((h, w), dtype=np.float64)
+    den = np.zeros((h, w), dtype=np.float64)
+    arrf = arr.astype(np.float64)
+    for dy, dx in FILL_DIRS:
+        unit = float(np.hypot(dy, dx))
+        found = np.zeros((h, w), dtype=bool)
+        for d in range(1, max_distance + 1):
+            sy, sx = dy * d, dx * d
+            # value/validity at (y+sy, x+sx), out-of-bounds = invalid
+            val = np.zeros((h, w), dtype=np.float64)
+            ok = np.zeros((h, w), dtype=bool)
+            ys0, ys1 = max(0, -sy), min(h, h - sy)
+            xs0, xs1 = max(0, -sx), min(w, w - sx)
+            if ys0 >= ys1 or xs0 >= xs1:
+                break
+            val[ys0:ys1, xs0:xs1] = arrf[ys0 + sy:ys1 + sy, xs0 + sx:xs1 + sx]
+            ok[ys0:ys1, xs0:xs1] = ~bad[ys0 + sy:ys1 + sy, xs0 + sx:xs1 + sx]
+            hit = bad & ~found & ok
+            if hit.any():
+                dist = d * unit
+                num[hit] += val[hit] / dist
+                den[hit] += 1.0 / dist
+                found |= hit
+            if (found | ~bad).all():
+                break
+    out = arrf.copy()
+    fill = bad & (den > 0)
+    out[fill] = num[fill] / den[fill]
     return np.floor(out + 0.5).astype(arr.dtype)
+
+
+def fillnodata_rows(
+    images: DataFrame, nodata: int = 0, max_distance: int = 16
+) -> DataFrame:
+    """Driver-gated GDALFillNodata stage: fill band 0 of every image,
+    then per-scanline aggregates over the originally-nodata pixels
+    (count + filled-value sum; unfillable pixels contribute the nodata
+    value). One mapInPandas stage, zero shuffle before the final
+    per-(image, y) aggregation."""
+
+    def it(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                band = codecs.decode_image(bytes(payload))[:, :, 0]
+                bad = band == nodata
+                if not bad.any():
+                    continue
+                filled = fillnodata(band, nodata, max_distance)
+                for y in np.unique(np.nonzero(bad)[0]):
+                    m = bad[y]
+                    rows.append(
+                        (
+                            image_id,
+                            int(y),
+                            int(m.sum()),
+                            int(filled[y][m].astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "y", "n_bad", "filled_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        it, schema="image_id string, y bigint, n_bad bigint, filled_sum bigint"
+    )
+
+
+def oracle_fillnodata(n: int, max_i: int, max_distance: int = 16) -> str:
+    """Join-free replay: bad pixels from the synthetic pixel function,
+    first-valid hit per compass ray via min(d) over the closed-form
+    neighbor values, IDW mean, floor(x+0.5)."""
+    import re
+
+    val = synth.pixel_val_sql()
+    shifted = re.sub(
+        r"\by\b", "(y + dy * dd)", re.sub(r"\bx\b", "(x + dx * dd)", val)
+    )
+    at_min = re.sub(
+        r"\by\b", "(y + dy * dmin)", re.sub(r"\bx\b", "(x + dx * dmin)", val)
+    )
+    return f"""
+WITH img AS (SELECT i, image_id, w, h, fmt
+             FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}),
+bad AS (SELECT image_id, i, w, h, fmt, x, y, 0 AS ch
+        FROM img, range(0, 256) tx(x), range(0, 256) ty(y)
+        WHERE x < w AND y < h AND ({val}) = 0),
+dirs(dy, dx) AS (VALUES (-1,0),(1,0),(0,-1),(0,1),(-1,-1),(-1,1),(1,-1),(1,1)),
+hits AS (SELECT image_id, i, w, h, fmt, x, y, ch, dy, dx, min(dd) AS dmin
+         FROM bad, dirs, range(1, {max_distance + 1}) r(dd)
+         WHERE x + dx * dd >= 0 AND x + dx * dd < w
+           AND y + dy * dd >= 0 AND y + dy * dd < h
+           AND ({shifted}) <> 0
+         GROUP BY ALL),
+fillv AS (SELECT image_id, x, y,
+          sum(({at_min}) / (dmin * (CASE WHEN dy <> 0 AND dx <> 0
+               THEN sqrt(2.0E0) ELSE 1.0E0 END))) AS num,
+          sum(1.0E0 / (dmin * (CASE WHEN dy <> 0 AND dx <> 0
+               THEN sqrt(2.0E0) ELSE 1.0E0 END))) AS den
+          FROM hits GROUP BY 1, 2, 3),
+pv AS (SELECT b.image_id, b.y,
+       coalesce(floor(f.num / f.den + 0.5E0), 0.0E0) AS v
+       FROM bad b LEFT JOIN fillv f
+       ON f.image_id = b.image_id AND f.x = b.x AND f.y = b.y)
+SELECT image_id, y, count(*) AS n_bad,
+       cast(sum(cast(v as bigint)) as bigint) AS filled_sum
+FROM pv GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------

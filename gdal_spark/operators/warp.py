@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from .. import codecs, grid, resample
 
 
-def _scaled_warp_iter(batches, factor: float, alg: str):
+def _scaled_warp_iter(batches, factor: float, alg: str, nodata=None):
     for pdf in batches:
         out_bytes, out_w, out_h = [], [], []
         for payload, w, h in zip(pdf["bytes"], pdf["w"], pdf["h"]):
@@ -37,7 +37,9 @@ def _scaled_warp_iter(batches, factor: float, alg: str):
             # irrelevant to the pixel math, so use a unit grid
             src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
             dst_gt = (0.0, 1.0 / factor, 0.0, 0.0, 0.0, -1.0 / factor)
-            warped = resample.warp_image(arr, src_gt, dst_gt, (dh, dw), alg)
+            warped = resample.warp_image(
+                arr, src_gt, dst_gt, (dh, dw), alg, nodata=nodata
+            )
             out_bytes.append(codecs.encode_image(warped, "png"))
             out_w.append(dw)
             out_h.append(dh)
@@ -51,12 +53,47 @@ def _scaled_warp_iter(batches, factor: float, alg: str):
         )
 
 
-def warp_scale(images: DataFrame, factor: float, alg: str = "near") -> DataFrame:
+def warp_scale(
+    images: DataFrame, factor: float, alg: str = "near", nodata=None
+) -> DataFrame:
     """Rescale every image by ``factor`` with the given resampler;
-    output is lossless-encoded. (image_id, bytes, w, h)."""
+    output is lossless-encoded. (image_id, bytes, w, h). ``nodata``
+    activates the source-nodata mask (taps skipped + renormalized)."""
     return images.select("image_id", "bytes", "w", "h").mapInPandas(
-        lambda it: _scaled_warp_iter(it, factor, alg),
+        lambda it: _scaled_warp_iter(it, factor, alg, nodata),
         schema="image_id string, bytes binary, w int, h int",
+    )
+
+
+def oracle_warp_nodata_avg_down2(n: int, max_i: int, nodata: int = 0) -> str:
+    """Average 2x downsample with source nodata: the 2x2 block mean
+    excludes nodata taps and renormalizes (floor(sum/count + 0.5));
+    all-nodata blocks emit nodata. Exact-integer replay."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    inner = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"(2 * xd + c % 2) AS x, (2 * yd + c // 2) AS y "
+        f"FROM ({img}) i, range(0, 128) tx(xd), range(0, 128) ty(yd), "
+        f"range(0, 3) tc(ch), range(0, 4) tcr(c) "
+        f"WHERE i.i < {max_i} AND xd < i.w // 2 AND yd < i.h // 2"
+    )
+    mid = (
+        f"SELECT image_id, ch, xd, yd, w, "
+        f"sum(CASE WHEN v <> {nodata} THEN v ELSE 0 END) AS s, "
+        f"sum(CASE WHEN v <> {nodata} THEN 1 ELSE 0 END) AS cnt "
+        f"FROM (SELECT image_id, ch, xd, yd, w, {synth.pixel_val_sql()} AS v "
+        f"FROM ({inner})) GROUP BY 1, 2, 3, 4, 5"
+    )
+    val = (
+        f"(CASE WHEN cnt > 0 THEN cast(floor(cast(s as double) / cnt + 0.5E0) "
+        f"as bigint) ELSE {nodata} END)"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum({val} % {_cks_prime('yd * (w // 2) + xd')}) % 65536 as bigint) "
+        f"AS cks FROM ({mid}) GROUP BY 1, 2"
     )
 
 

@@ -137,9 +137,13 @@ def _round_to_dtype(vals: np.ndarray, dtype) -> np.ndarray:
 # convolution + nearest path
 
 
-def _warp_conv_band(src, sx, sy, alg, xscale, yscale):
+def _warp_conv_band(src, sx, sy, alg, xscale, yscale, src_valid=None):
     """General convolution resample of one band at continuous source
-    coords (sx, sy) arrays. Returns float64 values + validity mask."""
+    coords (sx, sy) arrays. Returns float64 values + validity mask.
+    ``src_valid``: optional bool mask — invalid (nodata) taps get zero
+    weight and the remaining taps renormalize, GDALWarpNoDataMasker
+    semantics (alg/gdalwarper.cpp GDALWarpNoDataMasker,
+    gdalwarpkernel.cpp tap-skip + density renorm)."""
     h, w = src.shape
     isx = np.floor(sx - 0.5).astype(np.int64)
     isy = np.floor(sy - 0.5).astype(np.int64)
@@ -180,8 +184,11 @@ def _warp_conv_band(src, sx, sy, alg, xscale, yscale):
                 wx = kernel_weight(alg, (i - dx) * xscale)
             else:
                 wx = kernel_weight(alg, i - dx)
-            wgt = np.where(xmask, wx * wy, 0.0)
             xc = np.clip(xx, 0, w - 1)
+            tap_ok = xmask
+            if src_valid is not None:
+                tap_ok = tap_ok & src_valid[yc, xc]
+            wgt = np.where(tap_ok, wx * wy, 0.0)
             acc += srcf[yc, xc] * wgt
             accw += wgt
     valid = accw > 1e-6
@@ -196,18 +203,23 @@ def _warp_conv_band(src, sx, sy, alg, xscale, yscale):
         # falls back to bilinear at that pixel
         edge = (isx - 1 < 0) | (isx + 2 >= w) | (isy - 1 < 0) | (isy + 2 >= h)
         if edge.any():
-            bl, blv = _warp_conv_band(src, sx, sy, "bilinear", xscale, yscale)
+            bl, blv = _warp_conv_band(
+                src, sx, sy, "bilinear", xscale, yscale, src_valid
+            )
             out = np.where(edge, bl, out)
             valid = np.where(edge, blv, valid)
     return out, valid
 
 
-def _warp_near_band(src, sx, sy):
+def _warp_near_band(src, sx, sy, src_valid=None):
     h, w = src.shape
     ix = np.floor(sx + 1e-10).astype(np.int64)
     iy = np.floor(sy + 1e-10).astype(np.int64)
     valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    out = src[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)].astype(np.float64)
+    ixc, iyc = np.clip(ix, 0, w - 1), np.clip(iy, 0, h - 1)
+    if src_valid is not None:
+        valid = valid & src_valid[iyc, ixc]
+    out = src[iyc, ixc].astype(np.float64)
     return np.where(valid, out, 0.0), valid
 
 
@@ -236,9 +248,10 @@ def _edge_weight(idx, imin, imax, dmin, dmax):
     )
 
 
-def _warp_area_band(src, x0, y0, x1, y1, alg):
+def _warp_area_band(src, x0, y0, x1, y1, alg, src_valid=None):
     """Area resample of one band; (x0,y0)-(x1,y1) are the transformed
-    dst pixel corner coords in source pixel space (arrays)."""
+    dst pixel corner coords in source pixel space (arrays). Invalid
+    (nodata) source pixels contribute neither value nor weight."""
     h, w = src.shape
     xlo, xhi = np.minimum(x0, x1), np.maximum(x0, x1)
     ylo, yhi = np.minimum(y0, y1), np.maximum(y0, y1)
@@ -250,7 +263,8 @@ def _warp_area_band(src, x0, y0, x1, y1, alg):
 
     if alg in ("med", "q1", "q3", "mode"):
         return _warp_area_sortish(
-            srcf, ixmin, ixmax, iymin, iymax, nx, ny, alg, src.dtype
+            srcf, ixmin, ixmax, iymin, iymax, nx, ny, alg, src.dtype,
+            src_valid,
         )
 
     tot = np.zeros(x0.shape, dtype=np.float64)
@@ -268,8 +282,11 @@ def _warp_area_band(src, x0, y0, x1, y1, alg):
             m = ym & (xx < ixmax)
             if not m.any():
                 continue
+            xc = np.clip(xx, 0, w - 1)
+            if src_valid is not None:
+                m = m & src_valid[yc, xc]
             wgt = np.where(m, _edge_weight(xx, ixmin, ixmax, xlo, xhi) * wy, 0.0)
-            v = srcf[yc, np.clip(xx, 0, w - 1)]
+            v = srcf[yc, xc]
             tot += np.where(m, v * wgt, 0.0)
             totw += wgt
             vmax = np.where(m, np.maximum(vmax, v), vmax)
@@ -294,10 +311,13 @@ def _warp_area_band(src, x0, y0, x1, y1, alg):
                 m = ym & (xx < ixmax)
                 if not m.any():
                     continue
+                xc = np.clip(xx, 0, w - 1)
+                if src_valid is not None:
+                    m = m & src_valid[yc, xc]
                 wgt = np.where(
                     m, _edge_weight(xx, ixmin, ixmax, xlo, xhi) * wy, 0.0
                 )
-                v = srcf[yc, np.clip(xx, 0, w - 1)]
+                v = srcf[yc, xc]
                 tot2 += np.where(m, v * v * wgt, 0.0)
         np.divide(tot2, totw, out=out, where=valid)
         np.sqrt(out, out=out)
@@ -310,9 +330,12 @@ def _warp_area_band(src, x0, y0, x1, y1, alg):
     return out, valid
 
 
-def _warp_area_sortish(srcf, ixmin, ixmax, iymin, iymax, nx, ny, alg, src_dtype):
+def _warp_area_sortish(
+    srcf, ixmin, ixmax, iymin, iymax, nx, ny, alg, src_dtype, src_valid=None
+):
     """med/q1/q3 (sorted quantile, index ceil(q*n - 1)) and mode
-    (first value to reach the max count in scan order)."""
+    (first value to reach the max count in scan order). Invalid
+    (nodata) pixels are dropped from the box before the sort/scan."""
     h, w = srcf.shape
     out = np.zeros(ixmin.shape, dtype=np.float64)
     valid = np.zeros(ixmin.shape, dtype=bool)
@@ -326,6 +349,8 @@ def _warp_area_sortish(srcf, ixmin, ixmax, iymin, iymax, nx, ny, alg, src_dtype)
         if x1 <= x0 or y1 <= y0:
             continue
         box = srcf[y0:y1, x0:x1].ravel()
+        if src_valid is not None:
+            box = box[src_valid[y0:y1, x0:x1].ravel()]
         if box.size == 0:
             continue
         valid[idx] = True
@@ -356,23 +381,34 @@ def warp_band(
     alg: str = "near",
     transform=None,
     out_dtype=None,
+    nodata=None,
 ) -> np.ndarray:
     """Warp one 2-D band to the destination grid. ``transform`` maps
-    dst georef coords to src georef coords (None = same SRS)."""
+    dst georef coords to src georef coords (None = same SRS).
+    ``nodata``: source pixels equal to this value are masked out of
+    every kernel (taps skipped + weights renormalized,
+    GDALWarpNoDataMasker semantics, alg/gdalwarper.h:106); dst pixels
+    with no valid tap are written as ``nodata``."""
     dh, dw = dst_shape
     yd, xd = np.mgrid[0:dh, 0:dw].astype(np.float64)
     out_dtype = out_dtype or src.dtype
+    src_valid = None if nodata is None else (src != nodata)
+
+    def _finish(vals, valid):
+        if nodata is not None:
+            vals = np.where(valid, vals, float(nodata))
+        return _round_to_dtype(vals, out_dtype)
 
     if alg in AREA_ALGS:
         x0, y0 = dst_to_src(dst_gt, src_gt, xd, yd, transform)
         x1, y1 = dst_to_src(dst_gt, src_gt, xd + 1.0, yd + 1.0, transform)
-        vals, _ = _warp_area_band(src, x0, y0, x1, y1, alg)
-        return _round_to_dtype(vals, out_dtype)
+        vals, valid = _warp_area_band(src, x0, y0, x1, y1, alg, src_valid)
+        return _finish(vals, valid)
 
     sx, sy = dst_to_src(dst_gt, src_gt, xd + 0.5, yd + 0.5, transform)
     if alg == "near":
-        vals, _ = _warp_near_band(src, sx, sy)
-        return _round_to_dtype(vals, out_dtype)
+        vals, valid = _warp_near_band(src, sx, sy, src_valid)
+        return _finish(vals, valid)
     if alg in CONV_ALGS:
         # scale per GDALWarpKernel: dst window size / needed source
         # window size (alg/gdalwarpkernel.cpp:1041), snapped; derived
@@ -383,20 +419,26 @@ def warp_band(
         )
         xscale = _snap_scale(dw / abs(cx1 - cx0)) if cx1 != cx0 else 1.0
         yscale = _snap_scale(dh / abs(cy1 - cy0)) if cy1 != cy0 else 1.0
-        vals, _ = _warp_conv_band(src, sx, sy, alg, xscale, yscale)
-        return _round_to_dtype(vals, out_dtype)
+        vals, valid = _warp_conv_band(src, sx, sy, alg, xscale, yscale, src_valid)
+        return _finish(vals, valid)
     raise ValueError(f"unknown resampling {alg!r}")
 
 
 def warp_image(
-    src: np.ndarray, src_gt, dst_gt, dst_shape, alg="near", transform=None
+    src: np.ndarray, src_gt, dst_gt, dst_shape, alg="near", transform=None,
+    nodata=None,
 ) -> np.ndarray:
     """Warp an (h, w) or (h, w, c) array channel-by-channel."""
     if src.ndim == 2:
-        return warp_band(src, src_gt, dst_gt, dst_shape, alg, transform)
+        return warp_band(
+            src, src_gt, dst_gt, dst_shape, alg, transform, nodata=nodata
+        )
     return np.stack(
         [
-            warp_band(src[:, :, c], src_gt, dst_gt, dst_shape, alg, transform)
+            warp_band(
+                src[:, :, c], src_gt, dst_gt, dst_shape, alg, transform,
+                nodata=nodata,
+            )
             for c in range(src.shape[2])
         ],
         axis=2,

@@ -144,3 +144,44 @@ def test_identity_warp_roundtrip():
     for alg in ("near", "bilinear", "cubic", "lanczos", "average"):
         out = resample.warp_band(rng, gt, gt, (20, 20), alg)
         assert np.array_equal(out, rng), alg
+
+
+def test_nodata_mask_semantics():
+    """GDALWarpNoDataMasker: nodata taps are skipped and the remaining
+    weights renormalize; all-nodata neighborhoods emit nodata."""
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    gt_half = (0.0, 2.0, 0.0, 0.0, 0.0, -2.0)
+    # 4x4 with one nodata per 2x2 block (value 0)
+    src = np.array(
+        [
+            [0, 10, 20, 30],
+            [40, 50, 60, 0],
+            [0, 0, 100, 200],
+            [0, 0, 50, 150],
+        ],
+        dtype=np.uint8,
+    )
+    out = resample.warp_band(src, gt, gt_half, (2, 2), "average", nodata=0)
+    # block means over valid taps only, floor(x+0.5)
+    assert out[0, 0] == int(np.floor((10 + 40 + 50) / 3 + 0.5))
+    assert out[0, 1] == int(np.floor((20 + 30 + 60) / 3 + 0.5))
+    assert out[1, 0] == 0  # all-nodata block stays nodata
+    assert out[1, 1] == int(np.floor((100 + 200 + 50 + 150) / 4 + 0.5))
+    # without the mask, zeros dilute the mean
+    plain = resample.warp_band(src, gt, gt_half, (2, 2), "average")
+    assert plain[0, 0] == int(np.floor((0 + 10 + 40 + 50) / 4 + 0.5))
+
+
+def test_nodata_near_and_bilinear():
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    src = np.array([[0, 100], [100, 100]], dtype=np.uint8)
+    # near identity: the nodata pixel propagates as nodata
+    out = resample.warp_band(src, gt, gt, (2, 2), "near", nodata=0)
+    assert out[0, 0] == 0 and out[0, 1] == 100
+    # bilinear at the center of the 2x2: with the mask, the three
+    # valid taps renormalize to exactly 100
+    gt_mid = (0.5, 1.0, 0.0, -0.5, 0.0, -1.0)
+    out2 = resample.warp_band(src, gt, gt_mid, (1, 1), "bilinear", nodata=0)
+    assert out2[0, 0] == 100
+    plain = resample.warp_band(src, gt, gt_mid, (1, 1), "bilinear")
+    assert plain[0, 0] == 75  # unmasked: 0 drags the mean down
