@@ -582,6 +582,12 @@ def _q_fillnodata(spark, sf_dir):
     return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
 
 
+def _q_contour_polylines(spark, sf_dir):
+    """Marching-squares segments stitched into polylines across
+    tiles; structural aggregates incl. connected-component count."""
+    return contour.contour_polylines(spark, 96, 96)
+
+
 def _q_warp_nodata(spark, sf_dir):
     """Average 2x downsample with a source-nodata mask (taps skipped +
     renormalized, GDALWarpNoDataMasker semantics)."""
@@ -604,6 +610,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlay_erase": _q_overlay_erase_rect,
     "fillnodata": _q_fillnodata,
     "warp_nodata": _q_warp_nodata,
+    "contour_polylines": _q_contour_polylines,
 }
 
 
@@ -885,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_nodata": warp.oracle_warp_nodata_avg_down2(
             min(n, 4096), _WARP_MAX_I
         ),
+        "contour_polylines": contour.oracle_contour_polylines(96, 96),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

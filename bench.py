@@ -177,7 +177,11 @@ def main():
         thr_hi = results[hi]["images_per_sec"]
         eff = round((thr_hi / thr_lo) / (hi / lo), 3)
         ceiling = round(platform_ceiling(lo, hi) / (hi / lo), 3)
-        eff_norm = round(min(eff / ceiling, 1.0), 3) if ceiling > 0 else eff
+        # no cap: the normalized figure is an upper-bound ESTIMATE
+        # (attributes all shortfall to neighbor load); values > 1 mean
+        # the job out-scaled the calibration probe and say "ceiling-
+        # limited", not "perfect" — report raw first, always
+        eff_norm = round(eff / ceiling, 3) if ceiling > 0 else eff
         try:
             load1 = round(os.getloadavg()[0], 1)
         except OSError:
@@ -200,15 +204,16 @@ def main():
                 f"{results[c]['images_per_sec']} | {results[c]['n_pairs']} |\n"
                 for c in (lo, hi)
             )
-            + f"\nScaling efficiency ({lo} -> {hi} cores, throughput basis): "
-            f"**{eff}**\n\n"
-            f"Platform parallel ceiling at measurement time (pure-numpy\n"
-            f"{lo} vs {hi} pinned processes, no Spark): **{ceiling}** of the\n"
-            f"ideal {hi // lo}x (shared sandbox host; 1-min load avg {load1}\n"
-            f"from neighbors at run time). Job efficiency normalized to the\n"
-            f"platform ceiling — the figure that transfers to a real\n"
-            f"N- vs 4N-executor cluster where executors own their cores:\n"
-            f"**{eff_norm}** (north-rule target >= 0.8).\n\n"
+            + f"\nRAW scaling efficiency ({lo} -> {hi} cores, throughput "
+            f"basis): **{eff}** (north-rule target >= 0.8).\n\n"
+            f"Context: platform parallel ceiling at measurement time\n"
+            f"(pure-numpy {lo} vs {hi} pinned processes, no Spark): "
+            f"**{ceiling}** of the ideal {hi // lo}x (shared sandbox host; "
+            f"1-min load avg {load1}\nfrom neighbors at run time). "
+            f"Ceiling-normalized efficiency **{eff_norm}** is an\n"
+            f"UPPER-BOUND estimate (attributes the whole shortfall to "
+            f"neighbor load); a value\n>= 1 means the job out-scaled the "
+            f"calibration probe. The raw figure above is\nthe headline.\n\n"
             "Headline per-query timings at sf0.1 are in the driver's "
             "BENCH_r*.json (default bench mode).\n"
         )

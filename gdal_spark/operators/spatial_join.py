@@ -103,7 +103,13 @@ def _is_rectangle(geom_wkb: bytes) -> bool:
     if len(r) != 4:
         return False
     xs, ys = np.unique(r[:, 0]), np.unique(r[:, 1])
-    return len(xs) == 2 and len(ys) == 2
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    # require axis-aligned alternating edges (dx==0 xor dy==0 per
+    # edge): excludes bowtie orderings of the 4 corner points, whose
+    # even-odd interior is NOT the envelope
+    d = np.roll(r, -1, axis=0) - r
+    return bool(np.all((d[:, 0] == 0) ^ (d[:, 1] == 0)))
 
 
 def make_pip_udf():
@@ -149,9 +155,13 @@ def spatial_join(
 
     env_cols = ["env_minx", "env_miny", "env_maxx", "env_maxy"]
     # the exploded polygon side is small (<= max_cells * n_poly rows)
-    # and feeds two broadcast builds -> persist so the explode UDF
-    # runs once, not once per branch
-    pcells = polygon_cells(polys, join_zoom, min_zoom, max_cells).persist()
+    # and feeds two broadcast builds -> localCheckpoint so the explode
+    # UDF runs once, not once per branch; unlike persist(), the
+    # checkpoint blocks release automatically when the RDD is
+    # unreferenced (no cache accumulation across repeated calls)
+    pcells = polygon_cells(polys, join_zoom, min_zoom, max_cells).localCheckpoint(
+        eager=True
+    )
     # rectangle polygons: the envelope test IS the exact test
     # (m_bFilterIsEnvelope, ogrlayer.cpp) -> a pure-JVM branch that
     # never ships WKB through the broadcast nor rows through Arrow

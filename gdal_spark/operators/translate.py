@@ -102,10 +102,42 @@ def oracle_translate(
     )
 
 
+_CALC_ALLOWED_NODES = (
+    "Expression", "BinOp", "UnaryOp", "Call", "Name", "Load", "Constant",
+    "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod", "Pow", "USub", "UAdd",
+    "Compare", "Lt", "LtE", "Gt", "GtE", "Eq", "NotEq", "Tuple",
+)
+
+
+def _validate_calc_expr(expr: str) -> None:
+    """AST whitelist: only arithmetic, comparisons, band names and
+    calls to SAFE_FUNCS — no attributes, subscripts, lambdas or
+    comprehensions, so attribute-chain sandbox escapes can't parse."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    allowed_names = {"A", "B", "C", *SAFE_FUNCS}
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _CALC_ALLOWED_NODES:
+            raise ValueError(f"calc expr: disallowed syntax {kind!r}")
+        if isinstance(node, ast.Name) and node.id not in allowed_names:
+            raise ValueError(f"calc expr: unknown name {node.id!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in SAFE_FUNCS:
+                raise ValueError("calc expr: only SAFE_FUNCS calls allowed")
+        if isinstance(node, ast.Constant) and not isinstance(
+            node.value, (int, float)
+        ):
+            raise ValueError("calc expr: only numeric literals allowed")
+
+
 def calc(images: DataFrame, expr: str) -> DataFrame:
     """gdal_calc: evaluate ``expr`` over bands A/B/C (numpy arrays),
-    output clamp-rounded byte + checksum. Expression is evaluated
-    with a restricted namespace (numpy funcs only)."""
+    output clamp-rounded byte + checksum. The expression is validated
+    against an AST whitelist (arithmetic + SAFE_FUNCS only) before
+    evaluation, so untrusted strings cannot escape the namespace."""
+    _validate_calc_expr(expr)
 
     def run(batches):
         code = compile(expr, "<calc>", "eval")
