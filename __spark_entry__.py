@@ -521,8 +521,11 @@ def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+_NGRAM_MAX_DF = 50  # stop-shingle cap exercised by the driver gate
+
+
 def _q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_df=_NGRAM_MAX_DF)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -583,6 +586,25 @@ def _q_fillnodata(spark, sf_dir):
     return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
 
 
+def _q_overview_resamplers(spark, sf_dir):
+    """Overview reduce with the non-average resamplers (near/max/min
+    SQL-replayed; the full 9-kernel family is golden-tested in
+    tests/test_warp.py via the shared resample module)."""
+    base = _hot_tile_base(spark, sf_dir).localCheckpoint(eager=True)
+    parts = []
+    for alg in tiling.OVERVIEW_ORACLE_ALGS:
+        ov = tiling.overview_tiles(base, resampling=alg)
+        parts.append(
+            _stack_cks(ov).selectExpr(
+                "tx", "ty", f"'{alg}' AS alg", "channel", "cks"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _q_spatial_predicates(spark, sf_dir):
     return predicates.predicates_boxes_query(
         synth.polygons_df(spark, synth.n_polygons(sf_dir))
@@ -619,6 +641,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warp_nodata": _q_warp_nodata,
     "contour_polylines": _q_contour_polylines,
     "spatial_predicates": _q_spatial_predicates,
+    "overview_resamplers": _q_overview_resamplers,
 }
 
 
@@ -882,7 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.oracle_lang_id(),
         "token_topk": textops.oracle_token_topk(),
         "exact_dedup": dedup.oracle_exact_dedup(),
-        "ngram_jaccard": dedup.oracle_ngram_jaccard(),
+        "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),
         "simhash": dedup.oracle_simhash(),
         "simhash_pairs": dedup.oracle_simhash_pairs(),
@@ -902,6 +925,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contour_polylines": contour.oracle_contour_polylines(96, 96),
         "spatial_predicates": predicates.oracle_predicates_boxes(m),
+        "overview_resamplers": tiling.oracle_overview_resamplers(
+            min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
+        ),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

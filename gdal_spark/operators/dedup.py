@@ -126,12 +126,31 @@ def _jacc_key() -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = SHINGLE_N, min_jacc_ppm: int = 200_000
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    min_jacc_ppm: int = 200_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard >= threshold.
     Pair generation via shingle equi-join (shuffle on shingle), then
-    integer-exact threshold test inter*1e6 >= ppm*union."""
+    integer-exact threshold test inter*1e6 >= ppm*union.
+
+    ``max_df`` (stop-shingle cap): shingles whose document frequency
+    exceeds it are dropped from the shingle sets BEFORE pairing — the
+    100 TB guard against a boilerplate shingle shared by millions of
+    docs turning the equi-join quadratic. Deterministic (the oracle
+    applies the identical filter); None = exact, uncapped."""
     sh = shingles_df(docs, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # sh feeds sizes + both sides of the pair join -> materialize once
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -153,12 +172,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def oracle_ngram_jaccard(n: int = SHINGLE_N, min_jacc_ppm: int = 200_000) -> str:
+def oracle_ngram_jaccard(
+    n: int = SHINGLE_N,
+    min_jacc_ppm: int = 200_000,
+    max_df: int | None = None,
+) -> str:
+    cap = (
+        ""
+        if max_df is None
+        else (
+            f"sh0 AS (SELECT * FROM sh WHERE shingle NOT IN ("
+            f"SELECT shingle FROM sh GROUP BY shingle "
+            f"HAVING count(DISTINCT doc_id) > {max_df})), "
+        )
+    )
+    src = "sh" if max_df is None else "sh0"
     return (
-        f"WITH sh AS ({_shingles_cte(n)}), "
-        f"sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        f"WITH sh AS ({_shingles_cte(n)}), {cap}"
+        f"sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id), "
         f"ij AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
-        f"FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        f"FROM {src} a JOIN {src} b "
+        f"ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         f"GROUP BY 1, 2) "
         f"SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_n, "
         f"{_jacc_key().replace('union_n', '(sa.n_sh + sb.n_sh - inter)')} AS jacc_key "

@@ -168,9 +168,17 @@ def render_base_tiles(
 # overview reduce (z -> z-1)
 
 
-def overview_tiles(tiles: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
-    """One pyramid level up: each parent = 2x box-average of its <=4
-    children composed on the doubled grid (missing children = 0)."""
+def overview_tiles(
+    tiles: DataFrame, tile_px: int = TILE_PX, resampling: str = "average"
+) -> DataFrame:
+    """One pyramid level up: each parent composes its <=4 children on
+    the doubled grid (missing children = 0) and downsamples 2x with
+    ``resampling`` — any golden-verified kernel from
+    gdal_spark.resample (near/bilinear/cubic/.../max/min/med/mode),
+    matching the reference's 9 overview resamplers
+    (gcore/overview.cpp:150, gdal2tiles.py:914). 'average' keeps the
+    exact-integer (sum+2)//4 path (bit-equal to the area kernel for
+    integer inputs; it is floor(mean + 0.5))."""
 
     def reduce_parent(key, pdf):
         ptx, pty = int(key[0]), int(key[1])
@@ -181,13 +189,23 @@ def overview_tiles(tiles: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
             qy = int(row.ty) - 2 * pty  # TMS: 1 = top half of the image
             y0 = 0 if qy == 1 else tile_px
             comp[y0 : y0 + tile_px, qx * tile_px : (qx + 1) * tile_px, :] = arr
-        s = (
-            comp[0::2, 0::2]
-            + comp[1::2, 0::2]
-            + comp[0::2, 1::2]
-            + comp[1::2, 1::2]
-        )
-        buf = ((s + 2) // 4).astype(np.uint8)
+        if resampling == "average":
+            s = (
+                comp[0::2, 0::2]
+                + comp[1::2, 0::2]
+                + comp[0::2, 1::2]
+                + comp[1::2, 1::2]
+            )
+            buf = ((s + 2) // 4).astype(np.uint8)
+        else:
+            from .. import resample
+
+            gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+            gt_half = (0.0, 2.0, 0.0, 0.0, 0.0, -2.0)
+            buf = resample.warp_image(
+                comp.astype(np.uint8), gt, gt_half,
+                (tile_px, tile_px), resampling,
+            )
         return pd.DataFrame(
             {
                 "tx": [ptx],
@@ -313,6 +331,53 @@ def _render_ctes(
         f"vals AS (SELECT tx, ty, ox, oy, ch, {synth.pixel_val_sql()} AS val "
         f"FROM (SELECT win.tx, win.ty, win.ox, win.oy, win.i, win.w, win.fmt, "
         f"win.sx AS x, win.sy AS y, ch FROM win, range(0, 3) tc(ch)))"
+    )
+
+
+OVERVIEW_ORACLE_ALGS = ("near", "max", "min")
+
+
+def oracle_overview_resamplers(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int = TILE_PX
+) -> str:
+    """Overview reduce replay for the non-average resamplers with
+    SQL-exact 2x semantics: near picks the (2x+1, 2y+1) child pixel
+    (dst center (x+0.5)*2 floored), max/min fold the 2x2 block
+    (missing children = 0, matching the zero-filled composition)."""
+    t = tile_px
+    prime = (
+        f"(CASE ((y * {t} + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    per_alg = {
+        "near": "sum(CASE WHEN dx = 1 AND dy = 1 "
+                "THEN coalesce(val, 0) ELSE 0 END)",
+        "max": "max(coalesce(val, 0))",
+        "min": "min(coalesce(val, 0))",
+    }
+    alg_rows = " UNION ALL ".join(
+        f"SELECT ptx, pty, x, y, ch, '{alg}' AS alg, {expr} AS val "
+        f"FROM quad2 GROUP BY ptx, pty, x, y, ch"
+        for alg, expr in per_alg.items()
+    )
+    return (
+        f"WITH {_render_ctes(n, max_i, zoom, tx0, tx1, ty0, ty1, tile_px)}, "
+        f"parents AS (SELECT DISTINCT tx // 2 AS ptx, ty // 2 AS pty FROM vals), "
+        f"quad2 AS (SELECT q.ptx, q.pty, q.x, q.y, q.ch, q.dx, q.dy, v.val "
+        f"FROM (SELECT ptx, pty, x, y, ch, dx, dy, "
+        f"2 * ptx + ((2 * x + dx) // {t}) AS ctx, "
+        f"2 * pty + (1 - ((2 * y + dy) // {t})) AS cty, "
+        f"(2 * x + dx) % {t} AS cx, (2 * y + dy) % {t} AS cy "
+        f"FROM parents, range(0, {t}) a(x), range(0, {t}) b(y), "
+        f"range(0, 3) c(ch), range(0, 2) d(dx), range(0, 2) e(dy)) q "
+        f"LEFT JOIN vals v ON v.tx = q.ctx AND v.ty = q.cty "
+        f"AND v.ox = q.cx AND v.oy = q.cy AND v.ch = q.ch), "
+        f"reduced AS ({alg_rows}) "
+        f"SELECT ptx AS tx, pty AS ty, alg, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {prime}) % 65536 as bigint) AS cks "
+        f"FROM reduced GROUP BY 1, 2, 3, 4"
     )
 
 
