@@ -37,6 +37,11 @@ HEADLINE = [
     # training-data pipeline
     "minhash_lsh",
     "cosine_topk",
+    # round-2 operators
+    "utm_corners",
+    "overlay_intersection",
+    "contour_polylines",
+    "embedding_neardup",
 ]
 
 

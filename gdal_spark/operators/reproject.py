@@ -66,10 +66,61 @@ def _corner_exprs() -> list[tuple[str, str, str]]:
     return out
 
 
+def _tm_forward_staged(base: DataFrame, corners) -> DataFrame:
+    """Krueger forward for several corners as STAGED Catalyst columns
+    (named intermediates + native hyperbolics) — the single-expression
+    SQL twin repeats each subterm textually and costs seconds of
+    analysis; this keeps the tree linear in the series order. Expects
+    lon0/fn columns; corners = [(suffix, lon_expr, lat_expr)]."""
+    from .. import synth as _synth
+
+    e = _synth.flit(srs.E)
+    ka = _synth.flit(srs.K0 * srs.A_CAP)
+    fe = _synth.flit(srs.FE)
+    df = base
+    for sfx, lon_e, lat_e in corners:
+        df = df.selectExpr(
+            "*",
+            f"radians(({lon_e}) - lon0) AS lam_{sfx}",
+            f"sin(radians({lat_e})) AS s_{sfx}",
+        ).selectExpr(
+            "*",
+            f"sinh(atanh(s_{sfx}) - {e} * atanh({e} * s_{sfx})) AS t_{sfx}",
+            f"cos(lam_{sfx}) AS cl_{sfx}",
+        ).selectExpr(
+            "*",
+            f"atan2(t_{sfx}, cl_{sfx}) AS xip_{sfx}",
+            f"asinh(sin(lam_{sfx}) / sqrt(t_{sfx} * t_{sfx} "
+            f"+ cl_{sfx} * cl_{sfx})) AS etap_{sfx}",
+        )
+        xi_terms = [f"xip_{sfx}"]
+        eta_terms = [f"etap_{sfx}"]
+        for j, a in enumerate(srs.ALPHA, start=1):
+            aj = _synth.flit(a)
+            xi_terms.append(
+                f"{aj} * sin({2 * j}.0E0 * xip_{sfx}) "
+                f"* cosh({2 * j}.0E0 * etap_{sfx})"
+            )
+            eta_terms.append(
+                f"{aj} * cos({2 * j}.0E0 * xip_{sfx}) "
+                f"* sinh({2 * j}.0E0 * etap_{sfx})"
+            )
+        df = df.selectExpr(
+            "*",
+            f"{fe} + {ka} * ({' + '.join(eta_terms)}) AS e_{sfx}",
+            f"{ka} * ({' + '.join(xi_terms)}) + fn AS n_{sfx}",
+        ).drop(
+            f"lam_{sfx}", f"s_{sfx}", f"t_{sfx}", f"cl_{sfx}",
+            f"xip_{sfx}", f"etap_{sfx}",
+        )
+    return df
+
+
 def utm_corners(images: DataFrame) -> DataFrame:
     """Transformer-chain query: UTM zone + dm-quantized corner
     coordinates of every image footprint. No UDFs — the whole Krueger
-    forward series runs as Catalyst expressions (JVM codegen)."""
+    forward series runs as Catalyst expressions (JVM codegen), staged
+    through named intermediate columns."""
     base = images.selectExpr(
         "image_id",
         "lon",
@@ -82,12 +133,18 @@ def utm_corners(images: DataFrame) -> DataFrame:
         f"{LON0_SQL} AS lon0",
         f"{FN_SQL} AS fn",
     )
-    cols = ["image_id", "zone"]
-    exprs = []
-    for suffix, e_sql, n_sql in _corner_exprs():
-        exprs.append(f"cast(floor({e_sql} * 10.0E0) as bigint) AS e_{suffix}_dm")
-        exprs.append(f"cast(floor({n_sql} * 10.0E0) as bigint) AS n_{suffix}_dm")
-    return base.selectExpr(*cols, *exprs)
+    corners = [
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ]
+    df = _tm_forward_staged(base, corners)
+    exprs = ["image_id", "zone"]
+    for sfx, _, _ in corners:
+        exprs.append(f"cast(floor(e_{sfx} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        exprs.append(f"cast(floor(n_{sfx} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return df.selectExpr(*exprs)
 
 
 def oracle_utm_corners(n: int) -> str:
