@@ -79,7 +79,7 @@ def q_join(spark, sf_dir):
 
 ORACLE_JOIN = (
     "SELECT c_mktsegment, count(*) AS n_orders, "
-    "sum(cast(floor(o_totalprice * 100.0E0 + 0.5E0) as bigint)) AS total_cents, "
+    "cast(sum(cast(floor(o_totalprice * 100.0E0 + 0.5E0) as bigint)) as bigint) AS total_cents, "
     "count(DISTINCT o_custkey) AS n_custs "
     "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment"
@@ -103,7 +103,7 @@ def q_agg(spark, sf_dir):
 ORACLE_AGG = (
     "SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_orders, "
     "min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag, "
-    "sum(cast(floor(l_extendedprice * 100.0E0 + 0.5E0) as bigint)) AS price_cents, "
+    "cast(sum(cast(floor(l_extendedprice * 100.0E0 + 0.5E0) as bigint)) as bigint) AS price_cents, "
     "min(cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint)) AS min_qty, "
     "max(cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint)) AS max_qty "
     "FROM lineitem"
@@ -236,8 +236,9 @@ def q_union_layers(spark, sf_dir):
 
 
 ORACLE_UNION_LAYERS = (
-    "SELECT src, count(*) AS n, sum(qty_cents) AS qty_cents_sum, "
-    "sum(price_cents) AS price_cents_sum FROM ("
+    "SELECT src, count(*) AS n, "
+    "cast(sum(qty_cents) as bigint) AS qty_cents_sum, "
+    "cast(sum(price_cents) as bigint) AS price_cents_sum FROM ("
     "SELECT l_orderkey AS k, 'lineitem' AS src, "
     "cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint) AS qty_cents, "
     "NULL AS price_cents FROM lineitem "
@@ -279,8 +280,8 @@ ORACLE_SESSIONIZE = (
     "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1 "
     "WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
     "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
-    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
-    "ORDER BY us, event_id) AS session_idx FROM f) "
+    "s AS (SELECT *, cast(sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id) as bigint) AS session_idx FROM f) "
     "SELECT user_id, session_idx, count(*) AS n_events, "
     "min(us) AS start_us, max(us) AS end_us "
     "FROM s GROUP BY 1, 2"
