@@ -212,18 +212,86 @@ def overlay(
 
     def refine(batches):
         for pdf in batches:
-            rows = []
-            for id_a, wa, id_b, wc in zip(
-                pdf["id_a"], pdf["wkb_a"], pdf["id_b"], pdf["wkb_b"]
-            ):
-                s_rings = [_open_ring(r) for r in wkb.polygon_rings(bytes(wa))]
-                c_rings = [_open_ring(r) for r in wkb.polygon_rings(bytes(wc))]
-                if len(c_rings) != 1 or not is_convex(c_rings[0]):
+            if not len(pdf):
+                continue
+            # decode every DISTINCT geometry once per Arrow batch
+            # (a hot clip polygon appears in hundreds of pairs)
+            a_codes, a_uniq = pd.factorize(pdf["wkb_a"])
+            b_codes, b_uniq = pd.factorize(pdf["wkb_b"])
+
+            def decode(uniq):
+                rings_list, rect = [], []
+                for g in uniq:
+                    rings = [_open_ring(r) for r in wkb.polygon_rings(bytes(g))]
+                    rings_list.append(rings)
+                    r0 = rings[0]
+                    is_rect = (
+                        len(rings) == 1
+                        and r0.shape[0] == 4
+                        and bool(
+                            np.all(
+                                (np.roll(r0, -1, axis=0) - r0 == 0).sum(axis=1)
+                                == 1
+                            )
+                        )
+                    )
+                    rect.append(is_rect)
+                env = np.array(
+                    [
+                        (r[0][:, 0].min(), r[0][:, 1].min(),
+                         r[0][:, 0].max(), r[0][:, 1].max())
+                        for r in rings_list
+                    ]
+                )
+                return rings_list, np.array(rect), env
+
+            a_rings, a_rect, a_env = decode(a_uniq)
+            b_rings, b_rect, b_env = decode(b_uniq)
+            for rb_ in b_rings:
+                if len(rb_) != 1 or not is_convex(rb_[0]):
                     raise NotImplementedError(
                         "overlay clip side must be a single convex ring "
                         "(GEOS-backed general overlay is reference "
                         "ogrlayer.cpp:2278; out of scope v1)"
                     )
+
+            rows = []
+            ids_a = pdf["id_a"].to_numpy()
+            ids_b = pdf["id_b"].to_numpy()
+            fast = a_rect[a_codes] & b_rect[b_codes]
+            # vectorized rectangle-rectangle path (the
+            # m_bFilterIsEnvelope analog): clipped rect is the
+            # envelope intersection, area in closed form
+            if fast.any():
+                ae = a_env[a_codes[fast]]
+                be = b_env[b_codes[fast]]
+                x0 = np.maximum(ae[:, 0], be[:, 0])
+                y0 = np.maximum(ae[:, 1], be[:, 1])
+                x1 = np.minimum(ae[:, 2], be[:, 2])
+                y1 = np.minimum(ae[:, 3], be[:, 3])
+                ok = (x1 > x0) & (y1 > y0)
+                inter_area = (x1 - x0) * (y1 - y0)
+                if how == "erase":
+                    full = (ae[:, 2] - ae[:, 0]) * (ae[:, 3] - ae[:, 1])
+                    out_area = full - inter_area
+                else:
+                    out_area = inter_area
+                fa, fb = ids_a[fast], ids_b[fast]
+                for i in np.nonzero(ok)[0]:
+                    ring = [
+                        (x0[i], y0[i]), (x1[i], y0[i]),
+                        (x1[i], y1[i]), (x0[i], y1[i]),
+                    ]
+                    rows.append(
+                        (
+                            fa[i], fb[i], wkb.encode_polygon(ring),
+                            float(out_area[i]), 4,
+                        )
+                    )
+            # general Sutherland-Hodgman path
+            for i in np.nonzero(~fast)[0]:
+                s_rings = a_rings[a_codes[i]]
+                c_rings = b_rings[b_codes[i]]
                 out_rings, inter_area = clip_polygon_convex(
                     s_rings, c_rings[0]
                 )
@@ -240,7 +308,7 @@ def overlay(
                     area = subj_area - inter_area
                 else:
                     area = inter_area
-                rows.append((id_a, id_b, inter, float(area), nvert))
+                rows.append((ids_a[i], ids_b[i], inter, float(area), nvert))
             yield pd.DataFrame(
                 rows,
                 columns=["id_a", "id_b", "inter_wkb", "area", "nvert"],
