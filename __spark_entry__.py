@@ -586,6 +586,13 @@ def _q_fillnodata(spark, sf_dir):
     return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
 
 
+def _q_mm_augment(spark, sf_dir):
+    """Training-data image augmentation chain: deterministic
+    center-crop -> conditional h-flip -> k*90-deg rotation, pure
+    index remapping replayed exactly by the SQL oracle."""
+    return multimodal.augment(_pixel_images(spark, sf_dir, _MM_MAX_I))
+
+
 def _q_overview_resamplers(spark, sf_dir):
     """Overview reduce with the non-average resamplers (near/max/min
     SQL-replayed; the full 9-kernel family is golden-tested in
@@ -642,6 +649,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contour_polylines": _q_contour_polylines,
     "spatial_predicates": _q_spatial_predicates,
     "overview_resamplers": _q_overview_resamplers,
+    "mm_augment": _q_mm_augment,
 }
 
 
@@ -928,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_resamplers": tiling.oracle_overview_resamplers(
             min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
         ),
+        "mm_augment": multimodal.oracle_augment(min(n, 4096), _MM_MAX_I),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

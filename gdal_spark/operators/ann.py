@@ -304,10 +304,13 @@ def ivf_assignments(emb: DataFrame):
             .filter("rk = 1")
             .select("vec_id", "vs", "cid")
         )
+        # truncate lineage per Lloyd round: each iteration's centroid
+        # table is tiny (K rows) but otherwise re-embeds the whole
+        # previous round's plan into the next broadcast
         cents = assigned.groupBy("cid").agg(
             F.expr(_vec_sum_sql("spark", "vs")).alias("s"),
             F.count("*").alias("n"),
-        )
+        ).localCheckpoint(eager=True)
     return assigned, cents
 
 

@@ -328,3 +328,97 @@ def oracle_phash_neardup(n: int, max_i: int, max_hamming: int = 14) -> str:
         f"WHERE bit_count(xor(a.phash_lo, b.phash_lo)) + "
         f"bit_count(xor(a.phash_hi, b.phash_hi)) <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# augmentation chain (training-data image pipeline): deterministic
+# center-crop -> conditional horizontal flip -> k*90-degree rotation.
+# Pure index remapping, so the SQL oracle replays it exactly. The
+# mapping convention (out[y2][x2] = in[yf][xf]) is fixed here and
+# mirrored in the oracle; k=i%4, flip when i%2==0, crop to 3/4.
+
+
+def _augment_dims(w: int, h: int, k: int):
+    cw, chh = (3 * w) // 4, (3 * h) // 4
+    if k % 2 == 1:
+        return cw, chh, chh, cw  # (crop_w, crop_h, out_w, out_h)
+    return cw, chh, cw, chh
+
+
+def augment(images: DataFrame) -> DataFrame:
+    """(image_id, channel, ow, oh, cks) of the augmented image."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, i in zip(
+                pdf["image_id"], pdf["bytes"], pdf["i"]
+            ):
+                i = int(i)
+                arr = codecs.decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                k = i % 4
+                flip = i % 2 == 0
+                cw, chh, ow, oh = _augment_dims(w, h, k)
+                ox, oy = (w - cw) // 2, (h - chh) // 2
+                y2, x2 = np.mgrid[0:oh, 0:ow]
+                if k == 0:
+                    xf, yf = x2, y2
+                elif k == 1:
+                    xf, yf = y2, chh - 1 - x2
+                elif k == 2:
+                    xf, yf = cw - 1 - x2, chh - 1 - y2
+                else:
+                    xf, yf = cw - 1 - y2, x2
+                if flip:
+                    xf = cw - 1 - xf
+                out = arr[yf + oy, xf + ox, :]
+                from .stats import gdal_checksum
+
+                for c in range(out.shape[2]):
+                    rows.append(
+                        (image_id, c, ow, oh, gdal_checksum(out[:, :, c]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "channel", "ow", "oh", "cks"]
+            )
+
+    return images.select("image_id", "i", "bytes").mapInPandas(
+        run,
+        schema="image_id string, channel bigint, ow bigint, oh bigint, cks bigint",
+    )
+
+
+def oracle_augment(n: int, max_i: int) -> str:
+    """Exact index-remap replay of the augmentation chain."""
+    prime = (
+        "(CASE ((y2 * ow + x2) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return f"""
+WITH img AS (SELECT i, image_id, w, h, fmt, i % 4 AS k,
+             (i % 2 = 0) AS flip,
+             (3 * w) // 4 AS cw, (3 * h) // 4 AS chh,
+             (w - (3 * w) // 4) // 2 AS ox, (h - (3 * h) // 4) // 2 AS oy
+             FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}),
+dims AS (SELECT img.*,
+         CASE WHEN k % 2 = 1 THEN chh ELSE cw END AS ow,
+         CASE WHEN k % 2 = 1 THEN cw ELSE chh END AS oh FROM img),
+px AS (SELECT dims.*, x2, y2,
+       CASE k WHEN 0 THEN x2 WHEN 1 THEN y2
+              WHEN 2 THEN cw - 1 - x2 ELSE cw - 1 - y2 END AS xf0,
+       CASE k WHEN 0 THEN y2 WHEN 1 THEN chh - 1 - x2
+              WHEN 2 THEN chh - 1 - y2 ELSE x2 END AS yf
+       FROM dims, range(0, 256) a(x2), range(0, 256) b(y2)
+       WHERE x2 < ow AND y2 < oh),
+src AS (SELECT image_id, i, w, h, fmt, x2, y2, ow, oh, ch,
+        (CASE WHEN flip THEN cw - 1 - xf0 ELSE xf0 END) + ox AS x,
+        yf + oy AS y
+        FROM px, range(0, 3) c(ch))
+SELECT image_id, cast(ch as bigint) AS channel,
+       cast(min(ow) as bigint) AS ow, cast(min(oh) as bigint) AS oh,
+       cast(sum({synth.pixel_val_sql()} % {prime}) % 65536 as bigint) AS cks
+FROM src GROUP BY 1, 2
+"""

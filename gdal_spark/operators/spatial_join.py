@@ -142,6 +142,7 @@ def spatial_join(
     lat_col: str = "lat",
     broadcast: bool | None = None,
     broadcast_max_rows: int = 2_000_000,
+    poly_count_hint: int | None = None,
     point_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
     engine: str = "sql",
@@ -170,9 +171,10 @@ def spatial_join(
         "cell_id", "geom_wkb", *env_cols, *poly_cols
     )
     if broadcast is None:
-        # decide from the un-exploded polygon count (cheap; bounded by
-        # max_cells blowup) — explicit broadcast-or-shuffle decision
-        n_poly = polys.count()
+        # decide from the un-exploded polygon count — a size hint
+        # avoids the extra count() action in the hot path; without
+        # one, the count is cheap and bounded by max_cells blowup
+        n_poly = poly_count_hint if poly_count_hint is not None else polys.count()
         broadcast = n_poly * max_cells <= broadcast_max_rows
     if broadcast:
         rect_cells = F.broadcast(rect_cells)
