@@ -373,6 +373,29 @@ def _warp_area_sortish(
 # public API
 
 
+def _approx_grid(dst_gt, src_gt, dw, dh, transform, tol):
+    """Per-scanline linearized dst->src pixel grids (the
+    GDALApproxTransformer shape, alg/gdaltransformer.cpp:3615): the
+    exact chain is evaluated only at recursively-subdivided control
+    points; everything between is linear-interpolated within ``tol``
+    source pixels."""
+    from . import srs
+
+    def px_fn(xd, yd):
+        return dst_to_src(dst_gt, src_gt, xd, yd, transform)
+
+    xs = np.arange(dw, dtype=np.float64) + 0.5
+    sx = np.empty((dh, dw))
+    sy = np.empty((dh, dw))
+    for row in range(dh):
+        ax, ay = srs.approx_transform_scanline(
+            px_fn, xs, row + 0.5, max_err=tol
+        )
+        sx[row] = ax
+        sy[row] = ay
+    return sx, sy
+
+
 def warp_band(
     src: np.ndarray,
     src_gt,
@@ -382,13 +405,19 @@ def warp_band(
     transform=None,
     out_dtype=None,
     nodata=None,
+    approx_tol: float | None = None,
 ) -> np.ndarray:
     """Warp one 2-D band to the destination grid. ``transform`` maps
     dst georef coords to src georef coords (None = same SRS).
     ``nodata``: source pixels equal to this value are masked out of
     every kernel (taps skipped + weights renormalized,
     GDALWarpNoDataMasker semantics, alg/gdalwarper.h:106); dst pixels
-    with no valid tap are written as ``nodata``."""
+    with no valid tap are written as ``nodata``.
+    ``approx_tol``: when set (and a non-affine ``transform`` is in
+    play), the dst->src mapping is scanline-linearized to within this
+    many source pixels (GDALApproxTransformer; GDAL's default is
+    0.125) — applies to the point-sampled kernels (near/conv); the
+    area family always transforms its corner grids exactly."""
     dh, dw = dst_shape
     yd, xd = np.mgrid[0:dh, 0:dw].astype(np.float64)
     out_dtype = out_dtype or src.dtype
@@ -405,7 +434,10 @@ def warp_band(
         vals, valid = _warp_area_band(src, x0, y0, x1, y1, alg, src_valid)
         return _finish(vals, valid)
 
-    sx, sy = dst_to_src(dst_gt, src_gt, xd + 0.5, yd + 0.5, transform)
+    if approx_tol is not None and transform is not None:
+        sx, sy = _approx_grid(dst_gt, src_gt, dw, dh, transform, approx_tol)
+    else:
+        sx, sy = dst_to_src(dst_gt, src_gt, xd + 0.5, yd + 0.5, transform)
     if alg == "near":
         vals, valid = _warp_near_band(src, sx, sy, src_valid)
         return _finish(vals, valid)
@@ -426,18 +458,19 @@ def warp_band(
 
 def warp_image(
     src: np.ndarray, src_gt, dst_gt, dst_shape, alg="near", transform=None,
-    nodata=None,
+    nodata=None, approx_tol=None,
 ) -> np.ndarray:
     """Warp an (h, w) or (h, w, c) array channel-by-channel."""
     if src.ndim == 2:
         return warp_band(
-            src, src_gt, dst_gt, dst_shape, alg, transform, nodata=nodata
+            src, src_gt, dst_gt, dst_shape, alg, transform, nodata=nodata,
+            approx_tol=approx_tol,
         )
     return np.stack(
         [
             warp_band(
                 src[:, :, c], src_gt, dst_gt, dst_shape, alg, transform,
-                nodata=nodata,
+                nodata=nodata, approx_tol=approx_tol,
             )
             for c in range(src.shape[2])
         ],

@@ -164,3 +164,34 @@ def test_forward_sql_twin_matches_numpy(duckdb_con=None):
     dinv = con.execute(q).df()
     assert np.abs(dinv["lon"].to_numpy() - d["lon"].to_numpy()).max() < 1e-11
     assert np.abs(dinv["lat"].to_numpy() - d["lat"].to_numpy()).max() < 1e-11
+
+
+def test_warp_with_approx_transformer_matches_exact():
+    """A UTM reprojection warped with the 0.125-px approximate
+    transformer agrees with the exact chain on almost every pixel
+    (nearest can flip only where the true source coordinate falls
+    within the tolerance of a pixel boundary)."""
+    from gdal_spark import codecs, resample
+
+    arr = codecs.make_pixels(3, 128, 128)
+    lon, lat = -74.3, 41.2
+    res = 0.1 / 128
+    src_gt = (lon, res, 0.0, lat, 0.0, -res)
+    inv = srs.make_transform(32618, 4326)
+    # a UTM dst grid over the footprint
+    fwd = srs.make_transform(4326, 32618)
+    ex, ny = fwd(np.array([lon, lon + 0.1]), np.array([lat, lat - 0.1]))
+    dres = (ex[1] - ex[0]) / 128
+    dst_gt = (ex[0], dres, 0.0, ny[0], 0.0, -dres)
+
+    exact = resample.warp_image(arr, src_gt, dst_gt, (128, 128), "near", inv)
+    approx = resample.warp_image(
+        arr, src_gt, dst_gt, (128, 128), "near", inv, approx_tol=0.125
+    )
+    frac_diff = float(np.mean(exact != approx))
+    assert frac_diff < 0.05, frac_diff
+    # tol=0 forces exact control everywhere -> identical output
+    approx0 = resample.warp_image(
+        arr, src_gt, dst_gt, (128, 128), "near", inv, approx_tol=1e-12
+    )
+    assert np.array_equal(exact, approx0)
