@@ -586,6 +586,23 @@ def _q_fillnodata(spark, sf_dir):
     return raster_misc.fillnodata_rows(_pixel_images(spark, sf_dir, _FILL_MAX_I))
 
 
+def _grid_pts():
+    import pandas as pd
+
+    return pd.DataFrame(raster_misc.GRID_POINTS)
+
+
+def _q_grid_nearest(spark, sf_dir):
+    """GDALGridNearestNeighbor: discrete value selection is exact, so
+    unlike IDW this gridding gets a full value oracle."""
+    return raster_misc.grid_nearest(spark, _grid_pts(), 64, 64)
+
+
+def _q_grid_average(spark, sf_dir):
+    """GDALGridAverage (radius-limited mean, nodata when empty)."""
+    return raster_misc.grid_average(spark, _grid_pts(), 64, 64)
+
+
 def _q_mm_augment(spark, sf_dir):
     """Training-data image augmentation chain: deterministic
     center-crop -> conditional h-flip -> k*90-deg rotation, pure
@@ -650,6 +667,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_predicates": _q_spatial_predicates,
     "overview_resamplers": _q_overview_resamplers,
     "mm_augment": _q_mm_augment,
+    "grid_nearest": _q_grid_nearest,
+    "grid_average": _q_grid_average,
 }
 
 
@@ -699,9 +718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_hot": _q_tile_render_hot,
         "tile_overview_hot": _q_tile_overview_hot,
         "phash_neardup": _q_phash_neardup,
-        "viewshed": _q_viewshed,
         # --- past the driver's 50-query cap: driver-green in r01,
         #     still locally gated every round ---
+        "viewshed": _q_viewshed,
         "histogram": _q_histogram,
         "tile_assign_merc": _q_tile_assign_merc,
         "tile_assign_geodetic": _q_tile_assign_geodetic,
@@ -937,6 +956,8 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
         ),
         "mm_augment": multimodal.oracle_augment(min(n, 4096), _MM_MAX_I),
+        "grid_nearest": raster_misc.oracle_grid_nearest(64, 64),
+        "grid_average": raster_misc.oracle_grid_average(64, 64),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

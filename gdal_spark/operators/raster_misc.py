@@ -339,3 +339,158 @@ def grid_idw(
     return part.groupBy("y").agg(
         F.sum("n").alias("n"), F.sum("val_sum_key").alias("val_sum_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# gridding beyond IDW: nearest neighbor + radius-limited average
+# (GDALGridNearestNeighbor alg/gdalgrid.cpp:259;
+#  GDALGridAverage alg/gdalgrid.cpp:490). Unlike IDW (fp accumulation
+# order), both are EXACT: nearest selects a discrete point value
+# (integer-exact squared-distance compare), average sums a fixed
+# small set of rationals — so both get full SQL value oracles.
+
+
+GRID_POINTS = {
+    "px": [3.0, 17.5, 40.0, 55.25, 9.0, 60.0],
+    "py": [4.0, 30.0, 12.5, 50.0, 58.0, 33.0],
+    "v": [10.0, 200.0, 80.0, 140.0, 55.0, 250.0],
+}
+
+
+def _grid_points_sql() -> str:
+    from .. import synth
+
+    rows = ", ".join(
+        f"({i}, {synth.flit(x)}, {synth.flit(y)}, {synth.flit(v)})"
+        for i, (x, y, v) in enumerate(
+            zip(GRID_POINTS["px"], GRID_POINTS["py"], GRID_POINTS["v"])
+        )
+    )
+    return f"(VALUES {rows}) pts(idx, px, py, v)"
+
+
+def grid_nearest(
+    spark, points_pdf: pd.DataFrame, width: int, height: int,
+    tile_px: int = 32,
+) -> DataFrame:
+    """Nearest-neighbor gridding: every node takes the value of its
+    closest scattered point (ties by point index). Per-scanline
+    integer-scaled value sums. Same banded-tile shape as grid_idw."""
+    pts = spark.createDataFrame(points_pdf).collect()
+    px = np.array([r["px"] for r in pts], dtype=np.float64)
+    py = np.array([r["py"] for r in pts], dtype=np.float64)
+    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0: y0 + h, 0:width]
+        d2 = (
+            (gx[..., None] - qx) ** 2 + (gy[..., None] - qy) ** 2
+        )  # (h, w, npts)
+        best = np.argmin(d2, axis=2)  # first min wins = lowest index
+        vals = qv[best]
+        key_v = np.floor(vals * 1e6).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n": np.full(h, width, dtype=np.int64),
+                "val_sum_key": key_v.sum(axis=1),
+            }
+        )
+
+    return bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, val_sum_key bigint"
+    )
+
+
+def oracle_grid_nearest(width: int, height: int) -> str:
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, idx, v,
+      (gx - px) * (gx - px) + (gy - py) * (gy - py) AS d2
+      FROM g, {_grid_points_sql()}),
+r AS (SELECT gx, gy, v,
+      row_number() OVER (PARTITION BY gx, gy ORDER BY d2, idx) AS rk FROM d)
+SELECT gy AS y, count(*) AS n,
+       cast(sum(cast(floor(v * 1000000.0E0) as bigint)) as bigint) AS val_sum_key
+FROM r WHERE rk = 1 GROUP BY 1
+"""
+
+
+GRID_AVG_RADIUS = 20.0
+
+
+def grid_average(
+    spark, points_pdf: pd.DataFrame, width: int, height: int,
+    radius: float = GRID_AVG_RADIUS, tile_px: int = 32,
+) -> DataFrame:
+    """Radius-limited average gridding: node value = mean of points
+    within ``radius`` (0 when none — GDALGridAverage's nodata).
+    Output per scanline: n_covered (nodes with >=1 point in radius) +
+    integer-scaled value sum."""
+    pts = spark.createDataFrame(points_pdf).collect()
+    px = np.array([r["px"] for r in pts], dtype=np.float64)
+    py = np.array([r["py"] for r in pts], dtype=np.float64)
+    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+    r2 = radius * radius
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0: y0 + h, 0:width]
+        d2 = (gx[..., None] - qx) ** 2 + (gy[..., None] - qy) ** 2
+        inside = d2 <= r2
+        cnt = inside.sum(axis=2)
+        # ascending-index accumulation: mirrors the SQL sum over a
+        # fixed rational set (exact in double, order-free)
+        s = (inside * qv).sum(axis=2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+        key_v = np.floor(mean * 1e6 + 5e-4).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n_covered": (cnt > 0).sum(axis=1).astype(np.int64),
+                "val_sum_key": key_v.sum(axis=1),
+            }
+        )
+
+    return bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n_covered bigint, val_sum_key bigint"
+    )
+
+
+def oracle_grid_average(
+    width: int, height: int, radius: float = GRID_AVG_RADIUS
+) -> str:
+    from .. import synth
+
+    r2 = synth.flit(radius * radius)
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, v,
+      (gx - px) * (gx - px) + (gy - py) * (gy - py) AS d2
+      FROM g, {_grid_points_sql()}),
+agg AS (SELECT gx, gy,
+        sum(CASE WHEN d2 <= {r2} THEN v ELSE 0.0E0 END) AS s,
+        sum(CASE WHEN d2 <= {r2} THEN 1 ELSE 0 END) AS cnt FROM d
+        GROUP BY 1, 2),
+pv AS (SELECT gx, gy, cnt,
+       CASE WHEN cnt > 0 THEN s / cnt ELSE 0.0E0 END AS mean FROM agg)
+SELECT gy AS y,
+       cast(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) as bigint) AS n_covered,
+       cast(sum(cast(floor(mean * 1000000.0E0 + 5.0E-4) as bigint)) as bigint)
+       AS val_sum_key
+FROM pv GROUP BY 1
+"""
