@@ -167,7 +167,10 @@ def main():
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
         results = {}
-        for c in (lo, hi):
+        # hi first: the 32-core level is the contention-sensitive one
+        # (the 8-core level leaves 24 cores for neighbors and measures
+        # stably); give hi the quiet window at start
+        for c in (hi, lo):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
             # pin the whole process tree to c CPUs so local[c] is a
             # faithful c-core machine (otherwise the OS spreads the
