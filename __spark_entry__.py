@@ -641,6 +641,14 @@ def _q_contour_polylines(spark, sf_dir):
     return contour.contour_polylines(spark, 96, 96)
 
 
+def _q_contour_polygons(spark, sf_dir):
+    """gdal_contour -p banded polygons: connected components of the
+    iso-band raster via the distributed polygonize (per-tile
+    union-find + cross-tile pointer-jump merge); SQL oracle labels
+    the whole raster with unrolled materialized pointer-jump rounds."""
+    return polyop.polygonize_grid(spark, "demband:64:128:192", 96, 96)
+
+
 def _q_warp_nodata(spark, sf_dir):
     """Average 2x downsample with a source-nodata mask (taps skipped +
     renormalized, GDALWarpNoDataMasker semantics)."""
@@ -669,6 +677,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_augment": _q_mm_augment,
     "grid_nearest": _q_grid_nearest,
     "grid_average": _q_grid_average,
+    "contour_polygons": _q_contour_polygons,
 }
 
 
@@ -958,6 +967,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_augment": multimodal.oracle_augment(min(n, 4096), _MM_MAX_I),
         "grid_nearest": raster_misc.oracle_grid_nearest(64, 64),
         "grid_average": raster_misc.oracle_grid_average(64, 64),
+        "contour_polygons": polyop.oracle_polygonize_pj(
+            polyop.dem_band_sql((64, 128, 192)), 96, 96
+        ),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

@@ -238,13 +238,23 @@ def polygonize_grid(
 
 
 def _eval_value(value_sql: str, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
-    """Evaluate the deterministic raster function. Supported grammar is
-    the block pattern family used by tests/oracles:
-    'block:<bs>:<mod>' -> ((gx//bs + gy//bs) % mod)."""
+    """Evaluate the deterministic raster function. Supported grammar:
+    'block:<bs>:<mod>' -> ((gx//bs + gy//bs) % mod);
+    'demband:<l1>:<l2>:...' -> iso-band index of the global DEM
+    (number of levels <= value), the gdal_contour -p banding."""
     if value_sql.startswith("block:"):
         _, bs, mod = value_sql.split(":")
         bs, mod = int(bs), int(mod)
         return ((gx // bs + gy // bs) % mod).astype(np.int64)
+    if value_sql.startswith("demband:"):
+        from .dem import _dem_value
+
+        levels = [int(v) for v in value_sql.split(":")[1:]]
+        vals = _dem_value(gx, gy)
+        band = np.zeros_like(vals)
+        for lv in levels:
+            band += (vals >= lv).astype(np.int64)
+        return band
     raise ValueError(f"unknown raster spec {value_sql!r}")
 
 
@@ -260,3 +270,63 @@ def oracle_polygonize_blocks(width: int, height: int, bs: int, mod: int) -> str:
         f"cast({bs} * {bs} as bigint) AS n_pixels "
         f"FROM range(0, {nbx}) t(bx), range(0, {nby}) u(by)"
     )
+
+
+POLY_PJ_ROUNDS = 32  # oracle pointer-jump rounds (fixpoint-verified in tests)
+
+
+def oracle_polygonize_pj(band_sql: str, width: int, height: int) -> str:
+    """General connected-components oracle for ANY deterministic
+    raster expressed as a DuckDB expression over (gx, gy): unrolled
+    MATERIALIZED pointer-jump rounds (the contour-oracle pattern),
+    comp id = min linearized pixel index — the same label convention
+    as the Spark polygonize. 4-connectivity."""
+    rounds = []
+    prev = "r0"
+    for k in range(POLY_PJ_ROUNDS):
+        rounds.append(
+            f"m{k} AS MATERIALIZED (SELECT l.a AS node, min(r.root) AS mn "
+            f"FROM links l JOIN {prev} r ON r.node = l.b GROUP BY 1),\n"
+            f"p{k} AS MATERIALIZED (SELECT r.node, "
+            f"least(r.root, coalesce(m.mn, r.root)) AS root "
+            f"FROM {prev} r LEFT JOIN m{k} m ON m.node = r.node),\n"
+            f"r{k + 1} AS MATERIALIZED (SELECT a.node, b.root "
+            f"FROM p{k} a JOIN p{k} b ON b.node = a.root)"
+        )
+        prev = f"r{k + 1}"
+    pj = ",\n".join(rounds)
+    return f"""
+WITH
+px AS MATERIALIZED (
+  SELECT gx, gy, gy * {width} + gx AS node, ({band_sql}) AS val
+  FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+links AS MATERIALIZED (
+  SELECT a.node AS a, b.node AS b FROM px a JOIN px b
+  ON b.gx = a.gx + 1 AND b.gy = a.gy AND b.val = a.val
+  UNION ALL
+  SELECT b.node, a.node FROM px a JOIN px b
+  ON b.gx = a.gx + 1 AND b.gy = a.gy AND b.val = a.val
+  UNION ALL
+  SELECT a.node, b.node FROM px a JOIN px b
+  ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val
+  UNION ALL
+  SELECT b.node, a.node FROM px a JOIN px b
+  ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val),
+r0 AS MATERIALIZED (SELECT node, node AS root FROM px),
+{pj}
+SELECT r.root AS comp_id, min(px.val) AS val,
+       count(*) AS n_pixels
+FROM {prev} r JOIN px ON px.node = r.node
+GROUP BY 1
+"""
+
+
+def dem_band_sql(levels) -> str:
+    """DuckDB band expression matching the 'demband:' numpy spec."""
+    from .dem import DEM_VALUE_SQL
+
+    terms = " + ".join(
+        f"(CASE WHEN ({DEM_VALUE_SQL}) >= {lv} THEN 1 ELSE 0 END)"
+        for lv in levels
+    )
+    return f"({terms})"
