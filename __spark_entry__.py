@@ -641,6 +641,70 @@ def _q_contour_polylines(spark, sf_dir):
     return contour.contour_polylines(spark, 96, 96)
 
 
+def _tms_level_exprs():
+    """Shared dual-dialect fragments for the custom TileMatrixSet
+    assignment: mercator meters -> per-level tile indices."""
+    from gdal_spark import grid, tms
+
+    prof = tms.TileMatrixSet.from_json(tms.CUSTOM_PROFILE)
+    shift = synth.flit(grid.ORIGIN_SHIFT)
+    mx = f"(lon * {shift} / 180.0E0)"
+    my = (
+        f"(ln(tan((90.0E0 + lat) * pi() / 360.0E0)) / (pi() / 180.0E0) "
+        f"* {shift} / 180.0E0)"
+    )
+    return [
+        (lvl, tm.tile_sql(mx, my, "x"), tm.tile_sql(mx, my, "y"))
+        for lvl, tm in enumerate(prof.matrices)
+    ]
+
+
+# grid over the hot cluster (hot lons 11.2-11.8, top lats 48.1-48.6)
+_RETILE = dict(x0=11.2, y0=48.6, res=0.1 / 256, tile_px=64, nx=8, ny=8)
+
+
+def _q_retile(spark, sf_dir):
+    """gdal_retile: re-chop the hot-cluster mosaic onto an aligned
+    affine pixel grid (fixed origin/resolution/tile size, y down);
+    last-wins nearest gather, checksum-exact oracle."""
+    n = min(synth.n_images(sf_dir), 4096)
+    imgs = synth.images_df(spark, n).filter(f"i % 4 = 0 AND i < {_TILE_MAX_I}")
+    out = tiling.retile(synth.add_pixels(imgs), **_RETILE)
+    return _stack_cks(out)
+
+
+def _q_tms_custom(spark, sf_dir):
+    """Tile assignment on a CUSTOM OGC TileMatrixSet profile (512-px
+    tiles, non-power-of-two resolutions, gcore/tilematrixset.cpp
+    parse conventions) — pure Catalyst, one row per (image, level)."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    parts = []
+    for lvl, txs, tys in _tms_level_exprs():
+        parts.append(
+            imgs.selectExpr(
+                "image_id",
+                f"cast({lvl} as bigint) AS level",
+                f"{txs} AS tile_x",
+                f"{tys} AS tile_y",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _oracle_tms_custom(n: int) -> str:
+    selects = []
+    for lvl, txs, tys in _tms_level_exprs():
+        selects.append(
+            f"SELECT image_id, cast({lvl} as bigint) AS level, "
+            f"{txs} AS tile_x, {tys} AS tile_y "
+            f"FROM ({synth.images_cte(n, 'duckdb')})"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def _q_contour_polygons(spark, sf_dir):
     """gdal_contour -p banded polygons: connected components of the
     iso-band raster via the distributed polygonize (per-tile
@@ -678,6 +742,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_nearest": _q_grid_nearest,
     "grid_average": _q_grid_average,
     "contour_polygons": _q_contour_polygons,
+    "tms_custom_assign": _q_tms_custom,
+    "retile_grid": _q_retile,
 }
 
 
@@ -969,6 +1035,10 @@ def oracle_sql() -> dict[str, str]:
         "grid_average": raster_misc.oracle_grid_average(64, 64),
         "contour_polygons": polyop.oracle_polygonize_pj(
             polyop.dem_band_sql((64, 128, 192)), 96, 96
+        ),
+        "tms_custom_assign": _oracle_tms_custom(n),
+        "retile_grid": tiling.oracle_retile(
+            min(n, 4096), _TILE_MAX_I, **_RETILE
         ),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }

@@ -416,3 +416,134 @@ def oracle_tile_overview(
         f"FROM val9 v JOIN npaint ON npaint.ptx = v.ptx AND npaint.pty = v.pty "
         f"AND npaint.ch = v.ch GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_retile: re-chop a mosaic onto an ALIGNED AFFINE pixel grid
+# (osgeo_utils/gdal_retile.py:102 tile-grid construction — fixed
+# tile_px tiles at a fixed resolution from a fixed origin, y down),
+# unlike the mercator pyramid's projected grid. Last-wins nearest
+# gather per tile, same shuffle shape as the base render.
+
+
+def retile(
+    images: DataFrame,
+    x0: float,
+    y0: float,
+    res: float,
+    tile_px: int,
+    nx: int,
+    ny: int,
+) -> DataFrame:
+    """(tx, ty, n_painted, cks_0..2) per affine grid tile. Covering
+    explode is pure Catalyst (affine index arithmetic + sequence)."""
+    span = flit(res * tile_px)
+    fx0, fy0 = flit(x0), flit(y0)
+    minlat = "(lat - 0.1E0 * cast(h as double) / cast(w as double))"
+    cov = (
+        images.selectExpr(
+            "i", "image_id", "bytes", "lon", "lat", "w", "h",
+            f"greatest(0, least({nx - 1}, "
+            f"cast(floor((lon - {fx0}) / {span}) as bigint))) AS tx0",
+            f"greatest(0, least({nx - 1}, "
+            f"cast(floor((lon + 0.1E0 - {fx0}) / {span}) as bigint))) AS tx1",
+            f"greatest(0, least({ny - 1}, "
+            f"cast(floor(({fy0} - lat) / {span}) as bigint))) AS ty0",
+            f"greatest(0, least({ny - 1}, "
+            f"cast(floor(({fy0} - ({minlat})) / {span}) as bigint))) AS ty1",
+        )
+        .withColumn("tx", F.explode(F.expr("sequence(tx0, tx1)")))
+        .withColumn("ty", F.explode(F.expr("sequence(ty0, ty1)")))
+        .drop("tx0", "tx1", "ty0", "ty1")
+    )
+
+    def render(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        xs = x0 + (tx * tile_px + np.arange(tile_px) + 0.5) * res
+        ys = y0 - (ty * tile_px + np.arange(tile_px) + 0.5) * res
+        buf = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        painted = np.zeros((tile_px, tile_px), dtype=bool)
+        for row in pdf.sort_values("i").itertuples(index=False):
+            arr = codecs.decode_image(bytes(row.bytes))
+            r = 0.1 / row.w
+            sx = np.floor((xs - row.lon) / r + 1e-10).astype(np.int64)
+            sy = np.floor((row.lat - ys) / r + 1e-10).astype(np.int64)
+            okx = (sx >= 0) & (sx < row.w)
+            oky = (sy >= 0) & (sy < row.h)
+            m = oky[:, None] & okx[None, :]
+            if not m.any():
+                continue
+            yy, xx = np.nonzero(m)
+            buf[yy, xx, :] = arr[sy[yy], sx[xx], :]
+            painted[yy, xx] = True
+        n = int(painted.sum())
+        if n == 0:
+            return pd.DataFrame(
+                {c: pd.array([], dtype="int64") for c in
+                 ("tx", "ty", "n_painted", "cks_0", "cks_1", "cks_2")}
+            )
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty], "n_painted": [n],
+                "cks_0": [tile_checksum(buf[:, :, 0])],
+                "cks_1": [tile_checksum(buf[:, :, 1])],
+                "cks_2": [tile_checksum(buf[:, :, 2])],
+            }
+        )
+
+    return cov.groupby("tx", "ty").applyInPandas(
+        render,
+        schema="tx bigint, ty bigint, n_painted bigint, "
+        "cks_0 bigint, cks_1 bigint, cks_2 bigint",
+    )
+
+
+def oracle_retile(
+    n: int, max_i: int, x0: float, y0: float, res: float,
+    tile_px: int, nx: int, ny: int,
+) -> str:
+    """Affine replay: per tile pixel center, winner = max-i image
+    whose footprint contains it, value from the synthetic pixel
+    function; tiles with zero painted pixels are absent."""
+    t = tile_px
+    fx0, fy0, fr = flit(x0), flit(y0), flit(res)
+    prime = (
+        f"(CASE ((y2 * {t} + x2) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return f"""
+WITH img AS MATERIALIZED (SELECT i, lon, lat, w, h, fmt, 0.1E0 / w AS r
+      FROM ({synth.images_cte(n, 'duckdb')})
+      WHERE i % 4 = 0 AND i < {max_i}),
+px AS MATERIALIZED (SELECT tx, ty, x2, y2,
+      {fx0} + (tx * {t} + x2 + 0.5E0) * {fr} AS lx,
+      {fy0} - (ty * {t} + y2 + 0.5E0) * {fr} AS ly
+      FROM range(0, {nx}) a(tx), range(0, {ny}) b(ty),
+           range(0, {t}) c(x2), range(0, {t}) d(y2)),
+hit AS (SELECT px.tx, px.ty, px.x2, px.y2, img.i, img.w, img.h, img.fmt,
+        cast(floor((lx - img.lon) / img.r + 1.0E-10) as bigint) AS x,
+        cast(floor((img.lat - ly) / img.r + 1.0E-10) as bigint) AS y
+        FROM px JOIN img
+        ON lx >= img.lon AND ly <= img.lat
+        AND floor((lx - img.lon) / img.r + 1.0E-10) BETWEEN 0 AND img.w - 1
+        AND floor((img.lat - ly) / img.r + 1.0E-10) BETWEEN 0 AND img.h - 1),
+win AS (SELECT * FROM (SELECT hit.*,
+        row_number() OVER (PARTITION BY tx, ty, x2, y2 ORDER BY i DESC) AS rk
+        FROM hit) WHERE rk = 1),
+vals AS (SELECT tx, ty, x2, y2, ch, i, w, h, fmt, x, y,
+         {synth.pixel_val_sql()} AS v FROM win, range(0, 3) e(ch)),
+np AS (SELECT tx, ty, count(*) AS n_painted FROM win GROUP BY 1, 2),
+pxc AS (SELECT p.tx, p.ty, p.x2, p.y2, f.ch
+        FROM px p, range(0, 3) f(ch)),
+allpx AS (SELECT pxc.tx, pxc.ty, pxc.x2, pxc.y2, pxc.ch,
+          coalesce(v.v, 0) AS v
+          FROM pxc LEFT JOIN vals v ON v.tx = pxc.tx AND v.ty = pxc.ty
+          AND v.x2 = pxc.x2 AND v.y2 = pxc.y2 AND v.ch = pxc.ch)
+SELECT a.tx, a.ty, min(np.n_painted) AS n_painted,
+       cast(a.ch as bigint) AS channel,
+       cast(sum(a.v % {prime}) % 65536 as bigint) AS cks
+FROM allpx a JOIN np ON np.tx = a.tx AND np.ty = a.ty
+GROUP BY 1, 2, 4
+"""

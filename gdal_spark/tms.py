@@ -1,0 +1,139 @@
+"""OGC TileMatrixSet custom profiles (gcore/tilematrixset.cpp).
+
+Round 1 supported only the two built-in grids (WebMercator/Geodetic,
+gdal_spark.grid). This module parses the OGC TileMatrixSet JSON shape
+— per-level scaleDenominator, topLeftCorner, tileWidth/Height,
+matrixWidth/Height — into a vectorized tile-index function plus a
+dual-dialect SQL fragment, so ANY profile (non-256 tiles, non-global
+origins, arbitrary resolutions) drives the same cell machinery.
+
+Conventions match the reference:
+- resolution = scaleDenominator * 0.28e-3 / metersPerUnit
+  (tilematrixset.cpp:268 — the OGC standardized 0.28 mm pixel),
+- tile indices count from the topLeftCorner, y DOWN:
+  tx = floor((x - tlx) / (res * tileWidth)),
+  ty = floor((tly - y) / (res * tileHeight)), clipped to the matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+OGC_PIXEL = 0.28e-3  # standardized rendering pixel size in meters
+
+
+@dataclass(frozen=True)
+class TileMatrix:
+    id: str
+    scale_denominator: float
+    top_left: tuple[float, float]
+    tile_width: int
+    tile_height: int
+    matrix_width: int
+    matrix_height: int
+    meters_per_unit: float = 1.0
+
+    @property
+    def res(self) -> float:
+        return self.scale_denominator * OGC_PIXEL / self.meters_per_unit
+
+    def tile_of(self, x, y):
+        """Vectorized (x, y) CRS coords -> (tx, ty), clipped."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        spanx = self.res * self.tile_width
+        spany = self.res * self.tile_height
+        tx = np.floor((x - self.top_left[0]) / spanx).astype(np.int64)
+        ty = np.floor((self.top_left[1] - y) / spany).astype(np.int64)
+        return (
+            np.clip(tx, 0, self.matrix_width - 1),
+            np.clip(ty, 0, self.matrix_height - 1),
+        )
+
+    def tile_sql(self, x_expr: str, y_expr: str, axis: str) -> str:
+        """Dual-dialect SQL twin of tile_of (identical op sequence)."""
+        from . import synth
+
+        spanx = synth.flit(self.res * self.tile_width)
+        spany = synth.flit(self.res * self.tile_height)
+        tlx = synth.flit(self.top_left[0])
+        tly = synth.flit(self.top_left[1])
+        if axis == "x":
+            t = f"cast(floor(({x_expr} - {tlx}) / {spanx}) as bigint)"
+            hi = self.matrix_width - 1
+        else:
+            t = f"cast(floor(({tly} - ({y_expr})) / {spany}) as bigint)"
+            hi = self.matrix_height - 1
+        return f"greatest(0, least({hi}, {t}))"
+
+
+@dataclass(frozen=True)
+class TileMatrixSet:
+    identifier: str
+    crs_epsg: int
+    matrices: tuple[TileMatrix, ...]
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "TileMatrixSet":
+        """Parse the OGC TileMatrixSet JSON shape (the subset the
+        reference reads: tilematrixset.cpp:232-290)."""
+        crs = doc.get("supportedCRS", doc.get("crs", ""))
+        epsg = int(str(crs).rsplit("/", 1)[-1].rsplit(":", 1)[-1])
+        mpu = float(doc.get("metersPerUnit", 1.0))
+        mats = []
+        for tm in doc["tileMatrices" if "tileMatrices" in doc else "tileMatrix"]:
+            tl = tm["topLeftCorner"]
+            mats.append(
+                TileMatrix(
+                    id=str(tm.get("id", tm.get("identifier"))),
+                    scale_denominator=float(tm["scaleDenominator"]),
+                    top_left=(float(tl[0]), float(tl[1])),
+                    tile_width=int(tm["tileWidth"]),
+                    tile_height=int(tm["tileHeight"]),
+                    matrix_width=int(tm["matrixWidth"]),
+                    matrix_height=int(tm["matrixHeight"]),
+                    meters_per_unit=mpu,
+                )
+            )
+        return cls(doc.get("id", doc.get("identifier", "custom")), epsg, tuple(mats))
+
+
+# A custom (non-WebMercatorQuad) profile used by the driver gate:
+# 512-px tiles in EPSG:3857 with non-power-of-two resolutions and a
+# non-global origin — nothing the built-in grids could express.
+CUSTOM_PROFILE = {
+    "id": "Custom512",
+    "crs": "http://www.opengis.net/def/crs/EPSG/0/3857",
+    "metersPerUnit": 1.0,
+    "tileMatrices": [
+        {
+            "id": "0",
+            "scaleDenominator": 250_000_000.0,
+            "topLeftCorner": [-20037508.342789244, 20037508.342789244],
+            "tileWidth": 512,
+            "tileHeight": 512,
+            "matrixWidth": 2,
+            "matrixHeight": 2,
+        },
+        {
+            "id": "1",
+            "scaleDenominator": 62_500_000.0,
+            "topLeftCorner": [-20037508.342789244, 20037508.342789244],
+            "tileWidth": 512,
+            "tileHeight": 512,
+            "matrixWidth": 5,
+            "matrixHeight": 5,
+        },
+        {
+            "id": "2",
+            "scaleDenominator": 15_625_000.0,
+            "topLeftCorner": [-20037508.342789244, 20037508.342789244],
+            "tileWidth": 512,
+            "tileHeight": 512,
+            "matrixWidth": 18,
+            "matrixHeight": 18,
+        },
+    ],
+}
