@@ -592,6 +592,13 @@ def _grid_pts():
     return pd.DataFrame(raster_misc.GRID_POINTS)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the verified MinHash near-dup pair
+    graph + canonical keeper per cluster — the operational dedup
+    output (keep-one-per-cluster) at corpus scale."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
 def _q_grid_nearest(spark, sf_dir):
     """GDALGridNearestNeighbor: discrete value selection is exact, so
     unlike IDW this gridding gets a full value oracle."""
@@ -744,6 +751,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contour_polygons": _q_contour_polygons,
     "tms_custom_assign": _q_tms_custom,
     "retile_grid": _q_retile,
+    "dedup_clusters": _q_dedup_clusters,
 }
 
 
@@ -1040,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "retile_grid": tiling.oracle_retile(
             min(n, 4096), _TILE_MAX_I, **_RETILE
         ),
+        "dedup_clusters": dedup.oracle_dedup_clusters(),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
     }
 

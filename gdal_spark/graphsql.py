@@ -1,0 +1,43 @@
+"""Generic connected-components as pure SQL: unrolled MATERIALIZED
+pointer-jump rounds (neighbor-min label propagation + double jump).
+
+Used by oracles that need component labels over an arbitrary graph
+(dedup clusters, banded contour polygons): the caller provides CTEs
+``nodes(node)`` and ``links(a, b)`` (symmetric), appends the chain
+from :func:`pj_components_cte`, and reads (node, root) from the final
+relation — root = min node id of the component, the same label
+convention every distributed merge in this repo uses.
+
+MATERIALIZED is load-bearing: DuckDB 1.0 inlines CTEs, so a chained
+self-referencing pipeline re-expands exponentially without it.
+"""
+
+from __future__ import annotations
+
+DEFAULT_ROUNDS = 32
+
+
+def pj_components_cte(
+    rounds: int = DEFAULT_ROUNDS,
+    nodes: str = "nodes",
+    links: str = "links",
+) -> tuple[str, str]:
+    """Returns (cte_chain_sql, final_relation_name). The chain starts
+    from ``r0`` (every node its own root) and converges for any
+    component whose pointer-graph needs <= ``rounds`` label-prop +
+    jump rounds (verified against union-find in tests at the sizes
+    the oracles run)."""
+    parts = [f"r0 AS MATERIALIZED (SELECT node, node AS root FROM {nodes})"]
+    prev = "r0"
+    for k in range(rounds):
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT l.a AS node, min(r.root) AS mn "
+            f"FROM {links} l JOIN {prev} r ON r.node = l.b GROUP BY 1),\n"
+            f"p{k} AS MATERIALIZED (SELECT r.node, "
+            f"least(r.root, coalesce(m.mn, r.root)) AS root "
+            f"FROM {prev} r LEFT JOIN m{k} m ON m.node = r.node),\n"
+            f"r{k + 1} AS MATERIALIZED (SELECT a.node, b.root "
+            f"FROM p{k} a JOIN p{k} b ON b.node = a.root)"
+        )
+        prev = f"r{k + 1}"
+    return ",\n".join(parts), prev

@@ -416,3 +416,97 @@ def oracle_simhash_pairs(max_hamming: int = 6, bits: int = 32) -> str:
         f"AND a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup CLUSTERS: the operational output of near-dup detection at
+# corpus scale — connected components over the verified MinHash pair
+# graph, one canonical keeper per cluster (min doc_id). Pairs alone
+# leave transitive duplicates unresolved (a~b, b~c but not a~c);
+# clustering + keep-one is what a 100 TB dedup pass actually emits.
+
+
+def dedup_clusters(
+    docs: DataFrame, max_merge_rounds: int = 30, **minhash_kwargs
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_keeper): components of
+    the is_dup MinHash pair graph via distributed pointer-jumping
+    (iterated to fixpoint); singleton docs are their own cluster."""
+    from pyspark.sql import Window  # noqa: F401
+
+    pairs = (
+        minhash_lsh_pairs(docs, **minhash_kwargs)
+        .filter("is_dup = 1")
+        .selectExpr("doc_a AS a", "doc_b AS b")
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        pairs.unionAll(pairs.selectExpr("b AS a", "a AS b"))
+        .distinct()
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    roots = (
+        docs.selectExpr("doc_id AS node", "doc_id AS root")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_merge_rounds):
+        nbr = (
+            sym.join(roots.selectExpr("node AS b", "root AS nroot"), "b")
+            .groupBy("a")
+            .agg(F.min("nroot").alias("min_nbr"))
+        )
+        half = roots.join(
+            nbr.selectExpr("a AS node", "min_nbr"), "node", "left"
+        ).selectExpr(
+            "node", "least(root, coalesce(min_nbr, root)) AS root"
+        ).coalesce(8).localCheckpoint(eager=True)
+        jump = half.selectExpr("node AS jn", "root AS jr")
+        new_roots = (
+            half.join(jump, F.col("root") == F.col("jn"), "left")
+            .selectExpr("node", "coalesce(jr, root) AS root")
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_roots.selectExpr("node", "root AS nr")
+            .join(roots, "node")
+            .filter("nr <> root")
+            .count()
+        )
+        roots = new_roots
+        if changed == 0:
+            break
+    sizes = roots.groupBy("root").agg(F.count("*").alias("cluster_size"))
+    return (
+        roots.join(sizes, "root")
+        .selectExpr(
+            "node AS doc_id",
+            "root AS cluster_id",
+            "cluster_size",
+            "cast(node = root as int) AS is_keeper",
+        )
+    )
+
+
+def oracle_dedup_clusters(**minhash_kwargs) -> str:
+    """Replays the MinHash pair graph, then labels components with the
+    shared pointer-jump CTE chain."""
+    from ..graphsql import pj_components_cte
+
+    base = oracle_minhash_lsh(**minhash_kwargs)
+    chain, final = pj_components_cte()
+    return f"""
+WITH dup AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({base}) WHERE is_dup = 1),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+links AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION SELECT doc_b, doc_a FROM dup),
+{chain},
+sizes AS (SELECT root, count(*) AS cluster_size FROM {final} GROUP BY 1)
+SELECT r.node AS doc_id, r.root AS cluster_id, s.cluster_size,
+       cast(r.node = r.root as int) AS is_keeper
+FROM {final} r JOIN sizes s ON s.root = r.root
+"""

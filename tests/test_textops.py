@@ -202,3 +202,40 @@ def test_ann_ivf_recall(spark, embs_pdf):
     a = set(map(tuple, approx[["qid", "vec_id"]].values))
     recall = len(e & a) / len(e)
     assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_dedup_clusters_transitive(spark):
+    """Cluster assignment = transitive closure of is_dup pairs:
+    verified against a local union-find over the pair list; keepers
+    are the cluster-min doc ids; sizes sum to the corpus size."""
+    from gdal_spark.operators import dedup
+
+    docs = spark.read.parquet(DOCS)
+    pairs = (
+        dedup.minhash_lsh_pairs(docs)
+        .filter("is_dup = 1")
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    out = dedup.dedup_clusters(docs).toPandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    all_ids = out["doc_id"].tolist()
+    for d in all_ids:
+        find(d)
+    for a, b in pairs.itertuples(index=False):
+        ra, rb = find(int(a)), int(find(int(b)))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in all_ids}
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expect
+    assert out["cluster_size"].groupby(out["cluster_id"]).first().sum() == len(out)
+    keepers = out[out["is_keeper"] == 1]
+    assert set(keepers["doc_id"]) == set(out["cluster_id"].unique())
