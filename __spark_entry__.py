@@ -494,11 +494,19 @@ def _q_polygonize_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the testdata ships one parquet file -> one input partition; the
+    # shingle/minhash expressions are CPU-heavy, so spread the scan
+    # (a real corpus arrives in many files and skips this)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file input -> spread the CPU-heavy vector expressions
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _q_text_profile(spark, sf_dir):
