@@ -105,3 +105,82 @@ def test_stateful_sessionize_equals_batch(spark, tmp_path):
     assert len(got) == len(exp)
     for col in ("user_id", "session_idx", "n_events", "start_us", "end_us"):
         assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: with a 10-minute watermark and APPEND
+    output, an event arriving hours behind the stream's max timestamp
+    lands in an already-finalized window and is dropped; an on-time
+    event in a still-open window is not emitted until the watermark
+    passes it."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    # batch 1: two windows of on-time data, then an event far ahead
+    # that advances the watermark beyond both
+    write(
+        "b1.parquet",
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=1, minutes=5), 2, "click", 1.0, "{}"),
+            (4, base + dt.timedelta(hours=5), 3, "click", 1.0, "{}"),
+        ],
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_round():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        win = stream.withColumn(
+            "ts2", F.expr("cast(ts as timestamp)")
+        ).withWatermark("ts2", "10 minutes")
+        agg = win.groupBy(F.window("ts2", "1 hour").alias("w")).agg(
+            F.count("*").alias("n"), F.sum("value").alias("v")
+        )
+        q = (
+            agg.selectExpr("unix_micros(w.start) AS ws", "n", "v")
+            .writeStream.format("parquet")
+            .outputMode("append")  # append = only FINALIZED windows emit
+            .trigger(availableNow=True)
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: watermark advances past the first two windows and they
+    # finalize; round 2 (restarted from the persisted checkpoint) sees
+    # a LATE event for the long-closed first window
+    run_round()
+    write("b2.parquet", [(5, base + dt.timedelta(minutes=1), 9, "click", 7.0, "{}")])
+    run_round()
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .sort_values("ws")
+        .reset_index(drop=True)
+    )
+    first_ws = int(base.timestamp()) * 1_000_000
+    row = got[got.ws == first_ws]
+    # the first window finalized with its 2 on-time rows; the late
+    # event (id 5, value 7.0) was dropped by the watermark
+    assert len(row) == 1
+    assert int(row.iloc[0]["n"]) == 2
+    assert float(row.iloc[0]["v"]) == 2.0
+    # the far-ahead window (hour 15:00) is NOT finalized -> absent
+    ahead_ws = int((base + dt.timedelta(hours=5)).timestamp()) * 1_000_000
+    assert (got.ws == ahead_ws).sum() == 0
