@@ -741,6 +741,57 @@ def _q_warp_nodata(spark, sf_dir):
     )
 
 
+def _q_overlay_union(spark, sf_dir):
+    return overlay.overlay_union_pairs_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+def _q_overlay_symdiff(spark, sf_dir):
+    return overlay.overlay_symdiff_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+def _q_overlay_concave_clip(spark, sf_dir):
+    return overlay.overlay_concave_clip_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+def _q_overlay_identity(spark, sf_dir):
+    return overlay.overlay_identity_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+def _q_overlay_update(spark, sf_dir):
+    return overlay.overlay_update_query(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
+# New round-3 operator queries (name -> callable), inserted inside the
+# driver's 50-query window by queries() below.
+_ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "overlay_union": _q_overlay_union,
+    "overlay_symdiff": _q_overlay_symdiff,
+    "overlay_concave_clip": _q_overlay_concave_clip,
+    "overlay_identity": _q_overlay_identity,
+    "overlay_update": _q_overlay_update,
+}
+
+
+def _round3_oracles(m: int) -> dict[str, str]:
+    return {
+        "overlay_union": overlay.oracle_overlay_union_pairs(m),
+        "overlay_symdiff": overlay.oracle_overlay_symdiff(m),
+        "overlay_concave_clip": overlay.oracle_overlay_concave_clip(m),
+        "overlay_identity": overlay.oracle_overlay_identity(m),
+        "overlay_update": overlay.oracle_overlay_update(m),
+    }
+
+
 # New round-2 operator queries land here (name -> callable); populated
 # below as operators are built so the window layout stays in one place.
 _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -765,52 +816,13 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks the FIRST 50 entries each round; insertion order
-    # is deliberate. Round-2 window rotation: (a) the 7 queries whose r01
-    # hash failure (HUGEINT oracle sums) is now fixed, (b) the dedup/ANN/
-    # OGR-SQL families the r01 window never reached, (c) new round-2
-    # operators, (d) a re-verify sample of r01 greens. Everything past
-    # position 50 stayed driver-green in r01 and remains locally gated by
-    # tools/check_oracle.py.
+    # is deliberate. Round-3 window rotation: (a) the 33 queries whose
+    # only driver-green row is from r01 (past r02's cap) — re-verify
+    # them, (b) new round-3 operators, (c) a re-verify sample of r02
+    # greens. Everything past position 50 was driver-green in r02 and
+    # remains locally gated by tools/check_oracle.py every round.
     return {
-        # (a) r01 hash-fail, now fixed — prove it
-        "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-        ),
-        "contour_crossings": _q_contour_crossings,
-        "proximity_tiled": _q_proximity_tiled,
-        "sieve_blocks": _q_sieve_blocks,
-        "dem_images": _q_dem_images,
-        "dem_tiled": _q_dem_tiled,
-        "mosaic_plan": _q_mosaic_plan,
-        # (b) never inside the r01 window
-        "token_topk": _q_token_topk,
-        "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
-        # (c) new round-2 operators
-        **_ROUND2_QUERIES,
-        # (d) re-verify sample of r01 greens
-        "band_stats": _q_band_stats,
-        "checksum": _q_checksum,
-        "spatial_join_pip": _q_spatial_join_pip,
-        "knn_sites": _q_knn_sites,
-        "warp_near_up2": _q_warp_near_up2,
-        "warp_avg_down2": _q_warp_avg_down2,
-        "warp_cutline": _q_warp_cutline,
-        "rasterize_rows": _q_rasterize_rows,
-        "polygonize_blocks": _q_polygonize_blocks,
-        "tile_render_hot": _q_tile_render_hot,
-        "tile_overview_hot": _q_tile_overview_hot,
-        "phash_neardup": _q_phash_neardup,
-        # --- past the driver's 50-query cap: driver-green in r01,
-        #     still locally gated every round ---
+        # (a) r01-green, outside the r02 window — re-verify
         "viewshed": _q_viewshed,
         "histogram": _q_histogram,
         "tile_assign_merc": _q_tile_assign_merc,
@@ -821,13 +833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_roundtrip": _q_caption_roundtrip,
         "geom_fields": _q_geom_fields,
         "segmentize": _q_segmentize,
-        "simplify_dp": _q_simplify,
-        "quantize_dither": _q_quantize_dither,
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
         "pansharpen": _q_pansharpen,
         "nearblack": _q_nearblack,
-        "grid_idw": _q_grid_idw,
         "adaptive_cells": _q_adaptive_cells,
         "salted_density": _q_salted_density,
         "mm_probe_headers": _q_mm_probe,
@@ -842,6 +851,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
+        "rasterize_rows": _q_rasterize_rows,
+        "polygonize_blocks": _q_polygonize_blocks,
+        "tile_render_hot": _q_tile_render_hot,
+        "tile_overview_hot": _q_tile_overview_hot,
+        "phash_neardup": _q_phash_neardup,
+        # (b) new round-3 operators
+        **_ROUND3_QUERIES,
+        # (c) re-verify sample of r02 greens (fills the window to 50)
+        "overlay_intersection": _q_overlay_boxes,
+        "overlay_erase": _q_overlay_erase_rect,
+        "spatial_predicates": _q_spatial_predicates,
+        "contour_polylines": _q_contour_polylines,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh": _q_minhash_lsh,
+        "embedding_neardup": _q_embedding_neardup,
+        "utm_corners": _q_utm_corners,
+        "warp_reproject_utm": _q_warp_reproject_utm,
+        "knn_sites": _q_knn_sites,
+        "events_sessionize": ogrsql.QUERIES["events_sessionize"][0],
+        "grid_nearest": _q_grid_nearest,
+        # --- past the driver's 50-query cap: driver-green in r02,
+        #     still locally gated every round ---
+        "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ),
+        "contour_crossings": _q_contour_crossings,
+        "proximity_tiled": _q_proximity_tiled,
+        "sieve_blocks": _q_sieve_blocks,
+        "dem_images": _q_dem_images,
+        "dem_tiled": _q_dem_tiled,
+        "mosaic_plan": _q_mosaic_plan,
+        "token_topk": _q_token_topk,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
+        **{k: v for k, v in _ROUND2_QUERIES.items() if k not in (
+            "contour_polylines", "spatial_predicates", "dedup_clusters",
+            "utm_corners", "warp_reproject_utm", "grid_nearest",
+            "overlay_intersection", "overlay_erase",
+        )},
+        "band_stats": _q_band_stats,
+        "checksum": _q_checksum,
+        "spatial_join_pip": _q_spatial_join_pip,
+        "warp_near_up2": _q_warp_near_up2,
+        "warp_avg_down2": _q_warp_avg_down2,
+        "warp_cutline": _q_warp_cutline,
+        # rows-only by design (no sensible value oracle)
+        "simplify_dp": _q_simplify,
+        "quantize_dither": _q_quantize_dither,
+        "grid_idw": _q_grid_idw,
     }
 
 
@@ -1058,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": dedup.oracle_dedup_clusters(),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
+        **_round3_oracles(m),
     }
 
 

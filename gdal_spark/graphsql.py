@@ -17,6 +17,18 @@ from __future__ import annotations
 DEFAULT_ROUNDS = 32
 
 
+def fixpoint_parts(df, floor_parts: int = 8) -> int:
+    """Partition count for the pointer-jump fixpoint label tables:
+    inherit the driving input's parallelism — at 100x scale a
+    billion-node label table must keep its partitions, not collapse
+    into a hardcoded handful — with a small floor so sandbox-sized
+    rounds don't schedule hundreds of empty tasks."""
+    try:
+        return max(floor_parts, df.rdd.getNumPartitions())
+    except Exception:  # pragma: no cover - defensive (plan conversion)
+        return floor_parts
+
+
 def pj_components_cte(
     rounds: int = DEFAULT_ROUNDS,
     nodes: str = "nodes",

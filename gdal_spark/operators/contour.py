@@ -338,14 +338,17 @@ def contour_polylines(
     # tiles -> 'comp' rows duplicate across tiles; the root table must
     # be keyed uniquely per (level, node) or every pointer jump
     # multiplies by the duplicate count (exponential blowup)
+    from ..graphsql import fixpoint_parts
+
+    nparts = fixpoint_parts(raw)
     comps = raw.filter("kind = 'comp'").selectExpr("level", "a AS lroot").distinct()
     roots = comps.selectExpr(
         "level", "lroot AS node", "lroot AS root"
-    ).coalesce(8).localCheckpoint(eager=True)
+    ).coalesce(nparts).localCheckpoint(eager=True)
     sym = (
         pairs.unionAll(pairs.selectExpr("level", "b AS a", "a AS b"))
         .distinct()
-        .coalesce(8)
+        .coalesce(nparts)
         .localCheckpoint(eager=True)
     )
     # the local-root equivalence graph's diameter scales with how
@@ -367,7 +370,7 @@ def contour_polylines(
             "left",
         ).selectExpr(
             "level", "node", "least(root, coalesce(min_nbr, root)) AS root"
-        ).coalesce(8).localCheckpoint(eager=True)
+        ).coalesce(nparts).localCheckpoint(eager=True)
         # pointer jump: checkpoint BEFORE the self-join and rename the
         # jump side to fresh column names — a USING-list self-join on a
         # shared lazy plan can resolve both sides to the same attribute
@@ -380,7 +383,7 @@ def contour_polylines(
                 "left",
             )
             .selectExpr("level", "node", "coalesce(jr, root) AS root")
-        ).coalesce(8).localCheckpoint(eager=True)
+        ).coalesce(nparts).localCheckpoint(eager=True)
         changed = (
             new_roots.selectExpr("level", "node", "root AS nr")
             .join(roots, ["level", "node"])

@@ -434,6 +434,9 @@ def dedup_clusters(
     (iterated to fixpoint); singleton docs are their own cluster."""
     from pyspark.sql import Window  # noqa: F401
 
+    from ..graphsql import fixpoint_parts
+
+    nparts = fixpoint_parts(docs)
     pairs = (
         minhash_lsh_pairs(docs, **minhash_kwargs)
         .filter("is_dup = 1")
@@ -443,12 +446,12 @@ def dedup_clusters(
     sym = (
         pairs.unionAll(pairs.selectExpr("b AS a", "a AS b"))
         .distinct()
-        .coalesce(8)
+        .coalesce(nparts)
         .localCheckpoint(eager=True)
     )
     roots = (
         docs.selectExpr("doc_id AS node", "doc_id AS root")
-        .coalesce(8)
+        .coalesce(nparts)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_merge_rounds):
@@ -461,12 +464,12 @@ def dedup_clusters(
             nbr.selectExpr("a AS node", "min_nbr"), "node", "left"
         ).selectExpr(
             "node", "least(root, coalesce(min_nbr, root)) AS root"
-        ).coalesce(8).localCheckpoint(eager=True)
+        ).coalesce(nparts).localCheckpoint(eager=True)
         jump = half.selectExpr("node AS jn", "root AS jr")
         new_roots = (
             half.join(jump, F.col("root") == F.col("jn"), "left")
             .selectExpr("node", "coalesce(jr, root) AS root")
-            .coalesce(8)
+            .coalesce(nparts)
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -315,6 +315,36 @@ def polygon_kind(j: int) -> str:
     return "concave" if j % 16 == 7 else "holed"
 
 
+def kind_geom(kind: str, x: float, y: float, w_: float, h_: float, idx: int) -> bytes:
+    """WKB geometry for one synth polygon kind at center (x, y)."""
+    if kind in ("box", "hot_box"):
+        ring = [(x - w_, y - h_), (x + w_, y - h_), (x + w_, y + h_), (x - w_, y + h_)]
+        return wkb.encode_polygon(ring)
+    if kind == "triangle":
+        ring = [(x - w_, y - h_), (x + w_, y - h_), (x, y + h_)]
+        return wkb.encode_polygon(ring)
+    if kind == "kgon":
+        k = 5 + idx % 7
+        ang = 2.0 * np.pi * np.arange(k) / k + 0.1 * idx
+        ring = np.stack([x + w_ * np.cos(ang), y + h_ * np.sin(ang)], axis=1)
+        return wkb.encode_polygon(ring)
+    if kind == "concave":
+        # "C" shape opening to the right
+        ring = [
+            (x - w_, y - h_), (x + w_, y - h_), (x + w_, y - 0.6 * h_),
+            (x - 0.4 * w_, y - 0.6 * h_), (x - 0.4 * w_, y + 0.6 * h_),
+            (x + w_, y + 0.6 * h_), (x + w_, y + h_), (x - w_, y + h_),
+        ]
+        return wkb.encode_polygon(ring)
+    # holed
+    outer = [(x - w_, y - h_), (x + w_, y - h_), (x + w_, y + h_), (x - w_, y + h_)]
+    inner = [
+        (x - 0.4 * w_, y - 0.4 * h_), (x + 0.4 * w_, y - 0.4 * h_),
+        (x + 0.4 * w_, y + 0.4 * h_), (x - 0.4 * w_, y + 0.4 * h_),
+    ]
+    return wkb.encode_polygon(outer, [inner])
+
+
 def polygons_pdf(m: int) -> pd.DataFrame:
     """All polygons, with WKB geometry. Deterministic; box/triangle
     params match the SQL CTE bit-for-bit."""
@@ -324,32 +354,7 @@ def polygons_pdf(m: int) -> pd.DataFrame:
     for idx in range(m):
         kind = polygon_kind(idx)
         x, y, w_, h_ = float(cx[idx]), float(cy[idx]), float(hw[idx]), float(hh[idx])
-        if kind in ("box", "hot_box"):
-            ring = [(x - w_, y - h_), (x + w_, y - h_), (x + w_, y + h_), (x - w_, y + h_)]
-            geom = wkb.encode_polygon(ring)
-        elif kind == "triangle":
-            ring = [(x - w_, y - h_), (x + w_, y - h_), (x, y + h_)]
-            geom = wkb.encode_polygon(ring)
-        elif kind == "kgon":
-            k = 5 + idx % 7
-            ang = 2.0 * np.pi * np.arange(k) / k + 0.1 * idx
-            ring = np.stack([x + w_ * np.cos(ang), y + h_ * np.sin(ang)], axis=1)
-            geom = wkb.encode_polygon(ring)
-        elif kind == "concave":
-            # "C" shape opening to the right
-            ring = [
-                (x - w_, y - h_), (x + w_, y - h_), (x + w_, y - 0.6 * h_),
-                (x - 0.4 * w_, y - 0.6 * h_), (x - 0.4 * w_, y + 0.6 * h_),
-                (x + w_, y + 0.6 * h_), (x + w_, y + h_), (x - w_, y + h_),
-            ]
-            geom = wkb.encode_polygon(ring)
-        else:  # holed
-            outer = [(x - w_, y - h_), (x + w_, y - h_), (x + w_, y + h_), (x - w_, y + h_)]
-            inner = [
-                (x - 0.4 * w_, y - 0.4 * h_), (x + 0.4 * w_, y - 0.4 * h_),
-                (x + 0.4 * w_, y + 0.4 * h_), (x - 0.4 * w_, y + 0.4 * h_),
-            ]
-            geom = wkb.encode_polygon(outer, [inner])
+        geom = kind_geom(kind, x, y, w_, h_, idx)
         rows.append(
             {
                 "poly_id": f"poly{idx:04d}",
@@ -361,6 +366,45 @@ def polygons_pdf(m: int) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def concave_clips_pdf(m: int) -> pd.DataFrame:
+    """Concave/holed CLIP layer for the Greiner–Hormann driver query:
+    the j%8==7 polygons re-centered onto box j-6 (kind 'box' for every
+    j) at offset (+0.3*hw_b, -0.2*hh_b), guaranteeing box-clip
+    overlaps at the sf0.01 oracle scale where the raw R2 placement
+    keeps the kinds apart. Pure arithmetic, mirrored by the SQL
+    oracle (oracle_overlay_concave_clip)."""
+    j, cx, cy, hw, hh = _poly_params(m)
+    rows = []
+    for idx in range(7, m, 8):
+        b = idx - 6
+        ncx = float(cx[b] + 0.3 * hw[b])
+        ncy = float(cy[b] - 0.2 * hh[b])
+        kind = polygon_kind(idx)
+        rows.append(
+            {
+                "clip_id": f"clip{idx:04d}",
+                "kind": kind,
+                "geom_wkb": kind_geom(
+                    kind, ncx, ncy, float(hw[idx]), float(hh[idx]), idx
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def concave_clips_df(spark, m: int):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("geom_wkb", T.BinaryType(), False),
+        ]
+    )
+    return spark.createDataFrame(concave_clips_pdf(m), schema=schema)
 
 
 def polygons_df(spark, m: int):
@@ -377,6 +421,66 @@ def polygons_df(spark, m: int):
         ]
     )
     return spark.createDataFrame(polygons_pdf(m), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# lattice — a DISJOINT rectangle method layer for the layer-algebra
+# Identity/Update driver oracles: with pairwise-disjoint method
+# features, area(A \ union(B_i)) = area(A) - sum_i area(A ∩ B_i) is
+# closed-form SQL, so the geometric fold gets an exact value oracle.
+# 8x4 world grid, 38 x 37.5 deg cells with 7 / 7.5 deg streets.
+
+LATT_NX, LATT_NY = 8, 4
+LATT_W, LATT_H = 38.0, 37.5
+LATT_OX, LATT_OY = 3.0, 2.5
+
+
+def lattice_cte(dialect: str = "duckdb") -> str:
+    n = LATT_NX * LATT_NY
+    src = (
+        f"(SELECT id AS k FROM range(0, {n}))"
+        if dialect == "spark"
+        else f"range(0, {n}) t(k)"
+    )
+    cast_s = "string" if dialect == "spark" else "varchar"
+    return (
+        f"SELECT concat('latt', lpad(cast(k as {cast_s}), 2, '0')) AS latt_id, "
+        f"-180.0E0 + 45.0E0 * cast(k % {LATT_NX} as double) + {flit(LATT_OX)} AS lx0, "
+        f"-90.0E0 + 45.0E0 * cast(floor(cast(k as double) / {flit(float(LATT_NX))}) as double) + {flit(LATT_OY)} AS ly0, "
+        f"-180.0E0 + 45.0E0 * cast(k % {LATT_NX} as double) + {flit(LATT_OX + LATT_W)} AS lx1, "
+        f"-90.0E0 + 45.0E0 * cast(floor(cast(k as double) / {flit(float(LATT_NX))}) as double) + {flit(LATT_OY + LATT_H)} AS ly1 "
+        f"FROM {src}"
+    )
+
+
+def lattice_pdf() -> pd.DataFrame:
+    k = np.arange(LATT_NX * LATT_NY)
+    x0 = -180.0 + 45.0 * (k % LATT_NX) + LATT_OX
+    y0 = -90.0 + 45.0 * np.floor(k / float(LATT_NX)) + LATT_OY
+    rows = []
+    for i in range(len(k)):
+        ring = [
+            (x0[i], y0[i]),
+            (x0[i] + LATT_W, y0[i]),
+            (x0[i] + LATT_W, y0[i] + LATT_H),
+            (x0[i], y0[i] + LATT_H),
+        ]
+        rows.append(
+            {"latt_id": f"latt{i:02d}", "geom_wkb": wkb.encode_polygon(ring)}
+        )
+    return pd.DataFrame(rows)
+
+
+def lattice_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("latt_id", T.StringType(), False),
+            T.StructField("geom_wkb", T.BinaryType(), False),
+        ]
+    )
+    return spark.createDataFrame(lattice_pdf(), schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -116,19 +116,37 @@ def test_holed_subject_subtracts_hole():
     assert len(rings) == 2
 
 
-def test_concave_clip_raises(spark):
+def test_concave_clip_routes_through_gh(spark):
+    """Round 2 raised on concave clip polygons; the Greiner–Hormann
+    region engine now handles them — overlay() with a concave clip
+    returns the grid-oracle area."""
     pdf = synth.polygons_pdf(128)
     conc = pdf[pdf["kind"] == "concave"].head(1)
+    box = pdf[pdf["kind"] == "box"].head(1)
+    wa = bytes(box.iloc[0]["geom_wkb"])
+    wc = _translated(bytes(conc.iloc[0]["geom_wkb"]), wa, 0.35)
     sub = spark.createDataFrame(
-        [("a", bytearray(bytes(conc.iloc[0]["geom_wkb"])))],
-        "id_a string, wkb_a binary",
+        [("a", bytearray(wa))], "id_a string, wkb_a binary"
     )
     clip = spark.createDataFrame(
-        [("b", bytearray(bytes(conc.iloc[0]["geom_wkb"])))],
-        "id_b string, wkb_b binary",
+        [("b", bytearray(wc))], "id_b string, wkb_b binary"
     )
-    with pytest.raises(Exception, match="convex"):
-        overlay.overlay(sub, clip).collect()
+    out = overlay.overlay(sub, clip).collect()
+    assert len(out) == 1
+    bbox = _pair_bbox(wa, wc)
+    approx, cell = _grid_area(
+        wkb.polygon_rings(wa), wkb.polygon_rings(wc), bbox
+    )
+    s_rings = [overlay._open_ring(r) for r in wkb.polygon_rings(wa)]
+    c_rings = [overlay._open_ring(r) for r in wkb.polygon_rings(wc)]
+    tol = (
+        (_perimeter(s_rings) + _perimeter(c_rings))
+        * max(bbox[2] - bbox[0], bbox[3] - bbox[1])
+        / 512
+        * 2.0
+        + 4 * cell
+    )
+    assert abs(out[0]["area"] - approx) <= tol
 
 
 def test_overlay_spark_pipeline_matches_local(spark):
