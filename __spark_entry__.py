@@ -301,11 +301,14 @@ def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ogr2ogr -simplify (Douglas-Peucker); rows-only (recursive,
-    not SQL-expressible), invariants in pytest."""
-    return vector_ops.simplify_counts(
-        synth.polygons_df(spark, synth.n_polygons(sf_dir)), 0.05
+    """ogr2ogr -segmentize 1.5 then -simplify 0.05 (Douglas-Peucker):
+    on rect-cornered kinds DP provably strips exactly the collinear
+    segmentize vertices, giving the full recursion a closed-form value
+    oracle (was rows-only in rounds 1-2)."""
+    polys = synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+        F.col("kind").isin("box", "triangle", "concave", "holed")
     )
+    return vector_ops.simplify_roundtrip_counts(polys, 1.5, 0.05)
 
 
 def _q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +774,18 @@ def _q_overlay_update(spark, sf_dir):
     )
 
 
+def _q_lcc_corners(spark, sf_dir):
+    """Second projection family: Lambert Conformal Conic 2SP
+    (EPSG:2154 Lambert-93) footprint corners, pure Catalyst."""
+    return reproject.lcc_corners(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
+def _q_grid_metrics(spark, sf_dir):
+    """GDALGridDataMetric* family (min/max/range/count/avg-distance
+    per search radius)."""
+    return raster_misc.grid_metrics(spark, _grid_pts(), 64, 64)
+
+
 # New round-3 operator queries (name -> callable), inserted inside the
 # driver's 50-query window by queries() below.
 _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -779,16 +794,24 @@ _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlay_concave_clip": _q_overlay_concave_clip,
     "overlay_identity": _q_overlay_identity,
     "overlay_update": _q_overlay_update,
+    "lcc_corners": _q_lcc_corners,
+    "grid_metrics": _q_grid_metrics,
+    "simplify_dp": _q_simplify,  # rows-only in r1/r2; now value-checked
+    "grid_idw": _q_grid_idw,  # rows-only in r1/r2; now value-checked
 }
 
 
-def _round3_oracles(m: int) -> dict[str, str]:
+def _round3_oracles(n: int, m: int) -> dict[str, str]:
     return {
         "overlay_union": overlay.oracle_overlay_union_pairs(m),
         "overlay_symdiff": overlay.oracle_overlay_symdiff(m),
         "overlay_concave_clip": overlay.oracle_overlay_concave_clip(m),
         "overlay_identity": overlay.oracle_overlay_identity(m),
         "overlay_update": overlay.oracle_overlay_update(m),
+        "lcc_corners": reproject.oracle_lcc_corners(n),
+        "grid_metrics": raster_misc.oracle_grid_metrics(64, 64),
+        "simplify_dp": vector_ops.oracle_simplify_roundtrip(m, 1.5),
+        "grid_idw": raster_misc.oracle_grid_idw(64, 64),
     }
 
 
@@ -860,17 +883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_ROUND3_QUERIES,
         # (c) re-verify sample of r02 greens (fills the window to 50)
         "overlay_intersection": _q_overlay_boxes,
-        "overlay_erase": _q_overlay_erase_rect,
         "spatial_predicates": _q_spatial_predicates,
         "contour_polylines": _q_contour_polylines,
         "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh": _q_minhash_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "utm_corners": _q_utm_corners,
         "warp_reproject_utm": _q_warp_reproject_utm,
         "knn_sites": _q_knn_sites,
-        "events_sessionize": ogrsql.QUERIES["events_sessionize"][0],
-        "grid_nearest": _q_grid_nearest,
         # --- past the driver's 50-query cap: driver-green in r02,
         #     still locally gated every round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -890,11 +909,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "minhash_lsh": _q_minhash_lsh,
         **{name: fn for name, (fn, _) in ogrsql.QUERIES.items()},
         **{k: v for k, v in _ROUND2_QUERIES.items() if k not in (
             "contour_polylines", "spatial_predicates", "dedup_clusters",
-            "utm_corners", "warp_reproject_utm", "grid_nearest",
-            "overlay_intersection", "overlay_erase",
+            "utm_corners", "warp_reproject_utm",
+            "overlay_intersection",
         )},
         "band_stats": _q_band_stats,
         "checksum": _q_checksum,
@@ -902,10 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_near_up2": _q_warp_near_up2,
         "warp_avg_down2": _q_warp_avg_down2,
         "warp_cutline": _q_warp_cutline,
-        # rows-only by design (no sensible value oracle)
-        "simplify_dp": _q_simplify,
+        # rows-only by design (no sensible value oracle: serial
+        # error-diffusion is order-defined)
         "quantize_dither": _q_quantize_dither,
-        "grid_idw": _q_grid_idw,
     }
 
 
@@ -1122,7 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": dedup.oracle_dedup_clusters(),
         **{name: sql for name, (_, sql) in ogrsql.QUERIES.items()},
-        **_round3_oracles(m),
+        **_round3_oracles(n, m),
     }
 
 

@@ -298,10 +298,11 @@ def grid_idw(
     broadcast; at scale the cell-ring join of knn.py generates the
     neighbor lists instead). A point exactly on a grid node wins
     outright (GDALGridInverseDistanceToAPower nodata-free case)."""
-    pts = spark.createDataFrame(points_pdf).collect()
-    px = np.array([r["px"] for r in pts], dtype=np.float64)
-    py = np.array([r["py"] for r in pts], dtype=np.float64)
-    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    # points_pdf is already driver-resident: extract directly and
+    # broadcast (round 2 bounced it through createDataFrame().collect())
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
     bpx = spark.sparkContext.broadcast((px, py, pv))
 
     nty = (height + tile_px - 1) // tile_px
@@ -320,10 +321,13 @@ def grid_idw(
             d2 = (gx - x0) ** 2 + (gy - y0p) ** 2
             hit = d2 == 0
             exact[hit] = v
+            # v/d2 and 1/d2 as separate divisions, accumulated in point
+            # index order — the exact fp ops the SQL oracle performs, so
+            # the only cross-engine drift is summation order (~1 ulp,
+            # far inside the 1e-3 key grid)
             with np.errstate(divide="ignore"):
-                inv = np.where(d2 > 0, 1.0 / d2, 0.0)
-            num += v * inv
-            den += inv
+                num += np.where(d2 > 0, v / d2, 0.0)
+                den += np.where(d2 > 0, 1.0 / d2, 0.0)
         vals = np.where(np.isnan(exact), num / den, exact)
         return pd.DataFrame(
             {
@@ -339,6 +343,30 @@ def grid_idw(
     return part.groupBy("y").agg(
         F.sum("n").alias("n"), F.sum("val_sum_key").alias("val_sum_key")
     )
+
+
+def oracle_grid_idw(width: int, height: int) -> str:
+    """Full value oracle for grid_idw (round 2 left it rows-only):
+    exact point hits take the point value; otherwise num/den of the
+    power-2 inverse distances, keyed at the 1e-3 grid — summation-
+    order drift between engines is ~1e-13 against a 1e-10-wide
+    boundary zone, and exact hits are computed without summation in
+    both engines."""
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, v,
+      (gx - px) * (gx - px) + (gy - py) * (gy - py) AS d2
+      FROM g, {_grid_points_sql()}),
+agg AS (SELECT gx, gy,
+        sum(CASE WHEN d2 > 0.0E0 THEN v / d2 ELSE 0.0E0 END) AS num,
+        sum(CASE WHEN d2 > 0.0E0 THEN 1.0E0 / d2 ELSE 0.0E0 END) AS den,
+        max(CASE WHEN d2 = 0.0E0 THEN v END) AS exact
+        FROM d GROUP BY 1, 2),
+pv AS (SELECT gy, coalesce(exact, num / den) AS val FROM agg)
+SELECT gy AS y, count(*) AS n,
+       cast(sum(cast(floor(val * 1000.0E0) as bigint)) as bigint) AS val_sum_key
+FROM pv GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -376,10 +404,11 @@ def grid_nearest(
     """Nearest-neighbor gridding: every node takes the value of its
     closest scattered point (ties by point index). Per-scanline
     integer-scaled value sums. Same banded-tile shape as grid_idw."""
-    pts = spark.createDataFrame(points_pdf).collect()
-    px = np.array([r["px"] for r in pts], dtype=np.float64)
-    py = np.array([r["py"] for r in pts], dtype=np.float64)
-    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    # points_pdf is already driver-resident: extract directly and
+    # broadcast (round 2 bounced it through createDataFrame().collect())
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
     bpx = spark.sparkContext.broadcast((px, py, pv))
     nty = (height + tile_px - 1) // tile_px
     bands = spark.range(nty).selectExpr("cast(id as int) AS band")
@@ -434,10 +463,11 @@ def grid_average(
     within ``radius`` (0 when none — GDALGridAverage's nodata).
     Output per scanline: n_covered (nodes with >=1 point in radius) +
     integer-scaled value sum."""
-    pts = spark.createDataFrame(points_pdf).collect()
-    px = np.array([r["px"] for r in pts], dtype=np.float64)
-    py = np.array([r["py"] for r in pts], dtype=np.float64)
-    pv = np.array([r["v"] for r in pts], dtype=np.float64)
+    # points_pdf is already driver-resident: extract directly and
+    # broadcast (round 2 bounced it through createDataFrame().collect())
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
     bpx = spark.sparkContext.broadcast((px, py, pv))
     nty = (height + tile_px - 1) // tile_px
     bands = spark.range(nty).selectExpr("cast(id as int) AS band")
@@ -469,6 +499,98 @@ def grid_average(
     return bands.groupby("band").applyInPandas(
         run, schema="y bigint, n_covered bigint, val_sum_key bigint"
     )
+
+
+def grid_metrics(
+    spark, points_pdf: pd.DataFrame, width: int, height: int,
+    radius: float = GRID_AVG_RADIUS, tile_px: int = 32,
+) -> DataFrame:
+    """GDALGrid data-metric algorithms in one pass: per grid node over
+    the points inside ``radius`` — minimum / maximum / range / count /
+    average-distance-to-node (GDALGridDataMetricMinimum etc.,
+    alg/gdal_alg.h:395-409, alg/gdalgrid.cpp:3656). Discrete
+    selections are exact; avg-distance is integer-scaled per node
+    BEFORE the scanline sum (the repo's float discipline). Nodes with
+    no point in radius emit the GDALGridCreate nodata convention (0,
+    excluded from the *_key sums via n_covered)."""
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+    r2 = radius * radius
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0: y0 + h, 0:width]
+        d2 = (gx[..., None] - qx) ** 2 + (gy[..., None] - qy) ** 2
+        inside = d2 <= r2
+        cnt = inside.sum(axis=2)
+        cov = cnt > 0
+        vmin = np.where(inside, qv, np.inf).min(axis=2)
+        vmax = np.where(inside, qv, -np.inf).max(axis=2)
+        vmin = np.where(cov, vmin, 0.0)
+        vmax = np.where(cov, vmax, 0.0)
+        dsum = np.where(inside, np.sqrt(d2), 0.0).sum(axis=2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avgd = np.where(cov, dsum / np.maximum(cnt, 1), 0.0)
+        key6 = lambda a: np.floor(a * 1e6 + 5e-4).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n_covered": cov.sum(axis=1).astype(np.int64),
+                "cnt_sum": cnt.sum(axis=1).astype(np.int64),
+                "min_sum_key": key6(vmin).sum(axis=1),
+                "max_sum_key": key6(vmax).sum(axis=1),
+                "rng_sum_key": key6(vmax - vmin).sum(axis=1),
+                "avgdist_sum_key": key6(avgd).sum(axis=1),
+            }
+        )
+
+    return bands.groupby("band").applyInPandas(
+        run,
+        schema=(
+            "y bigint, n_covered bigint, cnt_sum bigint, "
+            "min_sum_key bigint, max_sum_key bigint, rng_sum_key bigint, "
+            "avgdist_sum_key bigint"
+        ),
+    )
+
+
+def oracle_grid_metrics(
+    width: int, height: int, radius: float = GRID_AVG_RADIUS
+) -> str:
+    from .. import synth
+
+    r2 = synth.flit(radius * radius)
+    k6 = "cast(floor({expr} * 1000000.0E0 + 5.0E-4) as bigint)"
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, v,
+      (gx - px) * (gx - px) + (gy - py) * (gy - py) AS d2
+      FROM g, {_grid_points_sql()}),
+agg AS (SELECT gx, gy,
+        sum(CASE WHEN d2 <= {r2} THEN 1 ELSE 0 END) AS cnt,
+        min(CASE WHEN d2 <= {r2} THEN v END) AS vmin,
+        max(CASE WHEN d2 <= {r2} THEN v END) AS vmax,
+        sum(CASE WHEN d2 <= {r2} THEN sqrt(d2) ELSE 0.0E0 END) AS dsum
+        FROM d GROUP BY 1, 2),
+pv AS (SELECT gx, gy, cnt,
+       coalesce(vmin, 0.0E0) AS vmin, coalesce(vmax, 0.0E0) AS vmax,
+       CASE WHEN cnt > 0 THEN dsum / cnt ELSE 0.0E0 END AS avgd FROM agg)
+SELECT gy AS y,
+       cast(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) as bigint) AS n_covered,
+       cast(sum(cnt) as bigint) AS cnt_sum,
+       cast(sum({k6.format(expr='vmin')}) as bigint) AS min_sum_key,
+       cast(sum({k6.format(expr='vmax')}) as bigint) AS max_sum_key,
+       cast(sum({k6.format(expr='(vmax - vmin)')}) as bigint) AS rng_sum_key,
+       cast(sum({k6.format(expr='avgd')}) as bigint) AS avgdist_sum_key
+FROM pv GROUP BY 1
+"""
 
 
 def oracle_grid_average(

@@ -162,6 +162,52 @@ def oracle_utm_corners(n: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Lambert Conformal Conic corners (second projection family; EPSG
+# method 9802 / SRS_PT_LAMBERT_CONFORMAL_CONIC_2SP). Same shape as
+# utm_corners: pure Catalyst forward (sin/cos/tan/power — all inside
+# whole-stage codegen), dm quantization, DuckDB oracle running the
+# SAME dual-dialect fragment.
+
+
+def lcc_corners(images: DataFrame, epsg: int = 2154) -> DataFrame:
+    """Footprint corners of every image in an LCC CRS (default
+    RGF93 / Lambert-93). Map-only JVM stage, zero Python."""
+    p = srs.LCC_REGISTRY[epsg]
+    df = images.selectExpr("image_id", "lon", "lat", "w", "h")
+    corners = [
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ]
+    exprs = ["image_id"]
+    for sfx, lon_e, lat_e in corners:
+        e_sql, n_sql = srs.lcc_forward_sql(lon_e, lat_e, p)
+        df = df.selectExpr("*", f"{e_sql} AS e_{sfx}", f"{n_sql} AS n_{sfx}")
+        exprs.append(f"cast(floor(e_{sfx} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        exprs.append(f"cast(floor(n_{sfx} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return df.selectExpr(*exprs)
+
+
+def oracle_lcc_corners(n: int, epsg: int = 2154) -> str:
+    p = srs.LCC_REGISTRY[epsg]
+    parts = []
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.lcc_forward_sql(lon_e, lat_e, p)
+        parts.append(f"cast(floor({e_sql} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        parts.append(f"cast(floor({n_sql} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return (
+        f"SELECT image_id, {', '.join(parts)} "
+        f"FROM ({synth.images_cte(n, 'duckdb')})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pixel-level reprojection
 
 

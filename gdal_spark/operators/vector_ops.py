@@ -182,6 +182,62 @@ def simplify_dp(r: np.ndarray, tol: float) -> np.ndarray:
     return np.concatenate([left[:-1], right])
 
 
+def simplify_roundtrip_counts(
+    polys: DataFrame, max_len: float, tol: float
+) -> DataFrame:
+    """segmentize(max_len) -> Douglas-Peucker(tol) on the outer ring:
+    (poly_id, n_before = segmentized count, n_after). On the rect-
+    cornered synth kinds (box / triangle / concave / holed; every
+    corner deviates >> tol while segmentize-added vertices are exactly
+    collinear) DP provably removes exactly the added vertices, so the
+    driver gets a closed-form VALUE oracle for the full recursion —
+    round 2 left simplify rows-only."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                r = _ring_array(wkb.polygon_rings(bytes(g))[0])
+                seg = segmentize_ring(r, max_len)
+                closed = np.concatenate([seg, seg[:1]])
+                simp = simplify_dp(closed, tol)
+                rows.append((poly_id, len(seg), len(simp) - 1))
+            yield pd.DataFrame(rows, columns=["poly_id", "n_before", "n_after"])
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run, schema="poly_id string, n_before bigint, n_after bigint"
+    )
+
+
+def oracle_simplify_roundtrip(m: int, max_len: float) -> str:
+    """Per-edge segmentize counts (outer ring) + the original vertex
+    count DP returns to. Edge lengths per synth.kind_geom."""
+    ml = synth.flit(max_len)
+
+    def c(expr: str) -> str:
+        return f"greatest(1, cast(ceil(({expr}) / {ml}) as bigint))"
+
+    box = f"(2 * {c('2.0E0 * hw')} + 2 * {c('2.0E0 * hh')})"
+    tri = (
+        f"({c('2.0E0 * hw')} "
+        f"+ 2 * {c('sqrt(hw * hw + 4.0E0 * hh * hh)')})"
+    )
+    concave = (
+        f"(2 * {c('2.0E0 * hw')} + {c('2.0E0 * hh')} "
+        f"+ 2 * {c('0.4E0 * hh')} + 2 * {c('1.4E0 * hw')} "
+        f"+ {c('1.2E0 * hh')})"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"CASE kind WHEN 'triangle' THEN {tri} WHEN 'concave' THEN {concave} "
+        f"ELSE {box} END AS n_before, "
+        f"cast(CASE kind WHEN 'triangle' THEN 3 WHEN 'concave' THEN 8 "
+        f"ELSE 4 END as bigint) AS n_after "
+        f"FROM p WHERE kind IN ('box', 'triangle', 'concave', 'holed')"
+    )
+
+
 def simplify_counts(polys: DataFrame, tol: float) -> DataFrame:
     """(poly_id, n_before, n_after) for the outer ring (closed ring
     split at vertex 0). Rows-only driver check; pytest pins the DP

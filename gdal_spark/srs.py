@@ -133,12 +133,125 @@ def tm_inverse(x, y, lon0_deg):
 
 
 # ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (EPSG method 9802; formulas are the
+# published Snyder 1987 "Map Projections — A Working Manual" pp.
+# 104-110 / EPSG Guidance Note 7-2 ones; reference surface:
+# ogr/ogr_srs_api.h SRS_PT_LAMBERT_CONFORMAL_CONIC_2SP). The second
+# projection family of the transformer chain — most national grids
+# (Lambert-93, US State Plane, Canada LCC) use it.
+
+
+class LCC:
+    """Precomputed LCC 2SP constants for one CRS definition. Ellipsoid
+    parameters default to GRS80 (Lambert-93 etc.)."""
+
+    def __init__(
+        self,
+        phi1_deg: float,
+        phi2_deg: float,
+        phi0_deg: float,
+        lon0_deg: float,
+        fe: float,
+        fn: float,
+        a: float = 6378137.0,
+        inv_f: float = 298.257222101,
+    ):
+        self.a, f = a, 1.0 / inv_f
+        self.e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(self.e2))
+        self.lon0 = lon0_deg
+        self.fe, self.fn = fe, fn
+        e = self.e
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+        def t(phi):
+            s = np.sin(phi)
+            return np.tan(np.pi / 4.0 - phi / 2.0) / (
+                ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+            )
+
+        p1, p2, p0 = map(np.radians, (phi1_deg, phi2_deg, phi0_deg))
+        m1, m2 = float(m(p1)), float(m(p2))
+        t1, t2, t0 = float(t(p1)), float(t(p2)), float(t(p0))
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1**self.n)
+        self.rho0 = self.a * self.F * t0**self.n
+
+
+# EPSG:2154 RGF93 / Lambert-93 (the national grid of France)
+LCC_REGISTRY = {
+    2154: LCC(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+}
+
+
+def lcc_forward(lon, lat, p: LCC):
+    """Geographic (deg) -> LCC easting/northing. Vectorized."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        ((1.0 - p.e * s) / (1.0 + p.e * s)) ** (p.e / 2.0)
+    )
+    rho = p.a * p.F * t**p.n
+    th = p.n * lam
+    return p.fe + rho * np.sin(th), p.fn + p.rho0 - rho * np.cos(th)
+
+
+LCC_INV_ITERS = 8  # fixed-point phi iterations (quadratic-free but
+# converges to <1e-12 rad in ~5 for |e|<0.1; 8 gives margin)
+
+
+def lcc_inverse(x, y, p: LCC):
+    """LCC easting/northing -> geographic (deg). Fixed-count
+    fixed-point iteration on phi (EPSG 9802 inverse)."""
+    dx = np.asarray(x, np.float64) - p.fe
+    dy = p.rho0 - (np.asarray(y, np.float64) - p.fn)
+    rho = np.sign(p.n) * np.hypot(dx, dy)
+    t = (rho / (p.a * p.F)) ** (1.0 / p.n)
+    th = np.arctan2(dx, dy)
+    lam = th / p.n
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(LCC_INV_ITERS):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - p.e * s) / (1.0 + p.e * s)) ** (p.e / 2.0)
+        )
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def lcc_forward_sql(lon_expr: str, lat_expr: str, p: LCC) -> tuple[str, str]:
+    """(easting_expr, northing_expr) as dual-dialect SQL (Spark SQL +
+    DuckDB both parse it). Mirrors lcc_forward; pow/tan/atan drift is
+    ~1 ulp between engines, absorbed by dm quantization."""
+    e = _sql_const(p.e)
+    half_e = _sql_const(p.e / 2.0)
+    n = _sql_const(p.n)
+    aF = _sql_const(p.a * p.F)
+    lam = f"radians(({lon_expr}) - {_sql_const(p.lon0)})"
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0E0 - {phi} / 2.0E0) "
+        f"/ power((1.0E0 - {e} * {s}) / (1.0E0 + {e} * {s}), {half_e}))"
+    )
+    rho = f"({aF} * power({t}, {n}))"
+    th = f"({n} * {lam})"
+    return (
+        f"({_sql_const(p.fe)} + {rho} * sin({th}))",
+        f"({_sql_const(p.fn)} + {_sql_const(p.rho0)} - {rho} * cos({th}))",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRS registry + transformer chain (the GDALCreateGenImgProjTransformer
 # composition: everything routes through the EPSG:4326 hub)
 
 
 def _parse_epsg(code: int):
-    """-> ('geog'|'merc'|'utm', zone, south)."""
+    """-> ('geog'|'merc'|'utm'|'lcc', zone, south)."""
     if code == 4326:
         return "geog", 0, False
     if code == 3857:
@@ -147,7 +260,12 @@ def _parse_epsg(code: int):
         return "utm", code - 32600, False
     if 32701 <= code <= 32760:
         return "utm", code - 32700, True
-    raise ValueError(f"unsupported EPSG:{code} (supported: 4326, 3857, UTM)")
+    if code in LCC_REGISTRY:
+        return "lcc", code, False
+    raise ValueError(
+        f"unsupported EPSG:{code} (supported: 4326, 3857, UTM, "
+        f"LCC {sorted(LCC_REGISTRY)})"
+    )
 
 
 def to_geographic(code: int):
@@ -159,6 +277,9 @@ def to_geographic(code: int):
         from . import grid
 
         return grid.meters_to_lonlat
+    if kind == "lcc":
+        p = LCC_REGISTRY[zone]
+        return lambda x, y: lcc_inverse(x, y, p)
     lon0 = float(utm_lon0(zone))
     fn = FN_SOUTH if south else 0.0
     return lambda x, y: tm_inverse(x, np.asarray(y, np.float64) - fn, lon0)
@@ -176,6 +297,9 @@ def from_geographic(code: int):
         from . import grid
 
         return grid.lonlat_to_meters
+    if kind == "lcc":
+        p = LCC_REGISTRY[zone]
+        return lambda lon, lat: lcc_forward(lon, lat, p)
     lon0 = float(utm_lon0(zone))
     fn = FN_SOUTH if south else 0.0
 
@@ -301,12 +425,15 @@ def tm_inverse_sql_cte(
 
     Newton iterations are unrolled as successive CTE stages (same
     fixed count as tm_inverse), so accuracy matches numpy to ~ulp.
+    Every stage is MATERIALIZED: DuckDB 1.0 inlines CTEs, and a
+    chained Newton pipeline re-expands exponentially in textual size
+    without it (the CLAUDE.md CTE rule).
     """
     ka = _sql_const(K0 * A_CAP)
     e = _sql_const(E)
     e2 = _sql_const(E2)
     stages = [
-        f"s0 AS (SELECT {keep}, ({x_expr} - {_sql_const(FE)}) / {ka} AS eta, "
+        f"s0 AS MATERIALIZED (SELECT {keep}, ({x_expr} - {_sql_const(FE)}) / {ka} AS eta, "
         f"({y_expr}) / {ka} AS xi, ({lon0_expr}) AS lon0 FROM {base})"
     ]
     xi_terms = ["xi"]
@@ -319,21 +446,21 @@ def tm_inverse_sql_cte(
         xi_terms.append(f"- {bj} * sin({c} * xi) * {cosh}")
         eta_terms.append(f"- {bj} * cos({c} * xi) * {sinh}")
     stages.append(
-        f"s1 AS (SELECT {keep}, lon0, "
+        f"s1 AS MATERIALIZED (SELECT {keep}, lon0, "
         f"({' '.join(xi_terms)}) AS xip, ({' '.join(eta_terms)}) AS etap "
         f"FROM s0)"
     )
     stages.append(
-        "s2 AS (SELECT " + keep + ", lon0, "
+        "s2 AS MATERIALIZED (SELECT " + keep + ", lon0, "
         "((exp(etap) - exp(-etap)) / 2.0E0) AS she, cos(xip) AS cxi, "
         "sin(xip) AS sxi FROM s1)"
     )
     stages.append(
-        "s3 AS (SELECT " + keep + ", lon0, atan2(she, cxi) AS lam, "
+        "s3 AS MATERIALIZED (SELECT " + keep + ", lon0, atan2(she, cxi) AS lam, "
         "(sxi / sqrt(she * she + cxi * cxi)) AS tp FROM s2)"
     )
     stages.append(
-        "s4 AS (SELECT " + keep + ", lon0, lam, "
+        "s4 AS MATERIALIZED (SELECT " + keep + ", lon0, lam, "
         "ln(tp + sqrt(tp * tp + 1.0E0)) AS psi, atan(tp) AS phi0 FROM s3)"
     )
     prev = "phi0"
@@ -347,13 +474,13 @@ def tm_inverse_sql_cte(
         )
         fp = f"((1.0E0 - {e2}) / ((1.0E0 - {e2} * {s} * {s}) * cos({prev})))"
         stages.append(
-            f"n{it} AS (SELECT {keep}, lon0, lam, psi, "
+            f"n{it} AS MATERIALIZED (SELECT {keep}, lon0, lam, psi, "
             f"{prev} - {f_} / {fp} AS {nxt} FROM "
             f"{'s4' if it == 0 else 'n' + str(it - 1)})"
         )
         prev = nxt
     stages.append(
-        f"tminv AS (SELECT {keep}, lon0 + degrees(lam) AS lon, "
+        f"tminv AS MATERIALIZED (SELECT {keep}, lon0 + degrees(lam) AS lon, "
         f"degrees({prev}) AS lat FROM n{NEWTON_ITERS - 1})"
     )
     return ",\n".join(stages)

@@ -196,3 +196,57 @@ def test_cell_prefixes_are_ancestors():
     # last prefix is the zoom-0 root
     z, x, y = grid.unpack_cell(prefixes[-1][0])
     assert (int(z), int(x), int(y)) == (0, 0, 0)
+
+
+def test_grid_metrics_vs_brute_force(spark):
+    """grid_metrics scanline aggregates equal a direct numpy
+    recomputation (independent of the banded applyInPandas path)."""
+    import pandas as pd
+
+    from gdal_spark.operators import raster_misc
+
+    pts = pd.DataFrame(raster_misc.GRID_POINTS)
+    got = (
+        raster_misc.grid_metrics(spark, pts, 48, 40)
+        .toPandas()
+        .sort_values("y")
+        .reset_index(drop=True)
+    )
+    px = pts["px"].to_numpy()
+    py = pts["py"].to_numpy()
+    pv = pts["v"].to_numpy()
+    r2 = raster_misc.GRID_AVG_RADIUS ** 2
+    gy, gx = np.mgrid[0:40, 0:48]
+    d2 = (gx[..., None] - px) ** 2 + (gy[..., None] - py) ** 2
+    inside = d2 <= r2
+    cnt = inside.sum(axis=2)
+    cov = cnt > 0
+    vmin = np.where(cov, np.where(inside, pv, np.inf).min(axis=2), 0.0)
+    vmax = np.where(cov, np.where(inside, pv, -np.inf).max(axis=2), 0.0)
+    avgd = np.where(
+        cov, np.where(inside, np.sqrt(d2), 0.0).sum(axis=2) / np.maximum(cnt, 1), 0.0
+    )
+    k6 = lambda a: np.floor(a * 1e6 + 5e-4).astype(np.int64)
+    assert (got["n_covered"].to_numpy() == cov.sum(axis=1)).all()
+    assert (got["cnt_sum"].to_numpy() == cnt.sum(axis=1)).all()
+    assert (got["min_sum_key"].to_numpy() == k6(vmin).sum(axis=1)).all()
+    assert (got["max_sum_key"].to_numpy() == k6(vmax).sum(axis=1)).all()
+    assert (got["rng_sum_key"].to_numpy() == k6(vmax - vmin).sum(axis=1)).all()
+    assert (got["avgdist_sum_key"].to_numpy() == k6(avgd).sum(axis=1)).all()
+
+
+def test_simplify_roundtrip_strips_exactly_added_vertices(spark):
+    """DP(0.05) after segmentize(1.5) returns the original vertex
+    count on every rect-cornered kind (the closed-form oracle claim)."""
+    from gdal_spark import synth as sy
+    from gdal_spark.operators import vector_ops
+
+    polys = sy.polygons_df(spark, 96).filter(
+        "kind IN ('box', 'triangle', 'concave', 'holed')"
+    )
+    out = vector_ops.simplify_roundtrip_counts(polys, 1.5, 0.05).toPandas()
+    kinds = sy.polygons_pdf(96).set_index("poly_id")["kind"]
+    want = {"box": 4, "triangle": 3, "concave": 8, "holed": 4}
+    for _, row in out.iterrows():
+        assert row["n_after"] == want[kinds[row["poly_id"]]]
+        assert row["n_before"] > row["n_after"]

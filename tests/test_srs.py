@@ -118,7 +118,7 @@ def test_epsg_registry_chain():
 
 def test_unsupported_epsg():
     with pytest.raises(ValueError):
-        srs.make_transform(4326, 2154)  # Lambert93 not in the registry
+        srs.make_transform(4326, 27572)  # NTF Lambert II not registered
 
 
 def test_approx_transformer_tolerance():
@@ -195,3 +195,58 @@ def test_warp_with_approx_transformer_matches_exact():
         arr, src_gt, dst_gt, (128, 128), "near", inv, approx_tol=1e-12
     )
     assert np.array_equal(exact, approx0)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (EPSG 9802; Lambert-93 registry entry)
+
+
+def test_lcc_origin_and_standard_parallel_scale():
+    """Projection origin maps to (FE, FN); scale factor is 1 on BOTH
+    standard parallels and <1 between them (the defining property of a
+    2SP conic) — k(46.5) ~ 0.99905 is Lambert-93's published central
+    scale."""
+    p = srs.LCC_REGISTRY[2154]
+    x, y = srs.lcc_forward(np.array([3.0]), np.array([46.5]), p)
+    assert abs(x[0] - 700000.0) < 1e-6
+    assert abs(y[0] - 6600000.0) < 1e-6
+
+    def scale(lat):
+        eps = 1e-7
+        x1, y1 = srs.lcc_forward(np.array([3.0]), np.array([lat]), p)
+        x2, y2 = srs.lcc_forward(np.array([3.0]), np.array([lat + eps]), p)
+        s = np.sin(np.radians(lat))
+        M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+        return float(np.hypot(x2 - x1, y2 - y1)[0]) / (M * np.radians(eps))
+
+    assert abs(scale(49.0) - 1.0) < 1e-6
+    assert abs(scale(44.0) - 1.0) < 1e-6
+    assert abs(scale(46.5) - 0.9990510) < 1e-5
+
+
+def test_lcc_roundtrip_submm():
+    p = srs.LCC_REGISTRY[2154]
+    lons = np.linspace(-60.0, 60.0, 25)
+    lats = np.linspace(-20.0, 70.0, 25)
+    gx, gy = np.meshgrid(lons, lats)
+    gx, gy = gx.ravel(), gy.ravel()
+    X, Y = srs.lcc_forward(gx, gy, p)
+    lo, la = srs.lcc_inverse(X, Y, p)
+    # 1e-11 deg ~ 1 micrometer
+    assert np.abs(lo - gx).max() < 1e-11
+    assert np.abs(la - gy).max() < 1e-11
+
+
+def test_lcc_chain_through_registry():
+    fwd = srs.make_transform(4326, 2154)
+    inv = srs.make_transform(2154, 4326)
+    lon = np.array([2.3522, -0.5792])
+    lat = np.array([48.8566, 44.8378])
+    X, Y = fwd(lon, lat)
+    lo, la = inv(X, Y)
+    assert np.abs(lo - lon).max() < 1e-11
+    assert np.abs(la - lat).max() < 1e-11
+    # inside the Lambert-93 usage envelope the coordinates are within
+    # the published French grid bounds
+    assert ((X > 0) & (X < 1.3e6)).all()
+    assert ((Y > 6.0e6) & (Y < 7.2e6)).all()
