@@ -50,6 +50,9 @@ def _ring_cells(scx: int, scy: int, r_lo: int, r_hi: int, zoom: int):
     return out
 
 
+DF_PATH_THRESHOLD = 512  # sites above this use the DataFrame-native merge
+
+
 def knn(
     points: DataFrame,
     sites_pdf: pd.DataFrame,
@@ -63,11 +66,24 @@ def knn(
 ) -> DataFrame:
     """k nearest points for each site.
 
-    ``sites_pdf``: small pandas frame (site_id, slon, slat) — the
-    query side, always driver-resident and broadcast.
-    Returns (site_id, rank, <id_col>, d2).
+    ``sites_pdf``: pandas frame (site_id, slon, slat) — the query
+    side. Tiny site sets (<= DF_PATH_THRESHOLD) merge the per-round
+    top-k driver-side (fewer jobs); larger ones route through
+    :func:`knn_df`, which keeps the running top-k distributed so the
+    driver never materializes candidates. Returns
+    (site_id, rank, <id_col>, d2) — identical either way (same
+    metric, tie-break, and disjoint-round merge).
     """
     spark = points.sparkSession
+    if len(sites_pdf) > DF_PATH_THRESHOLD:
+        sites_df = spark.createDataFrame(
+            sites_pdf[["site_id", "slon", "slat"]]
+        )
+        return knn_df(
+            points, sites_df, k, zoom=zoom, id_col=id_col,
+            lon_col=lon_col, lat_col=lat_col, max_rounds=max_rounds,
+            engine=engine,
+        )
     pts = assign_cells(
         points.select(id_col, lon_col, lat_col),
         zoom,
@@ -174,6 +190,134 @@ def knn(
         return spark.createDataFrame(
             out_pdf,
             schema=f"site_id string, rank int, {id_col} bigint, d2 double",
+        )
+    finally:
+        pts.unpersist()
+
+
+def knn_df(
+    points: DataFrame,
+    sites_df: DataFrame,
+    k: int,
+    zoom: int = DEFAULT_KNN_ZOOM,
+    id_col: str = "i",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_rounds: int = 12,
+    engine: str = "sql",
+) -> DataFrame:
+    """DataFrame-native cell-ring kNN for LARGE site tables: the
+    running per-site top-k lives in a localCheckpointed DataFrame and
+    is re-ranked with a window after each disjoint ring round; the
+    driver only checks round emptiness. Ring fan-out is pure Catalyst
+    (explode(sequence)), candidate matching is an equi-join on
+    (tile_x, tile_y) — both sides arbitrarily large, no driver
+    materialization anywhere.
+
+    sites_df: (site_id, slon, slat). Returns (site_id, rank, id, d2).
+    """
+    from .cells import geodetic_tile_sql
+
+    nx, ny = 2 ** (zoom + 1), 2**zoom
+    cell_deg = 180.0 / (2.0**zoom)
+    pts = assign_cells(
+        points.select(id_col, lon_col, lat_col),
+        zoom,
+        grid_kind="geodetic",
+        lon_col=lon_col,
+        lat_col=lat_col,
+        engine=engine,
+    ).select(id_col, lon_col, lat_col, "tile_x", "tile_y").persist()
+    try:
+        sites = sites_df.selectExpr(
+            "site_id",
+            "slon",
+            "slat",
+            f"{geodetic_tile_sql('slon', 'slat', zoom, 'x')} AS scx",
+            f"{geodetic_tile_sql('slon', 'slat', zoom, 'y')} AS scy",
+        ).localCheckpoint(eager=True)
+        spark = points.sparkSession
+        best = spark.createDataFrame(
+            [], schema=f"site_id string, {id_col} bigint, d2 double"
+        )
+        unsat = sites
+        win = Window.partitionBy("site_id").orderBy("d2", id_col)
+        r_prev, r_cur = -1, 1
+        for _ in range(max_rounds):
+            ring = (
+                unsat.withColumn(
+                    "dx", F.explode(F.sequence(F.lit(-r_cur), F.lit(r_cur)))
+                )
+                .withColumn(
+                    "dy", F.explode(F.sequence(F.lit(-r_cur), F.lit(r_cur)))
+                )
+                .where(f"greatest(abs(dx), abs(dy)) > {r_prev}")
+                .selectExpr(
+                    "site_id", "slon", "slat",
+                    "scx + dx AS tile_x", "scy + dy AS tile_y",
+                )
+                .where(
+                    f"tile_x >= 0 AND tile_x < {nx} "
+                    f"AND tile_y >= 0 AND tile_y < {ny}"
+                )
+            )
+            cand = pts.join(ring, ["tile_x", "tile_y"]).select(
+                "site_id",
+                id_col,
+                F.expr(
+                    f"({lon_col} - slon) * ({lon_col} - slon) + "
+                    f"({lat_col} - slat) * ({lat_col} - slat)"
+                ).alias("d2"),
+            )
+            round_topk = (
+                cand.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("site_id", id_col, "d2")
+            )
+            best = (
+                best.unionAll(round_topk)
+                .withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("site_id", id_col, "d2")
+                .localCheckpoint(eager=True)
+            )
+            # satisfaction: k found AND kth distance inside the
+            # guaranteed-covered square (or the ring covers the globe)
+            stats = best.groupBy("site_id").agg(
+                F.count("*").alias("n_found"), F.max("d2").alias("kth_d2")
+            )
+            whole = (
+                f"((scx - {r_cur}) * {cell_deg} - 180.0E0 <= -180.0E0 "
+                f"AND (scx + {r_cur} + 1) * {cell_deg} - 180.0E0 >= 180.0E0 "
+                f"AND (scy - {r_cur}) * {cell_deg} - 90.0E0 <= -90.0E0 "
+                f"AND (scy + {r_cur} + 1) * {cell_deg} - 90.0E0 >= 90.0E0)"
+            )
+            bound = (
+                f"least(slon - ((scx - {r_cur}) * {cell_deg} - 180.0E0), "
+                f"((scx + {r_cur} + 1) * {cell_deg} - 180.0E0) - slon, "
+                f"slat - ((scy - {r_cur}) * {cell_deg} - 90.0E0), "
+                f"((scy + {r_cur} + 1) * {cell_deg} - 90.0E0) - slat)"
+            )
+            unsat = (
+                sites.join(stats, "site_id", "left")
+                .where(
+                    f"n_found IS NULL OR n_found < {k} "
+                    f"OR (NOT {whole} AND kth_d2 > {bound} * {bound})"
+                )
+                .select("site_id", "slon", "slat", "scx", "scy")
+                .localCheckpoint(eager=True)
+            )
+            if unsat.isEmpty():
+                break
+            r_prev, r_cur = r_cur, r_cur * 2
+        return (
+            best.withColumn("rank", F.row_number().over(win))
+            .select(
+                "site_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.col(id_col).cast("bigint").alias(id_col),
+                "d2",
+            )
         )
     finally:
         pts.unpersist()

@@ -28,3 +28,34 @@ def test_knn_matches_bruteforce(spark, k):
     sites = {r.site_id for r in exp}
     assert len(sites) == 32
     assert len(exp) == 32 * k
+
+
+def test_knn_df_path_10k_sites(spark):
+    """Large site tables route through the DataFrame-native running
+    top-k (knn.py round-2 merged per-round candidates driver-side in
+    pandas): 10k sites, no driver materialization of candidates, same
+    answers as brute force."""
+    import numpy as np
+    import pandas as pd
+
+    imgs = synth.images_df(spark, 2048)
+    n = 10_000
+    j = np.arange(n)
+    u = (j * 0.7548776662466927) % 1.0
+    v = (j * 0.5698402909980532) % 1.0
+    sites_pdf = pd.DataFrame(
+        {
+            "site_id": [f"s{i:05d}" for i in j],
+            "slon": -170.0 + 340.0 * u,
+            "slat": -80.0 + 160.0 * v,
+        }
+    )
+    got = knn(imgs, sites_pdf, 3, zoom=3).toPandas()
+    exp = knn_bruteforce(
+        imgs, spark.createDataFrame(sites_pdf), 3
+    ).toPandas()
+    got = got.sort_values(["site_id", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["site_id", "rank"]).reset_index(drop=True)
+    assert len(got) == n * 3
+    assert (got["i"].to_numpy() == exp["i"].to_numpy()).all()
+    assert (got["d2"].to_numpy() == exp["d2"].to_numpy()).all()
