@@ -567,6 +567,10 @@ def _q_embedding_neardup(spark, sf_dir):
     return ann.embedding_neardup(_embs(spark, sf_dir))
 
 
+def _q_embedding_neardup_exact(spark, sf_dir):
+    return ann.embedding_neardup_exact(_embs(spark, sf_dir))
+
+
 _REPROJ_MAX_I = 8
 
 
@@ -881,12 +885,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": _q_phash_neardup,
         # (b) new round-3 operators
         **_ROUND3_QUERIES,
-        # (c) re-verify sample of r02 greens (fills the window to 50)
-        "overlay_intersection": _q_overlay_boxes,
+        # (c) re-verify sample of r02 greens (fills the window to 50).
+        # embedding_neardup split per r2 ADVICE: the exact all-pairs
+        # semantics keep the plain name (small-scale default); the
+        # recall<1 LSH-bucketed scale path is now visibly _lsh.
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "embedding_neardup_lsh": _q_embedding_neardup,
         "spatial_predicates": _q_spatial_predicates,
         "contour_polylines": _q_contour_polylines,
         "dedup_clusters": _q_dedup_clusters,
-        "embedding_neardup": _q_embedding_neardup,
         "utm_corners": _q_utm_corners,
         "warp_reproject_utm": _q_warp_reproject_utm,
         "knn_sites": _q_knn_sites,
@@ -916,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "utm_corners", "warp_reproject_utm",
             "overlay_intersection",
         )},
+        "overlay_intersection": _q_overlay_boxes,
         "band_stats": _q_band_stats,
         "checksum": _q_checksum,
         "spatial_join_pip": _q_spatial_join_pip,
@@ -1113,7 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": ann.oracle_cosine_topk(),
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
         "ann_ivf_topk": ann.oracle_ann_ivf_topk(),
-        "embedding_neardup": ann.oracle_embedding_neardup(),
+        "embedding_neardup_lsh": ann.oracle_embedding_neardup(),
+        "embedding_neardup_exact": ann.oracle_embedding_neardup_exact(),
         "utm_corners": reproject.oracle_utm_corners(n),
         "warp_reproject_utm": reproject.oracle_reproject_utm(
             min(n, 4096), _REPROJ_MAX_I

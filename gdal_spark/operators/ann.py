@@ -481,6 +481,20 @@ def embedding_neardup_exact(emb: DataFrame, min_cos_ppm: int = 350_000) -> DataF
     )
 
 
+def oracle_embedding_neardup_exact(min_cos_ppm: int = 350_000) -> str:
+    """All-pairs cosine >= threshold (mirrors embedding_neardup_exact
+    — the default small-scale semantics; the _lsh variant is the
+    recall<1 scale path, named so the tradeoff is visible)."""
+    return (
+        f"WITH v AS ({_vectors_cte()}), "
+        f"scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"a.na AS na, b.na AS nb, {dot_sql('duckdb', 'a.vs', 'b.vs')} AS dot "
+        f"FROM v a JOIN v b ON a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, {cos_key_sql()} AS cos_key FROM scored "
+        f"WHERE {cos_key_sql()} >= {min_cos_ppm}"
+    )
+
+
 def oracle_embedding_neardup(
     min_cos_ppm: int = 350_000,
     tables: int = LSH_TABLES,

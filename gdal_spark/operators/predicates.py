@@ -95,6 +95,9 @@ def classify(rings_a, rings_b) -> str:
     """'intersects' | 'within' | 'contains' | 'touches' | 'disjoint'
     for two simple polygons (ring lists, holes after the shell).
 
+    Equal geometries return 'equals' (OGRGeometry::Equals; note GEOS
+    Within(A,A) and Contains(A,A) are also true per DE-9IM — callers
+    treating equals as within/contains should accept both labels).
     Convex hole-free pairs take an exact Sutherland-Hodgman area
     branch (robust even for collinear shared-edge overlaps); the
     general branch classifies by proper edge crossings + vertex
@@ -113,14 +116,36 @@ def classify(rings_a, rings_b) -> str:
         if inter > 0.0:
             area_a = abs(ring_area(rings_a[0]))
             area_b = abs(ring_area(rings_b[0]))
-            if inter == area_a and area_a < area_b:
+            if inter == area_a and inter == area_b:
+                return "equals"
+            if inter == area_a:
                 return "within"
-            if inter == area_b and area_b < area_a:
+            if inter == area_b:
                 return "contains"
             return "intersects"
         ea, eb = _edges(rings_a), _edges(rings_b)
         _, touch = _segments_cross(ea, eb)
         return "touches" if touch else "disjoint"
+    if len(rings_a) == len(rings_b):
+        from .. import boolop
+
+        scale = max(
+            1.0, max(abs(float(v)) for r in rings_a for v in r.ravel())
+        )
+        used = set()
+        for ra in rings_a:
+            hit = None
+            for kb, rb in enumerate(rings_b):
+                if kb not in used and boolop._rings_equal(
+                    ra, rb, 1e-12 * scale
+                ):
+                    hit = kb
+                    break
+            if hit is None:
+                break
+            used.add(hit)
+        else:
+            return "equals"
     ea, eb = _edges(rings_a), _edges(rings_b)
     proper, touch = _segments_cross(ea, eb)
     if proper:

@@ -440,8 +440,18 @@ def retile(
     span = flit(res * tile_px)
     fx0, fy0 = flit(x0), flit(y0)
     minlat = "(lat - 0.1E0 * cast(h as double) / cast(w as double))"
+    gx1 = flit(x0 + res * tile_px * nx)
+    gy1 = flit(y0 - res * tile_px * ny)
     cov = (
-        images.selectExpr(
+        images
+        # footprint-vs-grid-extent prefilter: without it the index
+        # clamp lands fully-outside images on edge tiles and ships
+        # their payloads through the shuffle to paint nothing
+        .where(
+            f"lon < {gx1} AND lon + 0.1E0 > {fx0} "
+            f"AND lat > {gy1} AND {minlat} < {fy0}"
+        )
+        .selectExpr(
             "i", "image_id", "bytes", "lon", "lat", "w", "h",
             f"greatest(0, least({nx - 1}, "
             f"cast(floor((lon - {fx0}) / {span}) as bigint))) AS tx0",

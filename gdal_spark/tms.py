@@ -78,10 +78,24 @@ class TileMatrixSet:
     @classmethod
     def from_json(cls, doc: dict) -> "TileMatrixSet":
         """Parse the OGC TileMatrixSet JSON shape (the subset the
-        reference reads: tilematrixset.cpp:232-290)."""
+        reference reads: tilematrixset.cpp:232-290). TMS 2.0 allows
+        the crs field as either a URI string or an object
+        ({"uri": ...}); a missing metersPerUnit is derived from the
+        CRS (geographic CRSes use the reference's semi-major-arc
+        degree length, tilematrixset.cpp metersPerUnit handling)
+        rather than silently defaulting to 1."""
         crs = doc.get("supportedCRS", doc.get("crs", ""))
+        if isinstance(crs, dict):
+            crs = crs.get("uri", crs.get("wkt", ""))
         epsg = int(str(crs).rsplit("/", 1)[-1].rsplit(":", 1)[-1])
-        mpu = float(doc.get("metersPerUnit", 1.0))
+        if "metersPerUnit" in doc:
+            mpu = float(doc["metersPerUnit"])
+        elif epsg in (4326, 4258, 4269):  # geographic: degree units
+            mpu = 6378137.0 * np.pi / 180.0  # 111319.49079327358 m/deg
+        elif epsg in (4979,):
+            mpu = 6378137.0 * np.pi / 180.0
+        else:  # projected CRSes in this engine are metric
+            mpu = 1.0
         mats = []
         for tm in doc["tileMatrices" if "tileMatrices" in doc else "tileMatrix"]:
             tl = tm["topLeftCorner"]

@@ -85,3 +85,23 @@ def test_spark_pipeline_matches_local(spark):
                 expect[(sa["poly_id"], sb["poly_id"])] = pred
     got = {(r["id_a"], r["id_b"]): r["predicate"] for _, r in out.iterrows()}
     assert got == expect
+
+
+def test_equals_label():
+    """Equal geometries classify as 'equals' (r2 labeled them
+    'intersects' in the convex branch and 'touches' in the general
+    branch)."""
+    import numpy as np
+
+    from gdal_spark import synth, wkb
+    from gdal_spark.operators import predicates
+    from gdal_spark.operators.overlay import _open_ring
+
+    pdf = synth.polygons_pdf(64)
+    for kind in ("box", "kgon", "concave", "holed"):
+        g = bytes(pdf[pdf["kind"] == kind].iloc[0]["geom_wkb"])
+        rings = [_open_ring(r) for r in wkb.polygon_rings(g)]
+        assert predicates.classify(rings, rings) == "equals", kind
+        # rotated vertex order still equal
+        rot = [np.roll(r, 2, axis=0) for r in rings]
+        assert predicates.classify(rings, rot) == "equals", kind

@@ -50,3 +50,38 @@ def test_sql_twin_matches_numpy():
     tx, ty = tm.tile_of(d["x"].to_numpy(), d["y"].to_numpy())
     assert (d["tx"].to_numpy() == tx).all()
     assert (d["ty"].to_numpy() == ty).all()
+
+
+def test_crs_object_form_and_geodetic_mpu():
+    """TMS 2.0 object-form crs + derived metersPerUnit for geographic
+    CRSes (r2 crashed on the dict and defaulted mpu to 1)."""
+    import numpy as np
+
+    from gdal_spark import tms
+
+    doc = {
+        "id": "GeodeticLike",
+        "crs": {"uri": "http://www.opengis.net/def/crs/EPSG/0/4326"},
+        "tileMatrices": [
+            {
+                "id": "0",
+                # res should be 0.703125 deg/px-ish when mpu is the
+                # degree arc length
+                "scaleDenominator": 279541132.0143589,
+                "topLeftCorner": [-180.0, 90.0],
+                "tileWidth": 256,
+                "tileHeight": 256,
+                "matrixWidth": 2,
+                "matrixHeight": 1,
+            }
+        ],
+    }
+    prof = tms.TileMatrixSet.from_json(doc)
+    assert prof.crs_epsg == 4326
+    tm = prof.matrices[0]
+    assert abs(tm.meters_per_unit - 111319.49079327358) < 1e-6
+    assert abs(tm.res - 0.703125) < 1e-9
+    tx, ty = tm.tile_of(np.array([-90.0]), np.array([45.0]))
+    assert (int(tx[0]), int(ty[0])) == (0, 0)
+    tx, ty = tm.tile_of(np.array([90.0]), np.array([0.0]))
+    assert (int(tx[0]), int(ty[0])) == (1, 0)
