@@ -790,6 +790,21 @@ def _q_grid_metrics(spark, sf_dir):
     return raster_misc.grid_metrics(spark, _grid_pts(), 64, 64)
 
 
+def _q_overview_select(spark, sf_dir):
+    """Resolution-aware overview selection on read
+    (GDALBandGetBestOverviewLevel2, gcore/rasterio.cpp:3573): chosen
+    pyramid level + recomputed source window per (image, request)."""
+    return rastertable.best_overview_select(
+        synth.images_df(spark, synth.n_images(sf_dir))
+    )
+
+
+def _q_dem_hillshade_variants(spark, sf_dir):
+    """gdaldem hillshade -multidirectional / -combined / -igor
+    (apps/gdaldem_lib.cpp:1171/:1086/:851)."""
+    return dem.hillshade_variants(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+
+
 # New round-3 operator queries (name -> callable), inserted inside the
 # driver's 50-query window by queries() below.
 _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -802,6 +817,8 @@ _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_metrics": _q_grid_metrics,
     "simplify_dp": _q_simplify,  # rows-only in r1/r2; now value-checked
     "grid_idw": _q_grid_idw,  # rows-only in r1/r2; now value-checked
+    "overview_select": _q_overview_select,
+    "dem_hillshade_variants": _q_dem_hillshade_variants,
 }
 
 
@@ -816,6 +833,10 @@ def _round3_oracles(n: int, m: int) -> dict[str, str]:
         "grid_metrics": raster_misc.oracle_grid_metrics(64, 64),
         "simplify_dp": vector_ops.oracle_simplify_roundtrip(m, 1.5),
         "grid_idw": raster_misc.oracle_grid_idw(64, 64),
+        "overview_select": rastertable.oracle_best_overview(n),
+        "dem_hillshade_variants": dem.oracle_hillshade_variants(
+            min(n, 4096), _DEM_MAX_I
+        ),
     }
 
 
@@ -894,7 +915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates": _q_spatial_predicates,
         "contour_polylines": _q_contour_polylines,
         "dedup_clusters": _q_dedup_clusters,
-        "utm_corners": _q_utm_corners,
         "warp_reproject_utm": _q_warp_reproject_utm,
         "knn_sites": _q_knn_sites,
         # --- past the driver's 50-query cap: driver-green in r02,
@@ -924,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "overlay_intersection",
         )},
         "overlay_intersection": _q_overlay_boxes,
+        "utm_corners": _q_utm_corners,
         "band_stats": _q_band_stats,
         "checksum": _q_checksum,
         "spatial_join_pip": _q_spatial_join_pip,

@@ -57,11 +57,24 @@ def contour_crossings(
             vc = below[: h, : w] != below[1 : h + 1, : w] if hy1 > py0 + h else (
                 below[: h - 1, : w] != below[1 : h, : w]
             )
-            for yy in range(hc.shape[0]):
-                rows.append((lv, py0 + yy, int(hc[yy].sum()), 0))
-            for yy in range(vc.shape[0]):
-                rows.append((lv, py0 + yy, 0, int(vc[yy].sum())))
-        return pd.DataFrame(rows, columns=["level", "y", "h_cross", "v_cross"])
+            # vectorized per-scanline emission (no Python append loop)
+            hy = np.arange(hc.shape[0], dtype=np.int64) + py0
+            vy = np.arange(vc.shape[0], dtype=np.int64) + py0
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "level": np.int64(lv),
+                        "y": np.concatenate([hy, vy]),
+                        "h_cross": np.concatenate(
+                            [hc.sum(axis=1), np.zeros(len(vy), np.int64)]
+                        ),
+                        "v_cross": np.concatenate(
+                            [np.zeros(len(hy), np.int64), vc.sum(axis=1)]
+                        ),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
 
     part = tiles.groupby("tx", "ty").applyInPandas(
         compute, schema="level bigint, y bigint, h_cross bigint, v_cross bigint"

@@ -460,3 +460,189 @@ def oracle_dem_tiled(width: int, height: int) -> str:
         f"cast(sum(shade_key) as bigint) AS shade_sum "
         f"FROM keys GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# hillshade variants (gdaldem hillshade -multidirectional / -combined /
+# -igor; apps/gdaldem_lib.cpp GDALHillshadeMultiDirectionalAlg:1171,
+# GDALHillshadeCombinedAlg:1086, GDALHillshadeIgorAlg:851). Formulas
+# transcribed for the pixel-unit north-up case (ewres=1, nsres=-1,
+# z=1, scale=1, az=315, alt=45); GDAL's ApproxADivByInvSqrtB is an
+# a/sqrt(b) fast path — computed exactly here (as GDAL does without
+# SSE), identically in numpy and the SQL twin.
+
+SIN_ALT = np.sin(45.0 * DEG)
+SIN_ALT_127 = 127.0 * SIN_ALT
+COS_ALT_Z = np.cos(45.0 * DEG) * Z_SCALED
+COS_ALT_Z_127 = 127.0 * COS_ALT_Z
+COS225_COS_ALT_Z_127 = 127.0 * np.cos(225.0 * DEG) * COS_ALT_Z
+COS_AZ_COS_ALT_Z = np.cos(315.0 * DEG) * COS_ALT_Z
+SIN_AZ_COS_ALT_Z = np.sin(315.0 * DEG) * COS_ALT_Z
+INV_SQUARE_OF_HALF_PI = 1.0 / ((np.pi * np.pi) / 4.0)
+IGOR_TARGET = np.pi * 3.0 / 2.0 - 315.0 * DEG  # = -pi/4
+TWO_PI = 2.0 * np.pi
+
+
+def hillshade_variant_features(dem: np.ndarray) -> dict:
+    """multidirectional / combined / igor shade for the interior of a
+    2-D int array, float64, shape (h-2, w-2) each."""
+    d = dem.astype(np.float64)
+    w = {
+        (dx, dy): d[1 + dy : d.shape[0] - 1 + dy, 1 + dx : d.shape[1] - 1 + dx]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    hx = (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)]) - (
+        w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)]
+    )
+    hy = (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)]) - (
+        w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)]
+    )
+    # Gradient<HORN>::calc with inv_ewres=1, inv_nsres=-1
+    x = hx * 1.0
+    y = hy * -1.0
+    xx = x * x
+    yy = y * y
+    s = xx + yy
+
+    # --- multidirectional (USGS OF 92-422 weights)
+    val225 = np.maximum(0.0, SIN_ALT_127 + (x - y) * COS225_COS_ALT_Z_127)
+    val270 = np.maximum(0.0, SIN_ALT_127 - x * COS_ALT_Z_127)
+    val315 = np.maximum(0.0, SIN_ALT_127 + (x + y) * COS225_COS_ALT_Z_127)
+    val360 = np.maximum(0.0, SIN_ALT_127 - y * COS_ALT_Z_127)
+    w225 = 0.5 * s - x * y
+    w270 = xx
+    w315 = s - w225
+    w360 = yy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        multi = 1.0 + (
+            (w225 * val225 + w270 * val270 + w315 * val315 + w360 * val360)
+            / np.where(s == 0.0, 1.0, s)
+        ) / np.sqrt(1.0 + SQUARE_Z * s)
+    multi = np.where(s == 0.0, 1.0 + 254.0 * SIN_ALT, multi)
+
+    # --- combined (shade * slope attenuation)
+    slope_t = s * SQUARE_Z
+    cang0 = np.arccos(
+        (SIN_ALT - (y * COS_AZ_COS_ALT_Z - x * SIN_AZ_COS_ALT_Z))
+        / np.sqrt(1.0 + slope_t)
+    )
+    cang1 = 1.0 - cang0 * np.arctan(np.sqrt(slope_t)) * INV_SQUARE_OF_HALF_PI
+    comb = np.where(cang1 <= 0.0, 1.0, 1.0 + 254.0 * cang1)
+
+    # --- igor (shadowness from slope strength x aspect proximity to
+    # the anti-lit direction; az-only, alt ignored)
+    slope_deg = np.arctan(np.sqrt(hx * hx + hy * hy) * Z_SCALED) / DEG
+    aspect = np.arctan2(hy, hx)  # atan2(dy2, -dx) with dx=-hx, dy2=hy
+    a_norm = np.where(aspect < 0.0, TWO_PI + aspect, aspect)
+    t_norm = IGOR_TARGET if IGOR_TARGET >= 0 else TWO_PI + IGOR_TARGET
+    diff = np.abs(a_norm - t_norm)
+    diff = np.where(diff > np.pi, TWO_PI - diff, diff)
+    igor = 255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - diff / np.pi))
+
+    return {"multi": multi, "comb": comb, "igor": igor}
+
+
+def hillshade_variants(images: DataFrame) -> DataFrame:
+    """Per-image (channel 0 = DEM) variant shades, integer-keyed and
+    aggregated per interior scanline."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                if demb.shape[0] < 3 or demb.shape[1] < 3:
+                    continue
+                feats = hillshade_variant_features(demb)
+                keys = {
+                    k: np.floor(v * SCALE_KEY).astype(np.int64)
+                    for k, v in feats.items()
+                }
+                h = keys["multi"].shape[0]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": image_id,
+                            "y": np.arange(1, 1 + h, dtype=np.int64),
+                            "n": np.full(h, keys["multi"].shape[1], np.int64),
+                            "multi_sum": keys["multi"].sum(axis=1),
+                            "comb_sum": keys["comb"].sum(axis=1),
+                            "igor_sum": keys["igor"].sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["image_id", "y", "n", "multi_sum", "comb_sum",
+                         "igor_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, multi_sum bigint, "
+        "comb_sum bigint, igor_sum bigint",
+    )
+
+
+def oracle_hillshade_variants(n: int, max_i: int) -> str:
+    """SQL twin of the three variant shades over the synthetic pixel
+    function — Horn sums are exact integers, then one transcendental
+    chain per variant shared verbatim with the numpy kernel."""
+    k = flit(SCALE_KEY)
+    # per-pixel Horn aggregates (dxh = hx, dyh = hy)
+    x, y = "(dxh * 1.0E0)", "(dyh * -1.0E0)"
+    s = f"({x} * {x} + {y} * {y})"
+    v225 = f"greatest(0.0E0, {flit(SIN_ALT_127)} + ({x} - {y}) * {flit(COS225_COS_ALT_Z_127)})"
+    v270 = f"greatest(0.0E0, {flit(SIN_ALT_127)} - {x} * {flit(COS_ALT_Z_127)})"
+    v315 = f"greatest(0.0E0, {flit(SIN_ALT_127)} + ({x} + {y}) * {flit(COS225_COS_ALT_Z_127)})"
+    v360 = f"greatest(0.0E0, {flit(SIN_ALT_127)} - {y} * {flit(COS_ALT_Z_127)})"
+    w225 = f"(0.5E0 * {s} - {x} * {y})"
+    w315 = f"({s} - {w225})"
+    multi = (
+        f"(CASE WHEN {s} = 0.0E0 THEN {flit(1.0 + 254.0 * SIN_ALT)} "
+        f"ELSE 1.0E0 + (({w225} * {v225} + ({x} * {x}) * {v270} "
+        f"+ {w315} * {v315} + ({y} * {y}) * {v360}) / {s}) "
+        f"/ sqrt(1.0E0 + {flit(SQUARE_Z)} * {s}) END)"
+    )
+    slope_t = f"({s} * {flit(SQUARE_Z)})"
+    cang0 = (
+        f"acos(({flit(SIN_ALT)} - ({y} * {flit(COS_AZ_COS_ALT_Z)} "
+        f"- {x} * {flit(SIN_AZ_COS_ALT_Z)})) / sqrt(1.0E0 + {slope_t}))"
+    )
+    cang1 = f"(1.0E0 - {cang0} * atan(sqrt({slope_t})) * {flit(INV_SQUARE_OF_HALF_PI)})"
+    comb = f"(CASE WHEN {cang1} <= 0.0E0 THEN 1.0E0 ELSE 1.0E0 + 254.0E0 * {cang1} END)"
+    slope_deg = f"(atan(sqrt(dxh * dxh + dyh * dyh) * {flit(Z_SCALED)}) / {flit(DEG)})"
+    aspect = "atan2(cast(dyh as double), cast(dxh as double))"
+    a_norm = f"(CASE WHEN {aspect} < 0.0E0 THEN {flit(TWO_PI)} + {aspect} ELSE {aspect} END)"
+    t_norm = flit(IGOR_TARGET if IGOR_TARGET >= 0 else TWO_PI + IGOR_TARGET)
+    diff0 = f"abs({a_norm} - {t_norm})"
+    diff = f"(CASE WHEN {diff0} > {flit(np.pi)} THEN {flit(TWO_PI)} - {diff0} ELSE {diff0} END)"
+    igor = (
+        f"(255.0E0 * (1.0E0 - ({slope_deg} / 90.0E0) "
+        f"* (1.0E0 - {diff} / {flit(np.pi)})))"
+    )
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    return (
+        f"WITH g AS ({grid}), "
+        f"nb AS (SELECT image_id, x0, y0, ddx, ddy, {nbr_val} AS v "
+        f"FROM (SELECT g.*, ddx, ddy, x0 + ddx AS x, y0 + ddy AS y, 0 AS ch "
+        f"FROM g, {_NBR})), "
+        f"agg AS (SELECT image_id, x0, y0, "
+        f"sum(v * {_WX}) AS dxh, sum(v * {_WY}) AS dyh "
+        f"FROM nb GROUP BY 1, 2, 3), "
+        f"keys AS (SELECT image_id, x0, y0, "
+        f"cast(floor({multi} * {k}) as bigint) AS multi_key, "
+        f"cast(floor({comb} * {k}) as bigint) AS comb_key, "
+        f"cast(floor({igor} * {k}) as bigint) AS igor_key FROM agg) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(multi_key) as bigint) AS multi_sum, "
+        f"cast(sum(comb_key) as bigint) AS comb_sum, "
+        f"cast(sum(igor_key) as bigint) AS igor_sum "
+        f"FROM keys GROUP BY 1, 2"
+    )

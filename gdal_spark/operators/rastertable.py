@@ -204,3 +204,164 @@ def oracle_point_probe(n: int, n_sites: int = synth.N_SITES) -> str:
         f"SELECT site_id, image_id, px, py, ch, {synth.pixel_val_sql()} AS val "
         f"FROM (SELECT m.*, px AS x, py AS y, ch FROM m, range(0, 3) tc(ch))"
     )
+
+
+# ---------------------------------------------------------------------------
+# best-overview selection on read (GDALBandGetBestOverviewLevel2,
+# gcore/rasterio.cpp:3573): given a requested source window + buffer
+# size, pick the most-downsampled overview still less downsampled than
+# 1.2x the request, and recompute the window on it. Round-2 VERDICT
+# flagged this as the missing resolution-aware read rule.
+
+OVERVIEW_LEVELS = 4  # factor-2 pyramid: ceil(size / 2^k), k = 1..4
+OVERSAMPLING = 1.2  # the reference's fixed oversampling threshold
+
+REQUEST_DIVISORS = (2, 3, 5, 8, 16)  # buf = max(1, xsize div d)
+
+
+def _best_overview_np(w, h, xoff, yoff, xsize, ysize, bufx, bufy):
+    """Vectorized literal transcription of the reference routine.
+    Returns (level, ox, oy, oxs, oys); level -1 = use the base."""
+    w = np.asarray(w, np.int64)
+    h = np.asarray(h, np.int64)
+    desired = np.where(
+        (xsize / bufx.astype(np.float64) < ysize / bufy.astype(np.float64))
+        | (bufy == 1),
+        xsize / bufx.astype(np.float64),
+        ysize / bufy.astype(np.float64),
+    )
+    level = np.full(w.shape, -1, dtype=np.int64)
+    best_res = np.zeros(w.shape)
+    ovw_best = w.copy()
+    ovh_best = h.copy()
+    for k in range(1, OVERVIEW_LEVELS + 1):
+        f = 1 << k
+        ovw = (w + f - 1) // f
+        ovh = (h + f - 1) // f
+        res = np.where(
+            w / ovw.astype(np.float64) < h / ovh.astype(np.float64),
+            w / ovw.astype(np.float64),
+            h / ovh.astype(np.float64),
+        )
+        take = (res < desired * OVERSAMPLING) & (res > best_res)
+        level = np.where(take, k, level)
+        best_res = np.where(take, res, best_res)
+        ovw_best = np.where(take, ovw, ovw_best)
+        ovh_best = np.where(take, ovh, ovh_best)
+    xres = w / ovw_best.astype(np.float64)
+    yres = h / ovh_best.astype(np.float64)
+    ox = np.minimum(ovw_best - 1, (xoff / xres + 0.5).astype(np.int64))
+    oy = np.minimum(ovh_best - 1, (yoff / yres + 0.5).astype(np.int64))
+    oxs = np.maximum(1, (xsize / xres + 0.5).astype(np.int64))
+    oys = np.maximum(1, (ysize / yres + 0.5).astype(np.int64))
+    oxs = np.where(ox + oxs > ovw_best, ovw_best - ox, oxs)
+    oys = np.where(oy + oys > ovh_best, ovh_best - oy, oys)
+    base = level < 0
+    ox = np.where(base, xoff, ox)
+    oy = np.where(base, yoff, oy)
+    oxs = np.where(base, xsize, oxs)
+    oys = np.where(base, ysize, oys)
+    return level, ox, oy, oxs, oys
+
+
+def best_overview_select(images: DataFrame) -> DataFrame:
+    """For every image and request divisor d (reading the centered
+    half window at buffer size window/d): the chosen overview level
+    and the recomputed source window. One Arrow stage, map-only."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            w_all = pdf["w"].to_numpy(np.int64)
+            h_all = pdf["h"].to_numpy(np.int64)
+            ids = pdf["image_id"].to_numpy()
+            for d in REQUEST_DIVISORS:
+                xoff, yoff = w_all // 4, h_all // 4
+                xsize, ysize = w_all // 2, h_all // 2
+                bufx = np.maximum(1, xsize // d)
+                bufy = np.maximum(1, ysize // d)
+                lvl, ox, oy, oxs, oys = _best_overview_np(
+                    w_all, h_all, xoff, yoff, xsize, ysize, bufx, bufy
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": ids,
+                            "d": np.int64(d),
+                            "level": lvl,
+                            "ox": ox,
+                            "oy": oy,
+                            "oxs": oxs,
+                            "oys": oys,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return images.select("image_id", "w", "h").mapInPandas(
+        run,
+        schema=(
+            "image_id string, d bigint, level bigint, ox bigint, "
+            "oy bigint, oxs bigint, oys bigint"
+        ),
+    )
+
+
+def oracle_best_overview(n: int) -> str:
+    """SQL twin: the same selection rule as a CASE ladder over the
+    factor-2 pyramid (all arithmetic exact in double)."""
+    from .. import synth as sy
+
+    divs = ", ".join(str(d) for d in REQUEST_DIVISORS)
+    os_ = sy.flit(OVERSAMPLING)
+    lvl_rows = []
+    for k in range(1, OVERVIEW_LEVELS + 1):
+        f = 1 << k
+        lvl_rows.append(
+            f"SELECT {k} AS k, {f} AS f"
+        )
+    return f"""
+WITH img AS (SELECT image_id, w, h FROM ({synth.images_cte(n, 'duckdb')})),
+req AS (SELECT img.*, d,
+        w // 4 AS xoff, h // 4 AS yoff, w // 2 AS xsize, h // 2 AS ysize,
+        greatest(1, (w // 2) // d) AS bufx,
+        greatest(1, (h // 2) // d) AS bufy
+        FROM img, (SELECT unnest([{divs}]) AS d) ds),
+des AS (SELECT req.*,
+        CASE WHEN cast(xsize as double) / bufx < cast(ysize as double) / bufy
+                  OR bufy = 1
+             THEN cast(xsize as double) / bufx
+             ELSE cast(ysize as double) / bufy END AS desired FROM req),
+lv AS (SELECT des.*, k,
+       (w + f - 1) // f AS ovw, (h + f - 1) // f AS ovh,
+       CASE WHEN cast(w as double) / ((w + f - 1) // f)
+                 < cast(h as double) / ((h + f - 1) // f)
+            THEN cast(w as double) / ((w + f - 1) // f)
+            ELSE cast(h as double) / ((h + f - 1) // f) END AS res
+       FROM des, ({' UNION ALL '.join(lvl_rows)}) ks),
+pick AS (SELECT image_id, d, w, h, xoff, yoff, xsize, ysize,
+         max(CASE WHEN res < desired * {os_} THEN k END) AS level
+         FROM lv GROUP BY ALL),
+sel AS (SELECT pick.image_id, pick.d, pick.level,
+        lv.ovw, lv.ovh, pick.xoff, pick.yoff, pick.xsize, pick.ysize,
+        cast(pick.w as double) / lv.ovw AS xres,
+        cast(pick.h as double) / lv.ovh AS yres
+        FROM pick JOIN lv ON lv.image_id = pick.image_id
+        AND lv.d = pick.d AND lv.k = pick.level),
+win AS (SELECT image_id, d, level,
+        least(ovw - 1, cast(floor(xoff / xres + 0.5E0) as bigint)) AS ox0,
+        least(ovh - 1, cast(floor(yoff / yres + 0.5E0) as bigint)) AS oy0,
+        greatest(1, cast(floor(xsize / xres + 0.5E0) as bigint)) AS oxs0,
+        greatest(1, cast(floor(ysize / yres + 0.5E0) as bigint)) AS oys0,
+        ovw, ovh FROM sel)
+SELECT image_id, d, level, ox0 AS ox, oy0 AS oy,
+       CASE WHEN ox0 + oxs0 > ovw THEN ovw - ox0 ELSE oxs0 END AS oxs,
+       CASE WHEN oy0 + oys0 > ovh THEN ovh - oy0 ELSE oys0 END AS oys
+FROM win
+UNION ALL
+SELECT image_id, d, -1 AS level, xoff AS ox, yoff AS oy,
+       xsize AS oxs, ysize AS oys
+FROM des WHERE NOT EXISTS (
+    SELECT 1 FROM lv WHERE lv.image_id = des.image_id AND lv.d = des.d
+    AND lv.res < lv.desired * {os_})
+"""

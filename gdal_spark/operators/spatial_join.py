@@ -48,14 +48,24 @@ def polygon_cells(
     join_zoom: int = DEFAULT_JOIN_ZOOM,
     min_zoom: int = DEFAULT_MIN_ZOOM,
     max_cells: int = 64,
+    with_edges: bool = False,
 ) -> DataFrame:
     """Explode polygons to covering geodetic cells at a per-polygon
     adaptive zoom in [min_zoom, join_zoom]. Output: polygon columns +
-    ``cell_id``."""
+    ``cell_id``. With ``with_edges``, also a pre-decoded flat edge
+    array ([x1,y1,x2,y2] per edge, all rings — holes flip parity) so
+    the refine can run as a JVM higher-order expression with no WKB
+    decode and no Arrow transfer."""
     env_fields = [
         T.StructField(c, T.DoubleType(), False)
         for c in ("env_minx", "env_miny", "env_maxx", "env_maxy")
     ] + [T.StructField("is_rect", T.BooleanType(), False)]
+    if with_edges:
+        env_fields.append(
+            T.StructField(
+                "edges", T.ArrayType(T.ArrayType(T.DoubleType())), True
+            )
+        )
     out_schema = T.StructType(
         polys.schema.fields
         + [T.StructField("cell_id", T.LongType(), False)]
@@ -74,7 +84,9 @@ def polygon_cells(
                 z = geom_mod.zoom_for_max_cells(g, max_cells, max_zoom=join_zoom)
                 z = max(z, min_zoom)
                 cids = geom_mod.covering_cells_geodetic(g, z)
-                env = (*wkb.envelope(g), _is_rectangle(g))
+                env = [*wkb.envelope(g), _is_rectangle(g)]
+                if with_edges:
+                    env.append(None if env[-1] else _edge_list(g))
                 for c in cols:
                     rows[c].extend([d[c]] * len(cids))
                 for name, v in zip(envs, env):
@@ -87,6 +99,38 @@ def polygon_cells(
                 )
 
     return polys.mapInPandas(explode_cells, schema=out_schema)
+
+
+def _edge_list(geom_wkb: bytes) -> list:
+    """All ring edges of a polygon as [[x1, y1, x2, y2], ...] (rings
+    opened; every ring contributes — even-odd parity handles holes)."""
+    out = []
+    for ring in wkb.polygon_rings(geom_wkb):
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) >= 2 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        nxt = np.roll(r, -1, axis=0)
+        out.extend(
+            np.concatenate([r, nxt], axis=1).tolist()
+        )
+    return out
+
+
+def pip_parity_expr(lon_col: str, lat_col: str, edges_col: str = "edges") -> str:
+    """Even-odd ray cast as a Catalyst higher-order expression over a
+    pre-decoded edge array — the EXACT op sequence of
+    geom.points_in_rings (cond on (y1>py)!=(y2>py); px < x-intercept),
+    so results are bit-identical to the Arrow refine while staying
+    entirely JVM-side (no Python workers in the hot path). A
+    horizontal edge divides by zero -> NULL condition -> parity
+    unchanged, matching the numpy kernel's cond mask."""
+    return (
+        f"aggregate({edges_col}, false, (acc, e) -> "
+        f"CASE WHEN ((e[1] > {lat_col}) != (e[3] > {lat_col})) "
+        f"AND {lon_col} < (e[2] - e[0]) * ({lat_col} - e[1]) "
+        f"/ (e[3] - e[1]) + e[0] "
+        f"THEN NOT acc ELSE acc END)"
+    )
 
 
 def _is_rectangle(geom_wkb: bytes) -> bool:
@@ -146,9 +190,16 @@ def spatial_join(
     point_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
     engine: str = "sql",
+    refine: str = "jvm",
 ) -> DataFrame:
     """Inner PIP join: rows = (point, polygon) pairs where the point
-    lies inside the polygon (even-odd rule)."""
+    lies inside the polygon (even-odd rule).
+
+    refine='jvm' (default) evaluates the exact ray cast as a Catalyst
+    higher-order expression over pre-decoded edge arrays — the whole
+    join stays JVM-side with zero Arrow traffic (the scale path on a
+    memory-bandwidth-bound host). refine='arrow' is the vectorized
+    pandas-UDF kernel (same arithmetic, bit-identical output)."""
     point_cols = point_cols or [
         c for c in points.columns if c not in (lon_col, lat_col)
     ]
@@ -160,15 +211,16 @@ def spatial_join(
     # UDF runs once, not once per branch; unlike persist(), the
     # checkpoint blocks release automatically when the RDD is
     # unreferenced (no cache accumulation across repeated calls)
-    pcells = polygon_cells(polys, join_zoom, min_zoom, max_cells).localCheckpoint(
-        eager=True
-    )
+    pcells = polygon_cells(
+        polys, join_zoom, min_zoom, max_cells, with_edges=refine == "jvm"
+    ).localCheckpoint(eager=True)
     # rectangle polygons: the envelope test IS the exact test
     # (m_bFilterIsEnvelope, ogrlayer.cpp) -> a pure-JVM branch that
     # never ships WKB through the broadcast nor rows through Arrow
+    geom_col = "edges" if refine == "jvm" else "geom_wkb"
     rect_cells = pcells.filter("is_rect").select("cell_id", *env_cols, *poly_cols)
     geom_cells = pcells.filter("NOT is_rect").select(
-        "cell_id", "geom_wkb", *env_cols, *poly_cols
+        "cell_id", geom_col, *env_cols, *poly_cols
     )
     if broadcast is None:
         # decide from the un-exploded polygon count — a size hint
@@ -211,11 +263,17 @@ def spatial_join(
     out_cols = [lon_col, lat_col, *point_cols, *poly_cols]
     rect_out = bbox(pts.join(rect_cells, "cell_id", "inner")).select(*out_cols)
     cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
-    # homogenize Arrow batches by polygon (local sort, no shuffle) so
-    # the refine factorization sees few distinct geometries per batch
-    cand = cand.sortWithinPartitions("geom_wkb")
-    pip = make_pip_udf()
-    refined = cand.filter(pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb")))
+    if refine == "jvm":
+        refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
+    else:
+        # homogenize Arrow batches by polygon (local sort, no shuffle)
+        # so the refine factorization sees few distinct geometries per
+        # batch
+        cand = cand.sortWithinPartitions("geom_wkb")
+        pip = make_pip_udf()
+        refined = cand.filter(
+            pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
+        )
     return rect_out.unionAll(refined.select(*out_cols))
 
 

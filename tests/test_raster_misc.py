@@ -72,9 +72,12 @@ def test_grid_idw_matches_bruteforce(spark):
     for x0, y0, v in pts.itertuples(index=False):
         d2 = (gx - x0) ** 2 + (gy - y0) ** 2
         exact[d2 == 0] = v
-        inv = np.where(d2 > 0, 1.0 / np.where(d2 == 0, 1, d2), 0.0)
-        num += v * inv
-        den += inv
+        # v / d2 (one fused division), NOT v * (1/d2): the impl and the
+        # DuckDB oracle both divide directly, and the 1-ulp difference
+        # of multiply-by-reciprocal can land exactly on a floor key
+        # boundary (it did: y=9 key off by 1)
+        num += np.where(d2 > 0, v / np.where(d2 == 0, 1, d2), 0.0)
+        den += np.where(d2 > 0, 1.0 / np.where(d2 == 0, 1, d2), 0.0)
     vals = np.where(np.isnan(exact), num / den, exact)
     keys = np.floor(vals * 1000.0).astype(np.int64)
     for y in range(16):
