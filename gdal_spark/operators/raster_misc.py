@@ -616,3 +616,159 @@ SELECT gy AS y,
        AS val_sum_key
 FROM pv GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Delaunay linear interpolation (GDALGridLinear, alg/gdalgrid.cpp:2477
+# + alg/delaunay.c): barycentric interpolation inside the containing
+# Delaunay facet; outside the hull the reference falls back to nearest
+# neighbor when a search radius is configured (radius<0 = unlimited).
+
+# a 12-point generic set (no 4 cocircular): richer triangulation than
+# GRID_POINTS while staying driver-resident
+LINEAR_POINTS = {
+    "px": [3.0, 17.5, 40.0, 55.25, 9.0, 60.0, 28.0, 47.5, 12.25, 36.0,
+           52.0, 22.75],
+    "py": [4.0, 30.0, 12.5, 50.0, 58.0, 33.0, 44.5, 21.0, 16.0, 61.0,
+           7.5, 52.25],
+    "v": [10.0, 200.0, 80.0, 140.0, 55.0, 250.0, 120.0, 95.0, 160.0,
+          30.0, 210.0, 70.0],
+}
+
+
+def _linear_tris():
+    from ..delaunay import delaunay
+
+    return delaunay(LINEAR_POINTS["px"], LINEAR_POINTS["py"])
+
+
+def grid_linear(
+    spark, points_pdf: pd.DataFrame, width: int, height: int,
+    tile_px: int = 32,
+) -> DataFrame:
+    """Linear (triangulated) gridding: triangulate driver-side (tiny
+    point set, O(1)), broadcast the facets, interpolate every node
+    barycentrically in its containing facet (min facet index wins on
+    shared edges — the tie rule the SQL oracle replays); nodes
+    outside the hull take the nearest point value. Per-scanline
+    integer-keyed sums; all arithmetic is + * / so the oracle is
+    bit-exact."""
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
+    from ..delaunay import delaunay as _dl
+
+    tris = _dl(px, py)
+    bpx = spark.sparkContext.broadcast((px, py, pv, tris))
+
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv, qt = bpx.value
+        gy, gx = np.mgrid[y0 : y0 + h, 0:width]
+        gx = gx.astype(np.float64)
+        gy = gy.astype(np.float64)
+        vals = np.full((h, width), np.nan)
+        for a, b, c in qt:  # min-index facet wins (assign once)
+            x1, y1 = qx[a], qy[a]
+            x2, y2 = qx[b], qy[b]
+            x3, y3 = qx[c], qy[c]
+            det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+            l1 = ((y2 - y3) * (gx - x3) + (x3 - x2) * (gy - y3)) / det
+            l2 = ((y3 - y1) * (gx - x3) + (x1 - x3) * (gy - y3)) / det
+            l3 = 1.0 - l1 - l2
+            m = (
+                (l1 >= 0.0) & (l2 >= 0.0) & (l3 >= 0.0) & np.isnan(vals)
+            )
+            vals[m] = (l1 * qv[a] + l2 * qv[b] + l3 * qv[c])[m]
+        out = np.isnan(vals)
+        if out.any():  # outside the hull: nearest point (tie by idx)
+            d2 = (
+                (gx[None, :, :] - qx[:, None, None]) ** 2
+                + (gy[None, :, :] - qy[:, None, None]) ** 2
+            )
+            best = d2.argmin(axis=0)  # argmin = first minimal index
+            vals[out] = qv[best][out]
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n": np.full(h, width, dtype=np.int64),
+                "val_sum_key": np.floor(vals * 1000000.0)
+                .astype(np.int64)
+                .sum(axis=1),
+            }
+        )
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, val_sum_key bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("val_sum_key").alias("val_sum_key")
+    )
+
+
+def _linear_points_sql() -> str:
+    from .. import synth
+
+    rows = ", ".join(
+        f"({i}, {synth.flit(x)}, {synth.flit(y)}, {synth.flit(v)})"
+        for i, (x, y, v) in enumerate(
+            zip(LINEAR_POINTS["px"], LINEAR_POINTS["py"], LINEAR_POINTS["v"])
+        )
+    )
+    return f"(VALUES {rows}) pts(idx, px, py, v)"
+
+
+def oracle_grid_linear(width: int, height: int) -> str:
+    """SQL replay: the triangulation is a driver-computed plan
+    constant (vertex coords + values injected as a VALUES list, same
+    source as the Spark broadcast); barycentric containment +
+    interpolation and the nearest fallback re-run per node with the
+    identical + * / expression — bit-exact parity."""
+    from .. import synth
+
+    qx = LINEAR_POINTS["px"]
+    qy = LINEAR_POINTS["py"]
+    qv = LINEAR_POINTS["v"]
+    tri_rows = ", ".join(
+        f"({ti}, {synth.flit(qx[a])}, {synth.flit(qy[a])}, {synth.flit(qv[a])}, "
+        f"{synth.flit(qx[b])}, {synth.flit(qy[b])}, {synth.flit(qv[b])}, "
+        f"{synth.flit(qx[c])}, {synth.flit(qy[c])}, {synth.flit(qv[c])})"
+        for ti, (a, b, c) in enumerate(_linear_tris())
+    )
+    return f"""
+WITH g AS (SELECT cast(gx as double) AS gx, cast(gy as double) AS gy
+           FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+tris AS (SELECT * FROM (VALUES {tri_rows})
+         t(ti, x1, y1, v1, x2, y2, v2, x3, y3, v3)),
+lam AS (SELECT gx, gy, ti,
+        ((y2 - y3) * (gx - x3) + (x3 - x2) * (gy - y3))
+        / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS l1,
+        ((y3 - y1) * (gx - x3) + (x1 - x3) * (gy - y3))
+        / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS l2,
+        v1, v2, v3 FROM g, tris),
+inhull AS (SELECT gx, gy, ti, l1, l2, 1.0E0 - l1 - l2 AS l3, v1, v2, v3,
+           row_number() OVER (PARTITION BY gx, gy ORDER BY ti) AS rk
+           FROM lam
+           WHERE l1 >= 0.0E0 AND l2 >= 0.0E0
+           AND 1.0E0 - l1 - l2 >= 0.0E0),
+tri_val AS (SELECT gx, gy, l1 * v1 + l2 * v2 + l3 * v3 AS val
+            FROM inhull WHERE rk = 1),
+miss AS (SELECT gx, gy FROM g
+         WHERE NOT EXISTS (SELECT 1 FROM tri_val tv
+                           WHERE tv.gx = g.gx AND tv.gy = g.gy)),
+nearest AS (SELECT gx, gy, v AS val FROM (
+            SELECT m.gx, m.gy, v,
+            row_number() OVER (PARTITION BY m.gx, m.gy ORDER BY
+            (m.gx - px) * (m.gx - px) + (m.gy - py) * (m.gy - py), idx)
+            AS rk FROM miss m, {_linear_points_sql()}) WHERE rk = 1),
+allv AS (SELECT * FROM tri_val UNION ALL SELECT * FROM nearest)
+SELECT cast(gy as bigint) AS y, count(*) AS n,
+       cast(sum(cast(floor(val * 1000000.0E0) as bigint)) as bigint)
+       AS val_sum_key
+FROM allv GROUP BY 1
+"""

@@ -208,6 +208,48 @@ def oracle_lcc_corners(n: int, epsg: int = 2154) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Albers Equal Area corners (third projection family; EPSG method
+# 9822 / SRS_PT_ALBERS_CONIC_EQUAL_AREA). Same pure-Catalyst shape.
+
+
+def aea_corners(images: DataFrame, epsg: int = 5070) -> DataFrame:
+    """Footprint corners of every image in an Albers CRS (default
+    NAD83 / Conus Albers). Map-only JVM stage, zero Python."""
+    p = srs.AEA_REGISTRY[epsg]
+    df = images.selectExpr("image_id", "lon", "lat", "w", "h")
+    exprs = ["image_id"]
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.aea_forward_sql(lon_e, lat_e, p)
+        df = df.selectExpr("*", f"{e_sql} AS e_{sfx}", f"{n_sql} AS n_{sfx}")
+        exprs.append(f"cast(floor(e_{sfx} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        exprs.append(f"cast(floor(n_{sfx} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return df.selectExpr(*exprs)
+
+
+def oracle_aea_corners(n: int, epsg: int = 5070) -> str:
+    p = srs.AEA_REGISTRY[epsg]
+    parts = []
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.aea_forward_sql(lon_e, lat_e, p)
+        parts.append(f"cast(floor({e_sql} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        parts.append(f"cast(floor({n_sql} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return (
+        f"SELECT image_id, {', '.join(parts)} "
+        f"FROM ({synth.images_cte(n, 'duckdb')})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pixel-level reprojection
 
 

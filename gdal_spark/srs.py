@@ -246,6 +246,124 @@ def lcc_forward_sql(lon_expr: str, lat_expr: str, p: LCC) -> tuple[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Albers Equal Area (EPSG method 9822; Snyder 1987 pp. 98-103 / EPSG
+# Guidance Note 7-2; reference surface: ogr/ogr_srs_api.h
+# SRS_PT_ALBERS_CONIC_EQUAL_AREA). Third projection family — the
+# standard continental-statistics CRS (NAD83 Conus Albers etc.).
+
+
+class AEA:
+    """Precomputed Albers constants for one CRS definition. Ellipsoid
+    defaults to GRS80 (EPSG:5070 etc.)."""
+
+    def __init__(
+        self,
+        phi1_deg: float,
+        phi2_deg: float,
+        phi0_deg: float,
+        lon0_deg: float,
+        fe: float,
+        fn: float,
+        a: float = 6378137.0,
+        inv_f: float = 298.257222101,
+    ):
+        self.a, f = a, 1.0 / inv_f
+        self.e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(self.e2))
+        self.lon0 = lon0_deg
+        self.fe, self.fn = fe, fn
+
+        p1, p2, p0 = map(np.radians, (phi1_deg, phi2_deg, phi0_deg))
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+        m1, m2 = float(m(p1)), float(m(p2))
+        q1 = float(aea_q(np.sin(p1), self.e, self.e2))
+        q2 = float(aea_q(np.sin(p2), self.e, self.e2))
+        q0 = float(aea_q(np.sin(p0), self.e, self.e2))
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n
+
+
+def aea_q(s, e, e2):
+    """Snyder eq. 3-12: the equal-area auxiliary q as a function of
+    sin(phi)."""
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+# EPSG:5070 NAD83 / Conus Albers (NAD83 ~ WGS84 at this precision;
+# GRS80 ellipsoid)
+AEA_REGISTRY = {
+    5070: AEA(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+}
+
+
+def aea_forward(lon, lat, p: AEA):
+    """Geographic (deg) -> Albers easting/northing. Vectorized
+    (Snyder eq. 14-1..14-4)."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    q = aea_q(np.sin(phi), p.e, p.e2)
+    rho = p.a * np.sqrt(p.C - p.n * q) / p.n
+    th = p.n * lam
+    return p.fe + rho * np.sin(th), p.fn + p.rho0 - rho * np.cos(th)
+
+
+AEA_INV_ITERS = 6  # Snyder eq. 3-16 iteration: converges to <1e-12
+# rad in 3-4 for |e|<0.1; 6 gives margin
+
+
+def aea_inverse(x, y, p: AEA):
+    """Albers easting/northing -> geographic (deg). Fixed-count
+    iteration on phi (Snyder eq. 14-8, 3-16)."""
+    dx = np.asarray(x, np.float64) - p.fe
+    dy = p.rho0 - (np.asarray(y, np.float64) - p.fn)
+    rho = np.hypot(dx, dy)
+    q = (p.C - (rho * p.n / p.a) ** 2) / p.n
+    th = np.arctan2(dx, dy)
+    lam = th / p.n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(AEA_INV_ITERS):
+        s = np.sin(phi)
+        one = 1.0 - p.e2 * s * s
+        phi = phi + (one * one) / (2.0 * np.cos(phi)) * (
+            q / (1.0 - p.e2)
+            - s / one
+            + (1.0 / (2.0 * p.e)) * np.log((1.0 - p.e * s) / (1.0 + p.e * s))
+        )
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def aea_forward_sql(lon_expr: str, lat_expr: str, p: AEA) -> tuple[str, str]:
+    """(easting_expr, northing_expr) dual-dialect SQL twin of
+    aea_forward (ln/sqrt/sin/cos; ~1 ulp cross-engine, absorbed by dm
+    quantization)."""
+    e = _sql_const(p.e)
+    e2 = _sql_const(p.e2)
+    n = _sql_const(p.n)
+    lam = f"radians(({lon_expr}) - {_sql_const(p.lon0)})"
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    q = (
+        f"({_sql_const(1.0 - p.e2)} * ({s} / (1.0E0 - {e2} * {s} * {s}) "
+        f"- {_sql_const(1.0 / (2.0 * p.e))} "
+        f"* ln((1.0E0 - {e} * {s}) / (1.0E0 + {e} * {s}))))"
+    )
+    rho = f"({_sql_const(p.a)} * sqrt({_sql_const(p.C)} - {n} * {q}) / {n})"
+    th = f"({n} * {lam})"
+    return (
+        f"({_sql_const(p.fe)} + {rho} * sin({th}))",
+        f"({_sql_const(p.fn)} + {_sql_const(p.rho0)} - {rho} * cos({th}))",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRS registry + transformer chain (the GDALCreateGenImgProjTransformer
 # composition: everything routes through the EPSG:4326 hub)
 
@@ -262,9 +380,11 @@ def _parse_epsg(code: int):
         return "utm", code - 32700, True
     if code in LCC_REGISTRY:
         return "lcc", code, False
+    if code in AEA_REGISTRY:
+        return "aea", code, False
     raise ValueError(
         f"unsupported EPSG:{code} (supported: 4326, 3857, UTM, "
-        f"LCC {sorted(LCC_REGISTRY)})"
+        f"LCC {sorted(LCC_REGISTRY)}, AEA {sorted(AEA_REGISTRY)})"
     )
 
 
@@ -280,6 +400,9 @@ def to_geographic(code: int):
     if kind == "lcc":
         p = LCC_REGISTRY[zone]
         return lambda x, y: lcc_inverse(x, y, p)
+    if kind == "aea":
+        p = AEA_REGISTRY[zone]
+        return lambda x, y: aea_inverse(x, y, p)
     lon0 = float(utm_lon0(zone))
     fn = FN_SOUTH if south else 0.0
     return lambda x, y: tm_inverse(x, np.asarray(y, np.float64) - fn, lon0)
@@ -300,6 +423,9 @@ def from_geographic(code: int):
     if kind == "lcc":
         p = LCC_REGISTRY[zone]
         return lambda lon, lat: lcc_forward(lon, lat, p)
+    if kind == "aea":
+        p = AEA_REGISTRY[zone]
+        return lambda lon, lat: aea_forward(lon, lat, p)
     lon0 = float(utm_lon0(zone))
     fn = FN_SOUTH if south else 0.0
 

@@ -250,3 +250,69 @@ def test_lcc_chain_through_registry():
     # the published French grid bounds
     assert ((X > 0) & (X < 1.3e6)).all()
     assert ((Y > 6.0e6) & (Y < 7.2e6)).all()
+
+
+def test_aea_origin_scale_and_equal_area():
+    """Albers (EPSG method 9822): origin pins to (FE, FN); the
+    parallel-direction scale k = n*rho/(a*m) is 1 on BOTH standard
+    parallels; and h*k = 1 everywhere (the defining equal-area
+    property), checked numerically at several latitudes."""
+    p = srs.AEA_REGISTRY[5070]
+    x, y = srs.aea_forward(np.array([-96.0]), np.array([23.0]), p)
+    assert abs(x[0] - 0.0) < 1e-6
+    assert abs(y[0] - 0.0) < 1e-6
+
+    def hk(lat):
+        eps = 1e-7
+        # h: meridian-direction scale (numeric)
+        x1, y1 = srs.aea_forward(np.array([-96.0 + 5.0]), np.array([lat]), p)
+        x2, y2 = srs.aea_forward(
+            np.array([-96.0 + 5.0]), np.array([lat + eps]), p
+        )
+        s = np.sin(np.radians(lat))
+        M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+        h = float(np.hypot(x2 - x1, y2 - y1)[0]) / (M * np.radians(eps))
+        # k: parallel-direction scale (numeric)
+        x3, y3 = srs.aea_forward(
+            np.array([-96.0 + 5.0 + eps]), np.array([lat]), p
+        )
+        N = p.a / np.sqrt(1 - p.e2 * s * s)
+        k = float(np.hypot(x3 - x1, y3 - y1)[0]) / (
+            N * np.cos(np.radians(lat)) * np.radians(eps)
+        )
+        return h, k
+
+    for lat in (29.5, 45.5):
+        h, k = hk(lat)
+        assert abs(k - 1.0) < 1e-6, lat
+        assert abs(h * k - 1.0) < 1e-6, lat
+    for lat in (23.0, 37.0, 60.0, -10.0):
+        h, k = hk(lat)
+        assert abs(h * k - 1.0) < 1e-6, lat
+
+
+def test_aea_roundtrip_submm():
+    p = srs.AEA_REGISTRY[5070]
+    lons = np.linspace(-170.0, 30.0, 25)
+    lats = np.linspace(-40.0, 75.0, 25)
+    gx, gy = np.meshgrid(lons, lats)
+    gx, gy = gx.ravel(), gy.ravel()
+    X, Y = srs.aea_forward(gx, gy, p)
+    lo, la = srs.aea_inverse(X, Y, p)
+    assert np.abs(lo - gx).max() < 1e-11
+    assert np.abs(la - gy).max() < 1e-11
+
+
+def test_aea_chain_through_registry():
+    fwd = srs.make_transform(4326, 5070)
+    inv = srs.make_transform(5070, 4326)
+    # Denver + Atlanta
+    lon = np.array([-104.99, -84.39])
+    lat = np.array([39.74, 33.75])
+    X, Y = fwd(lon, lat)
+    lo, la = inv(X, Y)
+    assert np.abs(lo - lon).max() < 1e-11
+    assert np.abs(la - lat).max() < 1e-11
+    # Conus Albers puts the continental US within published bounds
+    assert ((X > -2.5e6) & (X < 2.5e6)).all()
+    assert ((Y > 0.0) & (Y < 3.3e6)).all()
