@@ -53,8 +53,18 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    # warm the JVM + Python workers once (excluded from timings)
+    # warm the JVM once (excluded from timings)
     qs["tile_assign_merc"](spark, sf_dir).count()
+    # ... and the Python/Arrow worker pool: since the r3 JVM-refine
+    # the warmup query above is pure codegen, so without this the
+    # FIRST pandas-UDF query in the list pays the one-time worker
+    # spawn (~3-8 s at 32 cores) — that, not operator code, was the
+    # r02 dem_tiled/rasterize_rows "regression". On a long-lived
+    # cluster workers are resident; warming them reflects steady
+    # state.
+    spark.range(cores * 4).repartition(cores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()  # count() = full execution, no collect
