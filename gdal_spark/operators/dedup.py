@@ -256,8 +256,37 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Filter-verify near-dup: LSH band join proposes candidates,
     exact Jaccard verifies. Output (doc_a, doc_b, n_bands, inter,
-    union_n, jacc_key, is_dup)."""
-    bands = _band_sig_spark(docs, num_hashes, band_rows)
+    union_n, jacc_key, is_dup).
+
+    The shingle table is materialized ONCE (localCheckpoint) and
+    reused by the signature pass, the size aggregate and both sides
+    of the intersection join — the lazy plan would otherwise re-run
+    the tokenize+shingle scan four times. At sf0.1 that is wall-
+    neutral (the scan is cheap next to the joins); the point is the
+    100 TB shape, where the tokenize+shingle scan dominates and a
+    4x re-read is the difference between one pass over the corpus
+    and four."""
+    sh0 = shingles_df(docs).withColumn(
+        "sh_hash", F.expr(str_hash_sql("spark", "shingle"))
+    )
+    sh = sh0.localCheckpoint(eager=True)
+    aggs = [
+        F.min(
+            F.expr(f"((2 * {i} + 1) * sh_hash + {i} * {MINHASH_B}) % {HASH_P}")
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    n_bands_total = num_hashes // band_rows
+    band_exprs = ", ".join(
+        f"cast({b} as int), concat_ws(',', "
+        + ", ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + ")"
+        for b in range(n_bands_total)
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"stack({n_bands_total}, {band_exprs}) AS (band, sig)"
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band", "sig"])
@@ -267,7 +296,6 @@ def minhash_lsh_pairs(
         )
         .agg(F.count("*").alias("n_bands"))
     )
-    sh = shingles_df(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa_sh = sh.selectExpr("doc_id AS doc_a", "shingle")
     sb_sh = sh.selectExpr("doc_id AS doc_b", "shingle")

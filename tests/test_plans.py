@@ -88,3 +88,55 @@ def test_aggregation_is_partial_final(spark):
     df = ogrsql.q_agg(spark, SF_DIR)
     s = plan(df)
     assert s.count("HashAggregate") >= 2 or "SortAggregate" in s
+
+
+def test_spatial_join_jvm_refine_has_no_python_in_probe(spark):
+    """The r3 refine='jvm' path: after the one-time polygon-cell
+    explode (checkpointed), the candidate join + exact ray cast is
+    pure JVM — no ArrowEvalPython / BatchEvalPython stage anywhere in
+    the executed plan (the edge arrays ride the broadcast as plain
+    array columns and the parity test is a Catalyst higher-order
+    aggregate)."""
+    imgs = synth.images_df(spark, 256)
+    polys = synth.polygons_df(spark, 64)
+    out = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"],
+        refine="jvm",
+    )
+    s = plan(out)
+    assert "ArrowEvalPython" not in s
+    assert "BatchEvalPython" not in s
+    assert "FlatMapsInPandas" not in s and "MapInPandas" not in s
+
+
+def test_spatial_join_jvm_matches_arrow_refine(spark):
+    """Bit-identical results from the JVM higher-order expression and
+    the vectorized Arrow kernel (same arithmetic, different engine)."""
+    imgs = synth.images_df(spark, 512)
+    polys = synth.polygons_df(spark, 64)
+    a = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"],
+        refine="jvm",
+    ).toPandas()
+    b = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"],
+        refine="arrow",
+    ).toPandas()
+    ka = sorted(zip(a["image_id"], a["poly_id"]))
+    kb = sorted(zip(b["image_id"], b["poly_id"]))
+    assert ka == kb
+
+
+def test_gcp_fit_uses_partial_aggregation(spark):
+    """The distributed GCP fit must map-side-combine (partial
+    HashAggregate before the exchange) so a billion-GCP fit shuffles
+    O(partitions) rows, not O(GCPs)."""
+    from gdal_spark import gcp as gcp_mod
+
+    gcps = spark.range(gcp_mod.GCP_K).selectExpr(
+        "cast(id as double) AS px", "cast(id as double) AS py",
+        "cast(id as double) AS e2", "cast(id as double) AS n2",
+    )
+    agg = gcps.selectExpr("sum(px * px) AS m", "sum(px * e2) AS a")
+    s = plan(agg)
+    assert s.count("HashAggregate") >= 2  # partial + final
