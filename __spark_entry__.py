@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, rpc, streaming, synth
+from gdal_spark import gcp, geoloc, rpc, streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
@@ -839,6 +839,20 @@ def _q_dem_hillshade_variants(spark, sf_dir):
     return dem.hillshade_variants(_pixel_images(spark, sf_dir, _DEM_MAX_I))
 
 
+def _q_dem_tri_riley(spark, sf_dir):
+    """gdaldem TRI default algorithm (Riley; gdaldem_lib.cpp:2619)."""
+    return dem.tri_riley(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+
+
+def _q_geoloc_transform(spark, sf_dir):
+    """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
+    subsampled geoloc grid -> window-assembled cells -> bilinear, all
+    Catalyst."""
+    return geoloc.geoloc_transform_query(
+        spark, synth.n_images(sf_dir), _DEM_MAX_I
+    )
+
+
 # New round-3 operator queries (name -> callable), inserted inside the
 # driver's 50-query window by queries() below.
 _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -964,8 +978,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "warp_reproject_utm": _q_warp_reproject_utm,
         "knn_sites": _q_knn_sites,
-        # --- past the driver's 50-query cap: driver-green in r02,
-        #     still locally gated every round ---
+        # --- past the driver's 50-query cap. First: ops built after
+        #     the round-3 window filled (locally gated now, rotated
+        #     into the round-4 window) ---
+        "dem_tri_riley": _q_dem_tri_riley,
+        "geoloc_transform": _q_geoloc_transform,
+        # --- then: driver-green in r02, still locally gated every
+        #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
@@ -1158,6 +1177,8 @@ def oracle_sql() -> dict[str, str]:
         "phash64": multimodal.oracle_phash64(min(n, 4096), _PHASH_MAX_I),
         "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
+        "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),
+        "geoloc_transform": geoloc.oracle_geoloc_transform(n, _DEM_MAX_I),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

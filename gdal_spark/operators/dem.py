@@ -584,6 +584,88 @@ def hillshade_variants(images: DataFrame) -> DataFrame:
     )
 
 
+def tri_riley(images: DataFrame) -> DataFrame:
+    """gdaldem TRI with the default algorithm (Riley et al. 1999;
+    apps/gdaldem_lib.cpp GDALTRIAlgRiley:2619, eTRIAlg default :176):
+    sqrt of the sum of squared differences to the center over the 8
+    neighbors. Wilson (mean |diff|) is the ``tri`` column of
+    focal_stats; this is the terrestrial default the CLI ships.
+
+    Sum-of-squares is an exact integer on uint8 inputs, so the single
+    sqrt is correctly rounded and bit-identical between numpy and the
+    DuckDB twin — floor-scaled keys need no epsilon."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                if demb.shape[0] < 3 or demb.shape[1] < 3:
+                    continue
+                d = demb.astype(np.float64)
+                w = {
+                    (dx, dy): d[1 + dy : d.shape[0] - 1 + dy,
+                                1 + dx : d.shape[1] - 1 + dx]
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                }
+                c = w[(0, 0)]
+                ssq = sum(
+                    (v - c) * (v - c) for k, v in w.items() if k != (0, 0)
+                )
+                key = np.floor(np.sqrt(ssq) * SCALE_KEY).astype(np.int64)
+                h = key.shape[0]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": image_id,
+                            "y": np.arange(1, 1 + h, dtype=np.int64),
+                            "n": np.full(h, key.shape[1], np.int64),
+                            "riley_sum": key.sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["image_id", "y", "n", "riley_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, y bigint, n bigint, riley_sum bigint"
+    )
+
+
+def oracle_tri_riley(n: int, max_i: int) -> str:
+    """SQL twin: the center term of (v - c)^2 is identically zero, so
+    the sum runs over all 9 window cells."""
+    k = flit(SCALE_KEY)
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    return (
+        f"WITH g AS ({grid}), "
+        f"nb AS (SELECT image_id, x0, y0, ddx, ddy, {nbr_val} AS v "
+        f"FROM (SELECT g.*, ddx, ddy, x0 + ddx AS x, y0 + ddy AS y, 0 AS ch "
+        f"FROM g, {_NBR})), "
+        f"ctr AS (SELECT image_id, x0, y0, {nbr_val} AS c "
+        f"FROM (SELECT g.*, x0 AS x, y0 AS y, 0 AS ch FROM g)), "
+        f"agg AS (SELECT nb.image_id, nb.x0, nb.y0, "
+        f"sum((v - ctr.c) * (v - ctr.c)) AS ssq "
+        f"FROM nb JOIN ctr ON ctr.image_id = nb.image_id "
+        f"AND ctr.x0 = nb.x0 AND ctr.y0 = nb.y0 "
+        f"GROUP BY 1, 2, 3), "
+        f"keys AS (SELECT image_id, x0, y0, "
+        f"cast(floor(sqrt(cast(ssq as double)) * {k}) as bigint) AS rk "
+        f"FROM agg) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(rk) as bigint) AS riley_sum "
+        f"FROM keys GROUP BY 1, 2"
+    )
+
+
 def oracle_hillshade_variants(n: int, max_i: int) -> str:
     """SQL twin of the three variant shades over the synthetic pixel
     function — Horn sums are exact integers, then one transcendental

