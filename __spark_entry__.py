@@ -563,6 +563,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann.ann_ivf_topk(_embs(spark, sf_dir))
 
 
+def _q_pq_topk(spark, sf_dir):
+    """PQ-ADC top-k (Jegou et al. 2011): 4x16-dim codebooks, integer
+    asymmetric distances, broadcast LUT + partial-agg sum."""
+    return ann.pq_topk(_embs(spark, sf_dir))
+
+
 def _q_embedding_neardup(spark, sf_dir):
     return ann.embedding_neardup(_embs(spark, sf_dir))
 
@@ -983,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     into the round-4 window) ---
         "dem_tri_riley": _q_dem_tri_riley,
         "geoloc_transform": _q_geoloc_transform,
+        "pq_topk": _q_pq_topk,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1179,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),
         "geoloc_transform": geoloc.oracle_geoloc_transform(n, _DEM_MAX_I),
+        "pq_topk": ann.oracle_pq_topk(),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

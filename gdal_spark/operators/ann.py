@@ -256,7 +256,7 @@ def ivf_scaled_sql(dialect: str, col: str = "embedding") -> str:
     return f"{fn}({col}, {lam})"
 
 
-def _sqdist_scaled_sql(dialect: str, v: str, s: str, n: str) -> str:
+def _sqdist_scaled_sql(dialect: str, v: str, s: str, n: str, dim: int = DIM) -> str:
     """||v - S/n||^2 = ||n*v - S||^2 / n^2: the numerator is an
     order-free integer fold; the single final division is a
     correctly-rounded double op, identical cross-engine (comparable
@@ -268,18 +268,20 @@ def _sqdist_scaled_sql(dialect: str, v: str, s: str, n: str) -> str:
         )
     else:
         num = (
-            f"cast(list_sum(list_transform(range(1, {DIM} + 1), "
+            f"cast(list_sum(list_transform(range(1, {dim} + 1), "
             f"i -> ({n} * {v}[i] - {s}[i]) * ({n} * {v}[i] - {s}[i]))) as bigint)"
         )
     return f"(cast({num} as double) / (cast({n} as double) * cast({n} as double)))"
 
 
-def _vec_sum_sql(dialect: str, col: str) -> str:
-    """Element-wise sum aggregate of array columns (64 dims)."""
+def _vec_sum_sql(dialect: str, col: str, dim: int = DIM) -> str:
+    """Element-wise sum aggregate of array columns (``dim`` wide —
+    zip_with pads the SHORTER side with nulls, so a wrong width
+    silently nulls the whole fold)."""
     if dialect == "spark":
         return (
             f"aggregate(collect_list({col}), "
-            f"transform(sequence(1, {DIM}), d -> cast(0 as bigint)), "
+            f"transform(sequence(1, {dim}), d -> cast(0 as bigint)), "
             f"(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
         )
     raise NotImplementedError
@@ -520,4 +522,194 @@ def oracle_embedding_neardup(
         f"JOIN v b ON b.vec_id = cand.vec_b) "
         f"SELECT vec_a, vec_b, {cos_key_sql()} AS cos_key FROM scored "
         f"WHERE {cos_key_sql()} >= {min_cos_ppm}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed 100 TB path
+#
+# Jegou, Douze, Schmid (2011), "Product Quantization for Nearest
+# Neighbor Search": split each vector into M subvectors, k-means each
+# subspace into K centroids, store vectors as M one-byte codes, and
+# rank candidates with an asymmetric-distance (ADC) lookup table —
+# the query stays exact, candidates are reconstructed from the
+# codebooks. A 64-dim float vector becomes 4 codes: 64x compression,
+# which is what makes a 10^12-vector index fit a cluster at all.
+#
+# Numeric contract: subvector k-means runs on floor-scaled integers
+# with the exact-rational centroid trick above, then codebook
+# centroids are ROUNDED to integers (floor(S_d / n) — faithful to PQ,
+# which stores quantized codebooks). From there every distance
+# (encode-time vector-to-centroid, query-time ADC) is an exact
+# integer sum, so the oracle replays bit-for-bit with no epsilon.
+
+PQ_M = 8        # subspaces (production: 8-16 with K=256 codebooks;
+PQ_SUB = DIM // PQ_M   # kept at K=16 here so the oracle's Lloyd
+PQ_K = 16              # replay stays cheap at sf0.01)
+PQ_ITERS = 2
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv[PQ_SUB]) — floor-scaled integer subvectors."""
+    v = emb.selectExpr("vec_id", f"{ivf_scaled_sql('spark')} AS vs")
+    return v.selectExpr(
+        "vec_id", f"explode(sequence(0, {PQ_M - 1})) AS m", "vs"
+    ).selectExpr("vec_id", "m", f"slice(vs, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv")
+
+
+def _pq_d2_sql(dialect: str, a: str, b: str, dim: int = 0) -> str:
+    """Exact integer squared L2 between two bigint vectors."""
+    d = dim or PQ_SUB
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    return (
+        f"cast(list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) as bigint)"
+    )
+
+
+def pq_codebooks(emb: DataFrame):
+    """Train per-subspace codebooks; returns (subvectors_df,
+    codebooks_df (m, cid, c[PQ_SUB] integer centroid)). Fixed Lloyd
+    rounds seeded from the first PQ_K vectors — deterministic, shared
+    with the oracle."""
+    sv = _pq_subvectors(emb).localCheckpoint(eager=True)
+    cents = sv.filter(F.col("vec_id") < PQ_K).selectExpr(
+        "m", "vec_id AS cid", "sv AS s", "cast(1 as bigint) AS n"
+    )
+    for _ in range(PQ_ITERS):
+        scored = sv.join(F.broadcast(cents), "m").selectExpr(
+            "vec_id", "m", "sv", "cid",
+            f"{_sqdist_scaled_sql('spark', 'sv', 's', 'n', PQ_SUB)} AS d",
+        )
+        win = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(win))
+            .filter("rk = 1")
+            .select("vec_id", "m", "sv", "cid")
+        )
+        cents = assigned.groupBy("m", "cid").agg(
+            F.expr(_vec_sum_sql("spark", "sv", PQ_SUB)).alias("s"),
+            F.count("*").alias("n"),
+        ).localCheckpoint(eager=True)
+    cb = cents.selectExpr(
+        "m", "cid",
+        "transform(s, x -> cast(floor(cast(x as double) / n) as bigint)) AS c",
+    )
+    return sv, cb
+
+
+def pq_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode: (vec_id, m, code) — argmin centroid per subspace.
+    Map-only against the broadcast codebooks (the plan that encodes
+    10^12 vectors without a shuffle)."""
+    scored = sv.join(F.broadcast(cb), "m").selectExpr(
+        "vec_id", "m", "cid", f"{_pq_d2_sql('spark', 'sv', 'c')} AS d"
+    )
+    win = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter("rk = 1")
+        .selectExpr("vec_id", "m", "cid AS code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """PQ-ADC top-k: (qid, rank, vec_id, adc) with adc the exact
+    integer asymmetric distance. Query subvectors stay exact; the
+    per-query lookup table (n_queries x PQ_M x PQ_K rows) broadcasts,
+    codes join it map-side, and the only shuffle is the partial-agg
+    sum over M=4 rows per (qid, vec_id)."""
+    sv, cb = pq_codebooks(emb)
+    codes = pq_codes(sv, cb)
+    q = sv.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "m", "sv AS qsv"
+    )
+    lut = q.join(cb, "m").selectExpr(
+        "qid", "m", "cid AS code", f"{_pq_d2_sql('spark', 'qsv', 'c')} AS d"
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    win = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adc")
+    )
+
+
+def oracle_pq_topk(k: int = 5, n_queries: int = N_QUERIES) -> str:
+    """Replays training (materialized Lloyd CTE stages per CLAUDE.md's
+    DuckDB-inlining rule), rounded codebooks, encoding and ADC."""
+    vs = ivf_scaled_sql("duckdb")
+    sub = (
+        f"list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> vs[m * {PQ_SUB} + i])"
+    )
+    d_rat = _sqdist_scaled_sql("duckdb", "s2.sv", "c.s", "c.n", PQ_SUB)
+    ctes = [
+        f"v AS MATERIALIZED (SELECT vec_id, {vs} AS vs FROM embeddings)",
+        f"sv AS MATERIALIZED (SELECT vec_id, m, {sub} AS sv "
+        f"FROM v, range(0, {PQ_M}) mm(m))",
+        f"c0 AS MATERIALIZED (SELECT m, vec_id AS cid, sv AS s, "
+        f"cast(1 as bigint) AS n FROM sv WHERE vec_id < {PQ_K})",
+    ]
+    prev = "c0"
+    for it in range(PQ_ITERS):
+        a, c = f"a{it}", f"c{it + 1}"
+        ctes.append(
+            f"{a} AS MATERIALIZED (SELECT vec_id, m, sv, cid FROM ("
+            f"SELECT s2.vec_id, s2.m, s2.sv, c.cid, "
+            f"row_number() OVER (PARTITION BY s2.vec_id, s2.m "
+            f"ORDER BY {d_rat}, c.cid) AS rk "
+            f"FROM sv s2 JOIN {prev} c ON c.m = s2.m) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT m, cid, "
+            f"list(dsum ORDER BY dim) AS s, any_value(nn) AS n FROM ("
+            f"SELECT m, cid, dim, cast(sum(sv[dim]) as bigint) AS dsum, "
+            f"count(*) AS nn FROM {a}, range(1, {PQ_SUB} + 1) t(dim) "
+            f"GROUP BY m, cid, dim) GROUP BY m, cid)"
+        )
+        prev = c
+    ctes.append(
+        f"cb AS MATERIALIZED (SELECT m, cid, "
+        f"list_transform({prev}.s, x -> "
+        f"cast(floor(cast(x as double) / n) as bigint)) AS c FROM {prev})"
+    )
+    enc_d = _pq_d2_sql("duckdb", "s2.sv", "cb.c")
+    ctes.append(
+        f"codes AS MATERIALIZED (SELECT vec_id, m, code FROM ("
+        f"SELECT s2.vec_id, s2.m, cb.cid AS code, "
+        f"row_number() OVER (PARTITION BY s2.vec_id, s2.m "
+        f"ORDER BY {enc_d}, cb.cid) AS rk "
+        f"FROM sv s2 JOIN cb ON cb.m = s2.m) WHERE rk = 1)"
+    )
+    lut_d = _pq_d2_sql("duckdb", "q.sv", "cb.c")
+    ctes.append(
+        f"lut AS MATERIALIZED (SELECT q.vec_id AS qid, q.m, "
+        f"cb.cid AS code, {lut_d} AS d "
+        f"FROM sv q JOIN cb ON cb.m = q.m WHERE q.vec_id < {n_queries})"
+    )
+    ctes.append(
+        "scored AS (SELECT lut.qid, codes.vec_id, "
+        "cast(sum(lut.d) as bigint) AS adc "
+        "FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code "
+        "AND codes.vec_id <> lut.qid GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT qid, cast(rank as int) AS rank, vec_id, adc FROM ("
+        f"SELECT qid, vec_id, adc, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
     )

@@ -239,3 +239,48 @@ def test_dedup_clusters_transitive(spark):
     assert out["cluster_size"].groupby(out["cluster_id"]).first().sum() == len(out)
     keepers = out[out["is_keeper"] == 1]
     assert set(keepers["doc_id"]) == set(out["cluster_id"].unique())
+
+
+def test_pq_topk_recall_and_adc_consistency(spark, embs_pdf):
+    """PQ-ADC: (a) recall well above chance vs the exact scaled-L2
+    top-5 (near-random vectors cap PQ recall; chance is ~0.25%);
+    (b) the adc values are exactly the numpy-recomputed asymmetric
+    distances from the Spark-trained codebooks and codes."""
+    import numpy as np
+
+    emb = spark.read.parquet(EMBS)
+    pq = ann.pq_topk(emb, k=5).toPandas()
+    sv, cb = ann.pq_codebooks(emb)
+    codes = ann.pq_codes(sv, cb).toPandas()
+    cbp = cb.toPandas()
+    pdf = emb.toPandas()
+    V = np.floor(
+        np.stack(pdf.embedding.to_numpy()) * ann.IVF_SCALE
+    ).astype(np.int64)
+    ids = pdf.vec_id.to_numpy()
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    # (a) recall
+    rec = 0
+    for qid in range(32):
+        qi = int(np.searchsorted(ids, qid))
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        d2[qi] = 2**62
+        top = sorted(range(len(ids)), key=lambda j: (d2[j], ids[j]))[:5]
+        rec += len({int(ids[j]) for j in top} & set(pq[pq.qid == qid].vec_id))
+    assert rec / 160 >= 0.1, f"PQ recall {rec/160:.3f} too low"
+    # (b) exact ADC recompute
+    books = {}
+    for _, r in cbp.iterrows():
+        books[(int(r.m), int(r.cid))] = np.asarray(r.c, dtype=np.int64)
+    code_map = {}
+    for _, r in codes.iterrows():
+        code_map[(int(r.vec_id), int(r.m))] = int(r.code)
+    for _, r in pq.iterrows():
+        qi = int(np.searchsorted(ids, int(r.qid)))
+        adc = 0
+        for m in range(ann.PQ_M):
+            qsub = V[qi, m * ann.PQ_SUB : (m + 1) * ann.PQ_SUB]
+            cvec = books[(m, code_map[(int(r.vec_id), m)])]
+            adc += int(((qsub - cvec) ** 2).sum())
+        assert adc == int(r.adc)
