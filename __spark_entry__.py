@@ -850,6 +850,14 @@ def _q_dem_tri_riley(spark, sf_dir):
     return dem.tri_riley(_pixel_images(spark, sf_dir, _DEM_MAX_I))
 
 
+def _q_warp_reproject_lcc(spark, sf_dir):
+    """gdalwarp -t_srs EPSG:2154 pixel path over the hot-cell images
+    (inside the CRS service area); checksum-verified."""
+    imgs = synth.images_df(spark, min(synth.n_images(sf_dir), 4096))
+    imgs = synth.add_pixels(imgs.filter("i % 4 = 0 AND i < 32"))
+    return reproject.reproject_lcc(imgs)
+
+
 def _q_geoloc_transform(spark, sf_dir):
     """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
     subsampled geoloc grid -> window-assembled cells -> bilinear, all
@@ -990,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tri_riley": _q_dem_tri_riley,
         "geoloc_transform": _q_geoloc_transform,
         "pq_topk": _q_pq_topk,
+        "warp_reproject_lcc": _q_warp_reproject_lcc,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1187,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),
         "geoloc_transform": geoloc.oracle_geoloc_transform(n, _DEM_MAX_I),
         "pq_topk": ann.oracle_pq_topk(),
+        "warp_reproject_lcc": reproject.oracle_reproject_lcc(
+            min(n, 4096), 32
+        ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -245,6 +245,50 @@ def lcc_forward_sql(lon_expr: str, lat_expr: str, p: LCC) -> tuple[str, str]:
     )
 
 
+def lcc_inverse_sql_cte(
+    x_expr: str, y_expr: str, p: LCC, base: str, keep: str
+) -> str:
+    """CTE chain computing lon/lat from LCC easting/northing —
+    the SQL twin of lcc_inverse with its fixed-point phi iterations
+    unrolled as MATERIALIZED stages (the CLAUDE.md DuckDB CTE rule).
+    ``base``/``keep`` as in tm_inverse_sql_cte; the output relation is
+    ``lccinv`` with keep + lon, lat. Assumes n > 0 (all registered
+    CRSes use northern standard parallels)."""
+    assert p.n > 0
+    e = _sql_const(p.e)
+    half_e = _sql_const(p.e / 2.0)
+    inv_n = _sql_const(1.0 / p.n)
+    aF = _sql_const(p.a * p.F)
+    stages = [
+        f"l0 AS MATERIALIZED (SELECT {keep}, "
+        f"(({x_expr}) - {_sql_const(p.fe)}) AS dx, "
+        f"({_sql_const(p.rho0)} - (({y_expr}) - {_sql_const(p.fn)})) AS dy "
+        f"FROM {base})",
+        f"l1 AS MATERIALIZED (SELECT {keep}, "
+        f"power(sqrt(dx * dx + dy * dy) / {aF}, {inv_n}) AS t, "
+        f"(atan2(dx, dy) * {inv_n}) AS lam FROM l0)",
+        f"l2 AS MATERIALIZED (SELECT {keep}, t, lam, "
+        f"(pi() / 2.0E0 - 2.0E0 * atan(t)) AS phi0 FROM l1)",
+    ]
+    prev, prev_rel = "phi0", "l2"
+    for it in range(LCC_INV_ITERS):
+        nxt, rel = f"phi{it + 1}", f"li{it}"
+        s = f"sin({prev})"
+        stages.append(
+            f"{rel} AS MATERIALIZED (SELECT {keep}, t, lam, "
+            f"(pi() / 2.0E0 - 2.0E0 * atan(t * power("
+            f"(1.0E0 - {e} * {s}) / (1.0E0 + {e} * {s}), {half_e}))) "
+            f"AS {nxt} FROM {prev_rel})"
+        )
+        prev, prev_rel = nxt, rel
+    stages.append(
+        f"lccinv AS MATERIALIZED (SELECT {keep}, "
+        f"{_sql_const(p.lon0)} + degrees(lam) AS lon, "
+        f"degrees({prev}) AS lat FROM {prev_rel})"
+    )
+    return ",\n".join(stages)
+
+
 # ---------------------------------------------------------------------------
 # Albers Equal Area (EPSG method 9822; Snyder 1987 pp. 98-103 / EPSG
 # Guidance Note 7-2; reference surface: ogr/ogr_srs_api.h

@@ -316,3 +316,28 @@ def test_aea_chain_through_registry():
     # Conus Albers puts the continental US within published bounds
     assert ((X > -2.5e6) & (X < 2.5e6)).all()
     assert ((Y > 0.0) & (Y < 3.3e6)).all()
+
+
+def test_lcc_inverse_sql_cte_matches_numpy():
+    """The unrolled fixed-point CTE must match lcc_inverse to well
+    below the warp oracle's 1e-10-deg sampling epsilon."""
+    import duckdb
+
+    p = srs.LCC_REGISTRY[2154]
+    lon = np.linspace(-4.0, 9.0, 9)
+    lat = np.linspace(41.0, 51.0, 9)
+    gx, gy = np.meshgrid(lon, lat)
+    ex, ny = srs.lcc_forward(gx.ravel(), gy.ravel(), p)
+    lon_np, lat_np = srs.lcc_inverse(ex, ny, p)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {x!r}, {y!r})" for i, (x, y) in enumerate(zip(ex, ny)))
+        + ") t(i, ec, nc)"
+    )
+    cte = srs.lcc_inverse_sql_cte("ec", "nc", p, "pts", "i")
+    out = con.execute(
+        f"WITH {cte} SELECT i, lon, lat FROM lccinv ORDER BY i"
+    ).df()
+    assert np.abs(out.lon.to_numpy() - lon_np).max() < 1e-11
+    assert np.abs(out.lat.to_numpy() - lat_np).max() < 1e-11
