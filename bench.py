@@ -42,6 +42,10 @@ HEADLINE = [
     "overlay_intersection",
     "contour_polylines",
     "embedding_neardup_lsh",
+    # round-3 operators
+    "overlay_union",
+    "pq_topk",
+    "grid_linear",
 ]
 
 
@@ -298,7 +302,11 @@ def main():
             "memory system across all 32 cores and its shortfall tracks "
             "the pure-numpy no-Spark ceiling probe (run back-to-back "
             "with the job), not the engine: the probe itself swings "
-            "0.08-3.5 between windows on this hypervisor.\n\n"
+            "0.08-3.5 between windows on this hypervisor. Attempts above "
+            "1.0 are noise in the other direction — the low level runs "
+            "4x longer, so a neighbor burst during it inflates the "
+            "ratio; that is why the MEDIAN is the claim and the best is "
+            "context.\n\n"
             "This invocation:\n\n"
             "| pair | raw eff | ceiling | normalized | n_images |\n"
             "|---|---|---|---|---|\n"
