@@ -858,6 +858,17 @@ def _q_warp_reproject_lcc(spark, sf_dir):
     return reproject.reproject_lcc(imgs)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 8-gram overlap of the training docs
+    against the deterministic held-out subset (doc_id % 97 = 0)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bench = docs.filter(f"doc_id % {dedup.BENCH_MOD} = 0")
+    corpus = docs.filter(f"doc_id % {dedup.BENCH_MOD} <> 0")
+    return dedup.decontaminate(corpus, bench)
+
+
 def _q_geoloc_transform(spark, sf_dir):
     """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
     subsampled geoloc grid -> window-assembled cells -> bilinear, all
@@ -999,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_transform": _q_geoloc_transform,
         "pq_topk": _q_pq_topk,
         "warp_reproject_lcc": _q_warp_reproject_lcc,
+        "decontaminate": _q_decontaminate,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1199,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject_lcc": reproject.oracle_reproject_lcc(
             min(n, 4096), 32
         ),
+        "decontaminate": dedup.oracle_decontaminate(),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

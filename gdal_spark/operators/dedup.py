@@ -541,3 +541,70 @@ SELECT r.node AS doc_id, r.root AS cluster_id, s.cluster_size,
        cast(r.node = r.root as int) AS is_keeper
 FROM {final} r JOIN sizes s ON s.root = r.root
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+#
+# The standard eval-set contamination check of large-scale training
+# pipelines (n-gram overlap against held-out benchmarks, as described
+# publicly for GPT-3 appendix C / Llama 2 / Dolma): flag every
+# training document sharing at least one distinct word n-gram with
+# any benchmark document. Longer shingles than the dedup family
+# (CONTAM_N=8 vs 3) so matches mean real reuse, not stopword runs.
+
+CONTAM_N = 8
+BENCH_MOD = 97  # deterministic held-out benchmark: doc_id % 97 == 0
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_N
+) -> DataFrame:
+    """(doc_id, n_sh, n_hit, contam_ppm, is_contaminated) for every
+    training doc: distinct-shingle count, how many of them occur in
+    the benchmark shingle set, hit rate in ppm, and the flag.
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are thousands of docs) -> its distinct shingle set
+    broadcasts; the corpus-side probe is a map-side broadcast join +
+    partial-agg count, so the corpus is read once with no shuffle of
+    shingle rows — only the per-doc count aggregation shuffles."""
+    bench_sh = shingles_df(benchmark, n).select("shingle").distinct()
+    doc_sh = shingles_df(docs, n)
+    counts = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        counts.join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_sh", "coalesce(n_hit, 0) AS n_hit",
+        )
+        .selectExpr(
+            "doc_id", "n_sh", "n_hit",
+            "cast(floor(1000000.0E0 * cast(n_hit as double) "
+            "/ cast(n_sh as double)) as bigint) AS contam_ppm",
+            "cast(n_hit > 0 as int) AS is_contaminated",
+        )
+    )
+
+
+def oracle_decontaminate(n: int = CONTAM_N, bench_mod: int = BENCH_MOD) -> str:
+    sh = _shingles_cte(n)
+    return (
+        f"WITH sh AS ({sh}), "
+        f"bench AS (SELECT DISTINCT shingle FROM sh "
+        f"WHERE doc_id % {bench_mod} = 0), "
+        f"corpus AS (SELECT * FROM sh WHERE doc_id % {bench_mod} <> 0), "
+        f"counts AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1), "
+        f"hits AS (SELECT doc_id, count(*) AS n_hit FROM corpus "
+        f"JOIN bench USING (shingle) GROUP BY 1) "
+        f"SELECT counts.doc_id, cast(n_sh as bigint) AS n_sh, "
+        f"cast(coalesce(n_hit, 0) as bigint) AS n_hit, "
+        f"cast(floor(1000000.0E0 * cast(coalesce(n_hit, 0) as double) "
+        f"/ cast(n_sh as double)) as bigint) AS contam_ppm, "
+        f"cast(coalesce(n_hit, 0) > 0 as int) AS is_contaminated "
+        f"FROM counts LEFT JOIN hits ON hits.doc_id = counts.doc_id"
+    )

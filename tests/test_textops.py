@@ -284,3 +284,46 @@ def test_pq_topk_recall_and_adc_consistency(spark, embs_pdf):
             cvec = books[(m, code_map[(int(r.vec_id), m)])]
             adc += int(((qsub - cvec) ** 2).sum())
         assert adc == int(r.adc)
+
+
+def test_decontaminate_vs_bruteforce(spark, docs_pdf):
+    """Contamination flags vs a pure-python shingle overlap."""
+    docs = spark.read.parquet(DOCS)
+    bench = docs.filter(f"doc_id % {dedup.BENCH_MOD} = 0")
+    corpus = docs.filter(f"doc_id % {dedup.BENCH_MOD} <> 0")
+    out = dedup.decontaminate(corpus, bench).toPandas().set_index("doc_id")
+
+    def shingles(text, n=dedup.CONTAM_N):
+        toks = [t for t in text.split(" ") if t]
+        return {
+            " ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)
+        }
+
+    bset = set()
+    for _, r in docs_pdf.iterrows():
+        if r.doc_id % dedup.BENCH_MOD == 0:
+            bset |= shingles(r.text)
+    n_checked = 0
+    for _, r in docs_pdf.iterrows():
+        if r.doc_id % dedup.BENCH_MOD == 0:
+            continue
+        sh = shingles(r.text)
+        if not sh:
+            assert r.doc_id not in out.index
+            continue
+        row = out.loc[r.doc_id]
+        assert row.n_sh == len(sh)
+        assert row.n_hit == len(sh & bset)
+        assert row.is_contaminated == int(len(sh & bset) > 0)
+        n_checked += 1
+    assert n_checked > 100
+    assert out.is_contaminated.sum() > 0  # benchmark overlap exists
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs = spark.read.parquet(DOCS)
+    bench = docs.filter(f"doc_id % {dedup.BENCH_MOD} = 0")
+    corpus = docs.filter(f"doc_id % {dedup.BENCH_MOD} <> 0")
+    s = dedup.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
