@@ -203,6 +203,17 @@ def _candidates(
     )
 
 
+def _region_is_rect(region) -> bool:
+    """One hole-free 4-vertex shell with axis-parallel edges."""
+    if len(region) != 1:
+        return False
+    shell, holes = region[0]
+    if holes or shell.shape[0] != 4:
+        return False
+    d = np.roll(shell, -1, axis=0) - shell
+    return bool(np.all((d == 0).sum(axis=1) == 1))
+
+
 def _region_of_wkb(data: bytes):
     gtype, payload = wkb.decode(bytes(data))
     if gtype == wkb.POLYGON:
@@ -391,6 +402,12 @@ def overlay_pairs(
     if how not in ("intersection", "union", "symdiff"):
         raise ValueError(how)
     cand = _candidates(subject, clip, zoom, broadcast_clip)
+    # the refine below is ~1 ms of Python per pair; AQE sees a tiny
+    # shuffle (candidate pairs are a few columns) and coalesces it to
+    # one partition, serializing the expensive stage. An explicit
+    # partition count pins the fan-out (AQE never coalesces a
+    # user-numbered repartition).
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
 
     def refine(batches):
         for pdf in batches:
@@ -400,18 +417,28 @@ def overlay_pairs(
             b_codes, b_uniq = pd.factorize(pdf["wkb_b"])
             a_regs = [_region_of_wkb(g) for g in a_uniq]
             b_regs = [_region_of_wkb(g) for g in b_uniq]
+            # axis-aligned-rect inputs skip the GH overlap pre-test:
+            # the candidate stage's strict envelope prefilter IS the
+            # exact area>0 test for rects (one GH call per pair
+            # instead of two — the dominant case in box layers)
+            a_isrect = np.array([_region_is_rect(r) for r in a_regs])
+            b_isrect = np.array([_region_is_rect(r) for r in b_regs])
             ids_a = pdf["id_a"].to_numpy()
             ids_b = pdf["id_b"].to_numpy()
             rows = []
             for i in range(len(pdf)):
                 A = a_regs[a_codes[i]]
                 B = b_regs[b_codes[i]]
-                inter = boolop.boolean_regions(A, B, "inter")
-                if boolop.region_area(inter) <= 0.0:
-                    continue
+                rect_pair = a_isrect[a_codes[i]] and b_isrect[b_codes[i]]
                 if how == "intersection":
-                    out = inter
+                    out = boolop.boolean_regions(A, B, "inter")
+                    if boolop.region_area(out) <= 0.0:
+                        continue
                 else:
+                    if not rect_pair:
+                        inter = boolop.boolean_regions(A, B, "inter")
+                        if boolop.region_area(inter) <= 0.0:
+                            continue
                     out = boolop.boolean_regions(A, B, how)
                 rows.append(
                     (
