@@ -869,6 +869,12 @@ def _q_decontaminate(spark, sf_dir):
     return dedup.decontaminate(corpus, bench)
 
 
+def _q_dither_fixed(spark, sf_dir):
+    """Fixed-palette FS dither (serial error diffusion) with a full
+    recursive-CTE value oracle (alg/gdaldither.cpp weights)."""
+    return quantize.dither_fixed(_pixel_images(spark, sf_dir, 4))
+
+
 def _q_geoloc_transform(spark, sf_dir):
     """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
     subsampled geoloc grid -> window-assembled cells -> bilinear, all
@@ -1011,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "warp_reproject_lcc": _q_warp_reproject_lcc,
         "decontaminate": _q_decontaminate,
+        "dither_fs_fixed": _q_dither_fixed,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1212,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), 32
         ),
         "decontaminate": dedup.oracle_decontaminate(),
+        "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -103,3 +103,122 @@ def quantize_images(images: DataFrame, n_colors: int = 16) -> DataFrame:
         run,
         schema="image_id string, palette_n bigint, used_n bigint, mse_key bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-palette FS dither with a FULL value oracle
+#
+# The quantize_images entry stays rows-only because the median-cut
+# PALETTE is deeply stateful (a python list of boxes with shifting
+# argmax indices). The dithering itself, though order-dependent, is a
+# deterministic serial recurrence — so with a fixed palette it can be
+# replayed bit-for-bit by a DuckDB RECURSIVE CTE whose state is the
+# error-diffused pixel buffer (a list<double> column): every step
+# performs the same correctly-rounded IEEE ops in the same order as
+# the numpy loop, so argmin choices and all downstream indices match
+# exactly. This pins the serial-error-diffusion class under the value
+# gate, not just row counts.
+
+DITHER_N = 16  # 16x16 top-left crop -> 256 recursion steps
+FIXED_PAL = np.array(
+    [[(i * 37) % 256, (i * 73) % 256, (i * 151) % 256] for i in range(16)],
+    dtype=np.uint8,
+)
+
+
+def dither_fixed(images: DataFrame) -> DataFrame:
+    """FS dither of the 16x16 crop to the fixed 16-color palette.
+    Output (image_id, used_n, idx_sum, idx_wsum): distinct palette
+    entries used, index sum, and the scan-position-weighted index sum
+    (order-sensitive — any diffusion divergence shifts it)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload))[
+                    : DITHER_N, : DITHER_N, :3
+                ]
+                idx = dither_fs(arr, FIXED_PAL)
+                k = idx.flatten().astype(np.int64)
+                p = np.arange(len(k), dtype=np.int64) + 1
+                rows.append(
+                    (
+                        image_id,
+                        int(len(np.unique(k))),
+                        int(k.sum()),
+                        int((k * p).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "used_n", "idx_sum", "idx_wsum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, used_n bigint, idx_sum bigint, "
+        "idx_wsum bigint",
+    )
+
+
+def oracle_dither_fixed(n: int, max_i: int) -> str:
+    """The recursive serial replay (DuckDB dialect; see module note)."""
+    from .. import synth
+
+    W = DITHER_N
+    NPX = W * W
+
+    def pal_list(c):
+        return (
+            "[" + ", ".join(f"{float(FIXED_PAL[i][c])!r}" for i in range(16))
+            + "]"
+        )
+
+    PR, PG, PB = pal_list(0), pal_list(1), pal_list(2)
+    val = synth.pixel_val_sql()
+    return f"""
+WITH RECURSIVE
+img AS (SELECT i, image_id, w, h, fmt FROM ({synth.images_cte(n, 'duckdb')})
+        WHERE i < {max_i}),
+px AS (SELECT image_id, x, y, ch, {val} AS v
+       FROM img, range(0, {W}) a(x), range(0, {W}) b(y), range(0, 3) c(ch)),
+base AS (SELECT image_id, list(cast(v as double) ORDER BY y, x, ch) AS E
+         FROM px GROUP BY image_id),
+r AS (
+  SELECT image_id, 0 AS p, E, cast(0 as bigint) AS idx_sum,
+         cast(0 as bigint) AS idx_wsum, cast(0 as bigint) AS used
+  FROM base
+  UNION ALL
+  SELECT image_id, p + 1,
+         list_transform(range(1, {3 * NPX} + 1), q ->
+           E[q] + (CASE ((q - 1) // 3)
+             WHEN p + 1 THEN (CASE WHEN xc < {W - 1} THEN errl[(q - 1) % 3 + 1] * 0.4375E0 ELSE 0.0E0 END)
+             WHEN p + {W - 1} THEN (CASE WHEN yc < {W - 1} AND xc > 0 THEN errl[(q - 1) % 3 + 1] * 0.1875E0 ELSE 0.0E0 END)
+             WHEN p + {W} THEN (CASE WHEN yc < {W - 1} THEN errl[(q - 1) % 3 + 1] * 0.3125E0 ELSE 0.0E0 END)
+             WHEN p + {W + 1} THEN (CASE WHEN yc < {W - 1} AND xc < {W - 1} THEN errl[(q - 1) % 3 + 1] * 0.0625E0 ELSE 0.0E0 END)
+             ELSE 0.0E0 END)) AS E,
+         idx_sum + k, idx_wsum + k * (p + 1), used | (1::BIGINT << k)
+  FROM (
+    SELECT s2.*, list_value(pxr - {PR}[k + 1], pxg - {PG}[k + 1],
+                            pxb - {PB}[k + 1]) AS errl
+    FROM (
+      SELECT s1.*, cast(list_position(dl, list_min(dl)) - 1 as bigint) AS k
+      FROM (
+        SELECT s0.*, list_transform(range(0, 16), t ->
+            (pxr - {PR}[t + 1]) * (pxr - {PR}[t + 1])
+          + (pxg - {PG}[t + 1]) * (pxg - {PG}[t + 1])
+          + (pxb - {PB}[t + 1]) * (pxb - {PB}[t + 1])) AS dl
+        FROM (
+          SELECT r.*, (p % {W}) AS xc, (p // {W}) AS yc,
+                 greatest(0.0E0, least(255.0E0, E[3 * p + 1])) AS pxr,
+                 greatest(0.0E0, least(255.0E0, E[3 * p + 2])) AS pxg,
+                 greatest(0.0E0, least(255.0E0, E[3 * p + 3])) AS pxb
+          FROM r WHERE p < {NPX}
+        ) s0
+      ) s1
+    ) s2
+  ) s3
+)
+SELECT image_id, cast(bit_count(used) as bigint) AS used_n, idx_sum, idx_wsum
+FROM r WHERE p = {NPX}
+"""

@@ -2,7 +2,9 @@
 
 import numpy as np
 
+from gdal_spark import codecs, synth
 from gdal_spark.operators import quantize
+from tests.conftest import SF_DIR
 
 
 def test_palette_passthrough():
@@ -40,3 +42,29 @@ def test_dither_diffuses_error():
     out = quantize.dither_fs(arr, pal)
     frac_white = out.mean()
     assert 0.45 <= frac_white <= 0.55
+
+
+def test_dither_fixed_matches_direct_numpy(spark):
+    """The driver entry's keys recomputed straight from dither_fs on
+    the decoded crop."""
+    import __spark_entry__ as m
+
+    out = (
+        m.queries()["dither_fs_fixed"](spark, SF_DIR)
+        .toPandas()
+        .set_index("image_id")
+    )
+    imgs = synth.add_pixels(
+        synth.images_df(spark, 64).filter("i < 4")
+    ).toPandas()
+    assert len(out) == 4
+    for _, r in imgs.iterrows():
+        arr = codecs.decode_image(bytes(r["bytes"]))[
+            : quantize.DITHER_N, : quantize.DITHER_N, :3
+        ]
+        idx = quantize.dither_fs(arr, quantize.FIXED_PAL).flatten().astype(int)
+        p = np.arange(len(idx)) + 1
+        row = out.loc[r.image_id]
+        assert row.used_n == len(np.unique(idx))
+        assert row.idx_sum == idx.sum()
+        assert row.idx_wsum == (idx * p).sum()
