@@ -140,3 +140,17 @@ def test_gcp_fit_uses_partial_aggregation(spark):
     agg = gcps.selectExpr("sum(px * px) AS m", "sum(px * e2) AS a")
     s = plan(agg)
     assert s.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pq_adc_plan_is_broadcast_and_partial_agg(spark):
+    """PQ-ADC scale shape: the LUT join must broadcast (codes never
+    shuffle for the probe) and the per-(qid, vec_id) distance sum must
+    map-side combine; no cartesian anywhere (training/encode included)."""
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ann.pq_topk(emb)
+    s = plan(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    assert s.count("HashAggregate") >= 2  # partial + final ADC sum
