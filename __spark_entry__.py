@@ -875,6 +875,11 @@ def _q_dither_fixed(spark, sf_dir):
     return quantize.dither_fixed(_pixel_images(spark, sf_dir, 4))
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index: coarse probe + integer residual-ADC."""
+    return ann.ivfpq_topk(_embs(spark, sf_dir))
+
+
 def _q_geoloc_transform(spark, sf_dir):
     """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
     subsampled geoloc grid -> window-assembled cells -> bilinear, all
@@ -1018,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_reproject_lcc": _q_warp_reproject_lcc,
         "decontaminate": _q_decontaminate,
         "dither_fs_fixed": _q_dither_fixed,
+        "ann_ivfpq_topk": _q_ivfpq_topk,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1220,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": dedup.oracle_decontaminate(),
         "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
+        "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -571,12 +571,10 @@ def _pq_d2_sql(dialect: str, a: str, b: str, dim: int = 0) -> str:
     )
 
 
-def pq_codebooks(emb: DataFrame):
-    """Train per-subspace codebooks; returns (subvectors_df,
-    codebooks_df (m, cid, c[PQ_SUB] integer centroid)). Fixed Lloyd
-    rounds seeded from the first PQ_K vectors — deterministic, shared
-    with the oracle."""
-    sv = _pq_subvectors(emb).localCheckpoint(eager=True)
+def _pq_lloyd(sv: DataFrame) -> DataFrame:
+    """Fixed Lloyd rounds over an (vec_id, m, sv) subvector table;
+    returns integer codebooks (m, cid, c[PQ_SUB]). Seeded from the
+    first PQ_K vec_ids — deterministic, shared with the oracle."""
     cents = sv.filter(F.col("vec_id") < PQ_K).selectExpr(
         "m", "vec_id AS cid", "sv AS s", "cast(1 as bigint) AS n"
     )
@@ -595,11 +593,17 @@ def pq_codebooks(emb: DataFrame):
             F.expr(_vec_sum_sql("spark", "sv", PQ_SUB)).alias("s"),
             F.count("*").alias("n"),
         ).localCheckpoint(eager=True)
-    cb = cents.selectExpr(
+    return cents.selectExpr(
         "m", "cid",
         "transform(s, x -> cast(floor(cast(x as double) / n) as bigint)) AS c",
     )
-    return sv, cb
+
+
+def pq_codebooks(emb: DataFrame):
+    """Train per-subspace codebooks; returns (subvectors_df,
+    codebooks_df (m, cid, c[PQ_SUB] integer centroid))."""
+    sv = _pq_subvectors(emb).localCheckpoint(eager=True)
+    return sv, _pq_lloyd(sv)
 
 
 def pq_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
@@ -705,6 +709,216 @@ def oracle_pq_topk(k: int = 5, n_queries: int = N_QUERIES) -> str:
         "cast(sum(lut.d) as bigint) AS adc "
         "FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code "
         "AND codes.vec_id <> lut.qid GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT qid, cast(rank as int) AS rank, vec_id, adc FROM ("
+        f"SELECT qid, vec_id, adc, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed production index (coarse inverted lists +
+# residual product quantization, Jegou et al. 2011 §IV): probe the
+# query's nearest coarse clusters, rank their members by ADC over
+# RESIDUALS (vector minus its cluster's rounded centroid). Residuals
+# against integer-rounded coarse centroids stay exact integers, so
+# the whole composition keeps the bit-exact oracle property.
+
+
+def ivfpq_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """(qid, rank, vec_id, adc): top-k by integer residual-ADC within
+    the probed coarse clusters. Scale shape: coarse centroids and PQ
+    codebooks broadcast; encode is map-only; the probe-side candidate
+    join is an equi-join on cid; the ADC sum map-side combines."""
+    assigned, cents = ivf_assignments(emb)
+    assigned = assigned.localCheckpoint(eager=True)
+    ccent = cents.selectExpr(
+        "cid",
+        "transform(s, x -> cast(floor(cast(x as double) / n) as bigint)) AS cc",
+    )
+    res = assigned.join(F.broadcast(ccent), "cid").selectExpr(
+        "vec_id", "cid", "zip_with(vs, cc, (a, b) -> a - b) AS rv"
+    )
+    rsv = res.selectExpr(
+        "vec_id", "cid", f"explode(sequence(0, {PQ_M - 1})) AS m", "rv"
+    ).selectExpr(
+        "vec_id", "cid", "m",
+        f"slice(rv, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv",
+    ).localCheckpoint(eager=True)
+    cb = _pq_lloyd(rsv.select("vec_id", "m", "sv"))
+    codes = pq_codes(rsv.select("vec_id", "m", "sv"), cb)
+    # coarse probe (same rational-centroid distances as ann_ivf_topk)
+    q = assigned.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "vs AS qv"
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).selectExpr(
+        "qid", "cid", f"{_sqdist_scaled_sql('spark', 'qv', 's', 'n')} AS d"
+    )
+    win = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        qscored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= probes)
+        .select("qid", "cid")
+    )
+    # per-(query, probed-cluster) residual LUT
+    qres = (
+        probe.join(q, "qid")
+        .join(F.broadcast(ccent), "cid")
+        .selectExpr(
+            "qid", "cid",
+            f"explode(sequence(0, {PQ_M - 1})) AS m",
+            "zip_with(qv, cc, (a, b) -> a - b) AS qr",
+        )
+        .selectExpr(
+            "qid", "cid", "m",
+            f"slice(qr, m * {PQ_SUB} + 1, {PQ_SUB}) AS qsv",
+        )
+    )
+    cbr = cb.selectExpr("m", "cid AS code", "c")
+    lut = qres.join(cbr, "m").selectExpr(
+        "qid", "cid", "m", "code",
+        f"{_pq_d2_sql('spark', 'qsv', 'c')} AS d",
+    )
+    cand = (
+        probe.join(assigned.select("vec_id", "cid"), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "cid", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "cid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    rwin = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rwin))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adc")
+    )
+
+
+def oracle_ivfpq_topk(
+    k: int = 5, n_queries: int = N_QUERIES, probes: int = IVF_PROBES
+) -> str:
+    """Replays the full composition: coarse Lloyd -> rounded coarse
+    centroids -> integer residuals -> per-subspace PQ Lloyd -> encode
+    -> probe -> residual LUT -> integer ADC. All stages MATERIALIZED."""
+    vs = ivf_scaled_sql("duckdb")
+    d = _sqdist_scaled_sql("duckdb", "v.vs", "c.s", "c.n")
+    qd = _sqdist_scaled_sql("duckdb", "q.vs", "c.s", "c.n")
+    ctes = [
+        f"v AS MATERIALIZED (SELECT vec_id, {vs} AS vs FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, vs AS s, "
+        f"cast(1 as bigint) AS n FROM v WHERE vec_id < {IVF_K})",
+    ]
+    prev = "c0"
+    for it in range(IVF_ITERS):
+        a, c = f"a{it}", f"c{it + 1}"
+        ctes.append(
+            f"{a} AS MATERIALIZED (SELECT vec_id, vs, cid FROM ("
+            f"SELECT v.vec_id, v.vs, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS rk "
+            f"FROM v, {prev} c) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT cid, list(sv ORDER BY dim) AS s, "
+            f"any_value(nn) AS n FROM ("
+            f"SELECT cid, dim, cast(sum(vs[dim]) as bigint) AS sv, "
+            f"count(*) AS nn "
+            f"FROM {a}, range(1, {DIM} + 1) t(dim) GROUP BY cid, dim) "
+            f"GROUP BY cid)"
+        )
+        prev = c
+    final_a, final_c = f"a{IVF_ITERS - 1}", f"c{IVF_ITERS}"
+    ctes.append(
+        f"ccent AS MATERIALIZED (SELECT cid, list_transform(s, x -> "
+        f"cast(floor(cast(x as double) / n) as bigint)) AS cc FROM {final_c})"
+    )
+    ctes.append(
+        f"res AS MATERIALIZED (SELECT a.vec_id, a.cid, "
+        f"list_transform(range(1, {DIM} + 1), i -> a.vs[i] - ccent.cc[i]) AS rv "
+        f"FROM {final_a} a JOIN ccent ON ccent.cid = a.cid)"
+    )
+    ctes.append(
+        f"rsv AS MATERIALIZED (SELECT vec_id, cid, m, "
+        f"list_transform(range(1, {PQ_SUB} + 1), i -> rv[m * {PQ_SUB} + i]) AS sv "
+        f"FROM res, range(0, {PQ_M}) mm(m))"
+    )
+    # per-subspace PQ Lloyd over residuals
+    pd_ = _sqdist_scaled_sql("duckdb", "s2.sv", "c.s", "c.n", PQ_SUB)
+    ctes.append(
+        f"p0 AS MATERIALIZED (SELECT m, vec_id AS cid, sv AS s, "
+        f"cast(1 as bigint) AS n FROM rsv WHERE vec_id < {PQ_K})"
+    )
+    prev = "p0"
+    for it in range(PQ_ITERS):
+        a, c = f"pa{it}", f"pc{it + 1}"
+        ctes.append(
+            f"{a} AS MATERIALIZED (SELECT vec_id, m, sv, cid FROM ("
+            f"SELECT s2.vec_id, s2.m, s2.sv, c.cid, "
+            f"row_number() OVER (PARTITION BY s2.vec_id, s2.m "
+            f"ORDER BY {pd_}, c.cid) AS rk "
+            f"FROM rsv s2 JOIN {prev} c ON c.m = s2.m) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT m, cid, "
+            f"list(dsum ORDER BY dim) AS s, any_value(nn) AS n FROM ("
+            f"SELECT m, cid, dim, cast(sum(sv[dim]) as bigint) AS dsum, "
+            f"count(*) AS nn FROM {a}, range(1, {PQ_SUB} + 1) t(dim) "
+            f"GROUP BY m, cid, dim) GROUP BY m, cid)"
+        )
+        prev = c
+    ctes.append(
+        f"cb AS MATERIALIZED (SELECT m, cid, "
+        f"list_transform({prev}.s, x -> "
+        f"cast(floor(cast(x as double) / n) as bigint)) AS c FROM {prev})"
+    )
+    enc_d = _pq_d2_sql("duckdb", "s2.sv", "cb.c")
+    ctes.append(
+        f"codes AS MATERIALIZED (SELECT vec_id, m, code FROM ("
+        f"SELECT s2.vec_id, s2.m, cb.cid AS code, "
+        f"row_number() OVER (PARTITION BY s2.vec_id, s2.m "
+        f"ORDER BY {enc_d}, cb.cid) AS rk "
+        f"FROM rsv s2 JOIN cb ON cb.m = s2.m) WHERE rk = 1)"
+    )
+    ctes.append(
+        f"probe AS MATERIALIZED (SELECT qid, cid FROM ("
+        f"SELECT q.vec_id AS qid, c.cid, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {qd}, c.cid) AS rk "
+        f"FROM v q, {final_c} c WHERE q.vec_id < {n_queries}) WHERE rk <= {probes})"
+    )
+    ctes.append(
+        f"qres AS MATERIALIZED (SELECT probe.qid, probe.cid, m, "
+        f"list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> q.vs[m * {PQ_SUB} + i] - ccent.cc[m * {PQ_SUB} + i]) AS qsv "
+        f"FROM probe JOIN v q ON q.vec_id = probe.qid "
+        f"JOIN ccent ON ccent.cid = probe.cid, range(0, {PQ_M}) mm(m))"
+    )
+    lut_d = _pq_d2_sql("duckdb", "qres.qsv", "cb.c")
+    ctes.append(
+        f"lut AS MATERIALIZED (SELECT qid, qres.cid, qres.m, "
+        f"cb.cid AS code, {lut_d} AS d "
+        f"FROM qres JOIN cb ON cb.m = qres.m)"
+    )
+    ctes.append(
+        f"cand AS MATERIALIZED (SELECT probe.qid, probe.cid, a.vec_id "
+        f"FROM probe JOIN {final_a} a ON a.cid = probe.cid "
+        f"AND a.vec_id <> probe.qid)"
+    )
+    ctes.append(
+        "scored AS (SELECT cand.qid, cand.vec_id, "
+        "cast(sum(lut.d) as bigint) AS adc "
+        "FROM cand JOIN codes ON codes.vec_id = cand.vec_id "
+        "JOIN lut ON lut.qid = cand.qid AND lut.cid = cand.cid "
+        "AND lut.m = codes.m AND lut.code = codes.code "
+        "GROUP BY 1, 2)"
     )
     return (
         "WITH " + ", ".join(ctes)

@@ -327,3 +327,80 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     s = dedup.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_ivfpq_topk_matches_numpy_replay(spark, embs_pdf):
+    """Full independent numpy replay of the IVF-PQ composition:
+    coarse Lloyd -> rounded centroids -> integer residuals -> per-
+    subspace PQ Lloyd -> encode -> probe -> residual ADC. Every stage
+    is integer arithmetic plus correctly-rounded double divisions, so
+    the replay must match Spark's output exactly (not just recall)."""
+    out = (
+        ann.ivfpq_topk(spark.read.parquet(EMBS))
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = embs_pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf.vec_id.to_numpy()
+    V = np.floor(
+        np.stack(pdf.embedding.to_numpy()).astype(np.float64) * ann.IVF_SCALE
+    ).astype(np.int64)
+
+    def lloyd(X, xids, K, iters):
+        """Seed = first K ids; assign by ||n*x - S||^2/n^2 with
+        (d, cid) tie-break; returns (assign cid per row, S, n)."""
+        seed = {int(i): j for j, i in enumerate(xids) if i < K}
+        S = np.stack([X[seed[c]] for c in range(K)]).astype(np.int64)
+        n = np.ones(K, dtype=np.int64)
+        for _ in range(iters):
+            num = ((n[:, None, None] * X[None, :, :] - S[:, None, :]) ** 2).sum(
+                axis=2
+            )  # (K, N)
+            d = num.astype(np.float64) / (n.astype(np.float64) ** 2)[:, None]
+            # argmin over cid axis: first occurrence == lowest cid tie-break
+            assign = np.argmin(d, axis=0)
+            S = np.zeros_like(S)
+            n = np.zeros_like(n)
+            for j, c in enumerate(assign):
+                S[c] += X[j]
+                n[c] += 1
+            keep = n > 0
+            assert keep.all()  # seeds never empty at this SF
+        return assign, S, n
+
+    assign, S, n = lloyd(V, ids, ann.IVF_K, ann.IVF_ITERS)
+    cc = np.floor(S.astype(np.float64) / n[:, None]).astype(np.int64)
+    R = V - cc[assign]  # integer residuals
+    M, SUB = ann.PQ_M, ann.PQ_SUB
+    # per-subspace PQ Lloyd over residual subvectors
+    codes = np.zeros((len(ids), M), dtype=np.int64)
+    books = []
+    for m in range(M):
+        sub = R[:, m * SUB : (m + 1) * SUB]
+        pa, pS, pn = lloyd(sub, ids, ann.PQ_K, ann.PQ_ITERS)
+        cb = np.floor(pS.astype(np.float64) / pn[:, None]).astype(np.int64)
+        books.append(cb)
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1)  # ties -> lowest cid
+    for qid in range(ann.N_QUERIES):
+        qi = int(np.searchsorted(ids, qid))
+        qnum = ((n[:, None] * V[qi][None, :] - S) ** 2).sum(axis=1)
+        qd = qnum.astype(np.float64) / n.astype(np.float64) ** 2
+        probe = np.argsort(qd, kind="stable")[: ann.IVF_PROBES]
+        cand = [
+            j
+            for j in range(len(ids))
+            if assign[j] in set(probe) and ids[j] != qid
+        ]
+        adcs = []
+        for j in cand:
+            qr = V[qi] - cc[assign[j]]
+            adc = 0
+            for m in range(M):
+                qsub = qr[m * SUB : (m + 1) * SUB]
+                adc += int(((qsub - books[m][codes[j, m]]) ** 2).sum())
+            adcs.append((adc, int(ids[j])))
+        expect = sorted(adcs)[:5]
+        got = out[out.qid == qid]
+        assert [(int(a), int(v)) for a, v in zip(got.adc, got.vec_id)] == expect
