@@ -14,13 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, geoloc, rpc, streaming, synth
+from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
 from gdal_spark.operators import rasterize as rastop
+from gdal_spark.operators import hull as hullop
 from gdal_spark.operators import rastertable, skew, tiling, translate, vector_ops
 from gdal_spark.operators.knn import knn
 from gdal_spark.operators.spatial_join import spatial_join
@@ -880,6 +881,48 @@ def _q_ivfpq_topk(spark, sf_dir):
     return ann.ivfpq_topk(_embs(spark, sf_dir))
 
 
+S2_LEVEL = 10
+S2_DENSITY_LEVEL = 6
+
+
+def _q_s2_assign(spark, sf_dir):
+    """S2-scheme cell assignment (cube face + quadratic ST + Hilbert
+    position, s2cell.py) — pure Catalyst staged expressions, zero
+    Python; value-checks every stage per image."""
+    n = synth.n_images(sf_dir)
+    imgs = synth.images_df(spark, n).filter(f"i < {min(n, 4096)}")
+    return s2cell.assign_s2(imgs, S2_LEVEL, "image_id").select(
+        "image_id", "face", "ci", "cj", "s2_id"
+    )
+
+
+def _q_pct2rgb(spark, sf_dir):
+    """pct2rgb color-table expansion composed over the fixed-palette
+    dither (osgeo_utils/pct2rgb.py semantics), full value oracle."""
+    return quantize.pct2rgb_fixed(_pixel_images(spark, sf_dir, 4))
+
+
+def _q_cell_hulls(spark, sf_dir):
+    """Per-cell convex hull of the image point cloud (strict,
+    integer-exact — OGRGeometry::ConvexHull semantics applied as a
+    distributed per-region footprint outline)."""
+    n = synth.n_images(sf_dir)
+    return hullop.cell_hulls(synth.images_df(spark, n))
+
+
+def _q_s2_density(spark, sf_dir):
+    """Densest S2 cells (level 6) — the hot-cell skew surfaced on the
+    spherical grid; assignment is map-only codegen, one shuffle."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    out = s2cell.assign_s2(imgs, S2_DENSITY_LEVEL, "image_id")
+    return (
+        out.groupBy("s2_id")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy(F.desc("n_images"), "s2_id")
+        .limit(64)
+    )
+
+
 def _q_geoloc_transform(spark, sf_dir):
     """Geolocation-array forward transform (alg/gdalgeoloc.cpp:625):
     subsampled geoloc grid -> window-assembled cells -> bilinear, all
@@ -1024,6 +1067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dither_fs_fixed": _q_dither_fixed,
         "ann_ivfpq_topk": _q_ivfpq_topk,
+        "s2_cell_assign": _q_s2_assign,
+        "s2_density_topk": _q_s2_density,
+        "cell_hulls": _q_cell_hulls,
+        "pct2rgb": _q_pct2rgb,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1070,6 +1117,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _images(n: int) -> str:
     return synth.images_cte(n, "duckdb")
+
+
+def _s2_assign_sql(n: int, level: int, cap: int) -> str:
+    ctes, final = s2cell.s2_cte_sql(level, "image_id", "s2imgs")
+    return (
+        f"WITH s2imgs AS MATERIALIZED (SELECT * FROM ({_images(n)}) "
+        f"WHERE i < {cap}), {ctes} "
+        f"SELECT image_id, face, ci, cj, s2_id FROM {final}"
+    )
+
+
+def _s2_density_sql(n: int, level: int, k: int) -> str:
+    ctes, final = s2cell.s2_cte_sql(level, "image_id", f"({_images(n)})")
+    return (
+        f"WITH {ctes} SELECT s2_id, cast(count(*) as bigint) AS n_images "
+        f"FROM {final} GROUP BY s2_id "
+        f"ORDER BY n_images DESC, s2_id LIMIT {k}"
+    )
 
 
 def _merc_cells_sql(n: int, zoom: int) -> str:
@@ -1227,6 +1292,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dedup.oracle_decontaminate(),
         "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
+        "s2_cell_assign": _s2_assign_sql(n, S2_LEVEL, min(n, 4096)),
+        "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
+        "cell_hulls": hullop.oracle_cell_hulls(n),
+        "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

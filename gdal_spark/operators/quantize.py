@@ -161,8 +161,44 @@ def dither_fixed(images: DataFrame) -> DataFrame:
     )
 
 
-def oracle_dither_fixed(n: int, max_i: int) -> str:
-    """The recursive serial replay (DuckDB dialect; see module note)."""
+def pct2rgb_fixed(images: DataFrame) -> DataFrame:
+    """pct2rgb (reference osgeo_utils/pct2rgb.py: color-table lookup
+    expanding an indexed raster to RGB bands), composed over the
+    fixed-palette FS dither so the index raster is the one the value
+    oracle can replay. Output (image_id, r_sum, g_sum, b_sum): the
+    per-channel sums of the expanded image — any lookup divergence on
+    any pixel shifts them."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload))[
+                    : DITHER_N, : DITHER_N, :3
+                ]
+                rgb = FIXED_PAL[dither_fs(arr, FIXED_PAL)].astype(np.int64)
+                rows.append(
+                    (
+                        image_id,
+                        int(rgb[..., 0].sum()),
+                        int(rgb[..., 1].sum()),
+                        int(rgb[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "r_sum", "g_sum", "b_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, r_sum bigint, g_sum bigint, b_sum bigint",
+    )
+
+
+def oracle_dither_fixed(n: int, max_i: int, rgb: bool = False) -> str:
+    """The recursive serial replay (DuckDB dialect; see module note).
+    With ``rgb`` the recursion also accumulates the palette-expanded
+    channel sums (the pct2rgb composition) and returns those."""
     from .. import synth
 
     W = DITHER_N
@@ -176,6 +212,21 @@ def oracle_dither_fixed(n: int, max_i: int) -> str:
 
     PR, PG, PB = pal_list(0), pal_list(1), pal_list(2)
     val = synth.pixel_val_sql()
+    rgb_anchor = (
+        ", cast(0 as bigint) AS rsum, cast(0 as bigint) AS gsum, "
+        "cast(0 as bigint) AS bsum" if rgb else ""
+    )
+    rgb_step = (
+        f", rsum + cast({PR}[k + 1] as bigint), "
+        f"gsum + cast({PG}[k + 1] as bigint), "
+        f"bsum + cast({PB}[k + 1] as bigint)" if rgb else ""
+    )
+    final = (
+        "image_id, rsum AS r_sum, gsum AS g_sum, bsum AS b_sum"
+        if rgb
+        else "image_id, cast(bit_count(used) as bigint) AS used_n, "
+        "idx_sum, idx_wsum"
+    )
     return f"""
 WITH RECURSIVE
 img AS (SELECT i, image_id, w, h, fmt FROM ({synth.images_cte(n, 'duckdb')})
@@ -186,7 +237,7 @@ base AS (SELECT image_id, list(cast(v as double) ORDER BY y, x, ch) AS E
          FROM px GROUP BY image_id),
 r AS (
   SELECT image_id, 0 AS p, E, cast(0 as bigint) AS idx_sum,
-         cast(0 as bigint) AS idx_wsum, cast(0 as bigint) AS used
+         cast(0 as bigint) AS idx_wsum, cast(0 as bigint) AS used{rgb_anchor}
   FROM base
   UNION ALL
   SELECT image_id, p + 1,
@@ -197,7 +248,7 @@ r AS (
              WHEN p + {W} THEN (CASE WHEN yc < {W - 1} THEN errl[(q - 1) % 3 + 1] * 0.3125E0 ELSE 0.0E0 END)
              WHEN p + {W + 1} THEN (CASE WHEN yc < {W - 1} AND xc < {W - 1} THEN errl[(q - 1) % 3 + 1] * 0.0625E0 ELSE 0.0E0 END)
              ELSE 0.0E0 END)) AS E,
-         idx_sum + k, idx_wsum + k * (p + 1), used | (1::BIGINT << k)
+         idx_sum + k, idx_wsum + k * (p + 1), used | (1::BIGINT << k){rgb_step}
   FROM (
     SELECT s2.*, list_value(pxr - {PR}[k + 1], pxg - {PG}[k + 1],
                             pxb - {PB}[k + 1]) AS errl
@@ -219,6 +270,6 @@ r AS (
     ) s2
   ) s3
 )
-SELECT image_id, cast(bit_count(used) as bigint) AS used_n, idx_sum, idx_wsum
+SELECT {final}
 FROM r WHERE p = {NPX}
 """

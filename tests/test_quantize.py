@@ -68,3 +68,28 @@ def test_dither_fixed_matches_direct_numpy(spark):
         assert row.used_n == len(np.unique(idx))
         assert row.idx_sum == idx.sum()
         assert row.idx_wsum == (idx * p).sum()
+
+
+def test_pct2rgb_channel_sums(spark):
+    """pct2rgb = histogram(idx) . palette: the per-channel sums must
+    equal the index histogram times the palette columns."""
+    import __spark_entry__ as m
+
+    out = (
+        m.queries()["pct2rgb"](spark, SF_DIR).toPandas().set_index("image_id")
+    )
+    imgs = synth.add_pixels(
+        synth.images_df(spark, 64).filter("i < 4")
+    ).toPandas()
+    assert len(out) == 4
+    for _, r in imgs.iterrows():
+        arr = codecs.decode_image(bytes(r["bytes"]))[
+            : quantize.DITHER_N, : quantize.DITHER_N, :3
+        ]
+        idx = quantize.dither_fs(arr, quantize.FIXED_PAL).flatten()
+        hist = np.bincount(idx, minlength=16).astype(np.int64)
+        pal = quantize.FIXED_PAL.astype(np.int64)
+        row = out.loc[r.image_id]
+        assert row.r_sum == int((hist * pal[:, 0]).sum())
+        assert row.g_sum == int((hist * pal[:, 1]).sum())
+        assert row.b_sum == int((hist * pal[:, 2]).sum())
