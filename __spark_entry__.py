@@ -156,6 +156,23 @@ def _q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_band_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-grid approximate statistics (the bApproxOK decimation
+    of ComputeStatistics) — reads 1/16th of the pixels."""
+    out = stats.band_stats_approx(
+        _pixel_images(spark, sf_dir, _STATS_MAX_I), step=4
+    )
+    return out.select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        "n_px",
+        "sum_v",
+        "sum_sq",
+        F.col("min_v").cast("bigint").alias("min_v"),
+        F.col("max_v").cast("bigint").alias("max_v"),
+    )
+
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed pixel histogram (GetHistogram,
     gcore/gdalrasterband.cpp:3306)."""
@@ -896,6 +913,12 @@ def _q_s2_assign(spark, sf_dir):
     )
 
 
+def _q_ps_corners(spark, sf_dir):
+    """Polar Stereographic corner transform (EPSG:3031, method 9829)
+    — fourth projection family, pure Catalyst."""
+    return reproject.ps_corners(synth.images_df(spark, synth.n_images(sf_dir)))
+
+
 def _q_pct2rgb(spark, sf_dir):
     """pct2rgb color-table expansion composed over the fixed-palette
     dither (osgeo_utils/pct2rgb.py semantics), full value oracle."""
@@ -1071,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_density_topk": _q_s2_density,
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
+        "ps_corners": _q_ps_corners,
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1100,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_intersection": _q_overlay_boxes,
         "utm_corners": _q_utm_corners,
         "band_stats": _q_band_stats,
+        "band_stats_approx": _q_band_stats_approx,
         "checksum": _q_checksum,
         "spatial_join_pip": _q_spatial_join_pip,
         "warp_near_up2": _q_warp_near_up2,
@@ -1187,6 +1212,13 @@ def oracle_sql() -> dict[str, str]:
             f"cast(sum(val * val) as bigint) AS sum_sq, "
             f"cast(min(val) as bigint) AS min_v, cast(max(val) as bigint) AS max_v "
             f"FROM ({px_stats}) GROUP BY 1, 2"
+        ),
+        "band_stats_approx": (
+            f"SELECT image_id, cast(ch as bigint) AS channel, "
+            f"count(*) AS n_px, cast(sum(val) as bigint) AS sum_v, "
+            f"cast(sum(val * val) as bigint) AS sum_sq, "
+            f"cast(min(val) as bigint) AS min_v, cast(max(val) as bigint) AS max_v "
+            f"FROM ({px_stats}) WHERE x % 4 = 0 AND y % 4 = 0 GROUP BY 1, 2"
         ),
         "histogram": (
             f"SELECT image_id, cast(floor(val / 16.0E0) as bigint) AS bin, "
@@ -1296,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
+        "ps_corners": reproject.oracle_ps_corners(n),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -250,6 +250,50 @@ def oracle_aea_corners(n: int, epsg: int = 5070) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic corners (fourth projection family; EPSG method
+# 9829 / SRS_PT_POLAR_STEREOGRAPHIC). Same pure-Catalyst shape; the
+# projection is defined for every synth latitude, so no filter.
+
+
+def ps_corners(images: DataFrame, epsg: int = 3031) -> DataFrame:
+    """Footprint corners of every image in a polar-stereographic CRS
+    (default WGS84 / Antarctic Polar Stereographic). Map-only JVM
+    stage, zero Python."""
+    p = srs.PS_REGISTRY[epsg]
+    df = images.selectExpr("image_id", "lon", "lat", "w", "h")
+    exprs = ["image_id"]
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.ps_forward_sql(lon_e, lat_e, p)
+        df = df.selectExpr("*", f"{e_sql} AS e_{sfx}", f"{n_sql} AS n_{sfx}")
+        exprs.append(f"cast(floor(e_{sfx} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        exprs.append(f"cast(floor(n_{sfx} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return df.selectExpr(*exprs)
+
+
+def oracle_ps_corners(n: int, epsg: int = 3031) -> str:
+    p = srs.PS_REGISTRY[epsg]
+    parts = []
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.ps_forward_sql(lon_e, lat_e, p)
+        parts.append(f"cast(floor({e_sql} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        parts.append(f"cast(floor({n_sql} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    return (
+        f"SELECT image_id, {', '.join(parts)} "
+        f"FROM ({synth.images_cte(n, 'duckdb')})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pixel-level reprojection
 
 

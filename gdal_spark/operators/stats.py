@@ -87,6 +87,39 @@ def band_stats(images: DataFrame, per_channel: bool = True) -> DataFrame:
     )
 
 
+def band_stats_approx(images: DataFrame, step: int = 4) -> DataFrame:
+    """Approximate statistics (the bApproxOK path of
+    GDALRasterBand::ComputeStatistics, gcore/gdalrasterband.cpp:5568:
+    with approx allowed GDAL decimates to a sample grid / overview
+    instead of reading every pixel). Here: exact partial moments over
+    the deterministic every-``step``-th pixel grid (x % step == 0 and
+    y % step == 0) — at 100 TB this is the difference between reading
+    1/step^2 of the bytes and all of them, with the same partial+final
+    combine shape as the exact pass."""
+    cols = ["image_id", "channel", "n_px", "sum_v", "sum_sq", "min_v", "max_v"]
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        for ch in range(a.shape[2]):
+            v = a[::step, ::step, ch]
+            yield (
+                ch,
+                int(v.size),
+                int(v.sum()),
+                int((v.astype(np.float64) ** 2).sum()),
+                int(v.min()),
+                int(v.max()),
+            )
+
+    schema = (
+        "image_id string, channel int, n_px bigint, sum_v bigint, "
+        "sum_sq bigint, min_v int, max_v int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
 def finalize_stats(partials: DataFrame, group_cols=("channel",)) -> DataFrame:
     """Final combine: exact global min/max/mean/stddev from partials
     (the reduce half of GDAL's per-block statistics loop)."""

@@ -408,6 +408,115 @@ def aea_forward_sql(lon_expr: str, lat_expr: str, p: AEA) -> tuple[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant B (EPSG method 9829; Snyder 1987 pp.
+# 160-162 eq. 21-33/21-34 / EPSG Guidance Note 7-2; reference surface:
+# ogr/ogr_srs_api.h SRS_PT_POLAR_STEREOGRAPHIC). Fourth projection
+# family — the polar-science grids (EPSG:3031 Antarctic, EPSG:3413
+# NSIDC Sea Ice Arctic). Defined for every latitude except the
+# opposite pole, so the whole synth cloud transforms.
+
+
+class PS:
+    """Precomputed polar-stereographic constants: standard parallel
+    phi_c (sign selects the aspect), lon0, false easting/northing.
+    Ellipsoid defaults to WGS84 (EPSG:3031/3413)."""
+
+    def __init__(
+        self,
+        phic_deg: float,
+        lon0_deg: float,
+        fe: float,
+        fn: float,
+        a: float = 6378137.0,
+        inv_f: float = 298.257223563,
+    ):
+        self.a, f = a, 1.0 / inv_f
+        self.e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(self.e2))
+        self.south = phic_deg < 0
+        self.lon0 = lon0_deg
+        self.fe, self.fn = fe, fn
+        pc = np.radians(abs(phic_deg))
+        sc = np.sin(pc)
+        mc = np.cos(pc) / np.sqrt(1.0 - self.e2 * sc * sc)
+        tc = np.tan(np.pi / 4.0 - pc / 2.0) / (
+            ((1.0 - self.e * sc) / (1.0 + self.e * sc)) ** (self.e / 2.0)
+        )
+        # rho = k * t with t the conformal colatitude function
+        self.k = float(self.a * mc / tc)
+
+
+PS_REGISTRY = {
+    3031: PS(-71.0, 0.0, 0.0, 0.0),   # WGS84 / Antarctic Polar Stereo
+    3413: PS(70.0, -45.0, 0.0, 0.0),  # WGS84 / NSIDC Arctic Sea Ice
+}
+
+
+def ps_forward(lon, lat, p: PS):
+    """Geographic (deg) -> polar-stereographic E/N. Vectorized.
+    South aspect works on (-lat) with the northing mirrored (EPSG
+    9829 south-pole case)."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    if p.south:
+        phi = -phi
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        ((1.0 - p.e * s) / (1.0 + p.e * s)) ** (p.e / 2.0)
+    )
+    rho = p.k * t
+    x = p.fe + rho * np.sin(lam)
+    y = rho * np.cos(lam)
+    return x, p.fn + (y if p.south else -y)
+
+
+PS_INV_ITERS = 6  # conformal-latitude fixed point (Snyder 7-9):
+# contraction factor ~e^2, <1e-12 rad in 3 iterations; 6 gives margin
+
+
+def ps_inverse(x, y, p: PS):
+    """Polar-stereographic E/N -> geographic (deg)."""
+    dx = np.asarray(x, np.float64) - p.fe
+    dy = np.asarray(y, np.float64) - p.fn
+    if not p.south:
+        dy = -dy
+    rho = np.hypot(dx, dy)
+    t = rho / p.k
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(PS_INV_ITERS):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - p.e * s) / (1.0 + p.e * s)) ** (p.e / 2.0)
+        )
+    lam = np.arctan2(dx, dy)
+    lon = p.lon0 + np.degrees(lam)
+    lat = np.degrees(phi)
+    return lon, (-lat if p.south else lat)
+
+
+def ps_forward_sql(lon_expr: str, lat_expr: str, p: PS) -> tuple[str, str]:
+    """(easting_expr, northing_expr) dual-dialect SQL twin of
+    ps_forward (tan/pow/sin/cos; ~1 ulp cross-engine, absorbed by dm
+    quantization)."""
+    e = _sql_const(p.e)
+    half_e = _sql_const(p.e / 2.0)
+    k = _sql_const(p.k)
+    lam = f"radians(({lon_expr}) - {_sql_const(p.lon0)})"
+    phi = f"({'-' if p.south else ''}radians({lat_expr}))"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0E0 - {phi} / 2.0E0) "
+        f"/ power((1.0E0 - {e} * {s}) / (1.0E0 + {e} * {s}), {half_e}))"
+    )
+    rho = f"({k} * {t})"
+    y = f"({rho} * cos({lam}))"
+    return (
+        f"({_sql_const(p.fe)} + {rho} * sin({lam}))",
+        f"({_sql_const(p.fn)} {'+' if p.south else '-'} {y})",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRS registry + transformer chain (the GDALCreateGenImgProjTransformer
 # composition: everything routes through the EPSG:4326 hub)
 

@@ -341,3 +341,49 @@ def test_lcc_inverse_sql_cte_matches_numpy():
     ).df()
     assert np.abs(out.lon.to_numpy() - lon_np).max() < 1e-11
     assert np.abs(out.lat.to_numpy() - lat_np).max() < 1e-11
+
+
+def test_ps_pole_parallel_and_conformality():
+    """Polar Stereographic (EPSG 9829): the pole pins to (FE, FN);
+    the scale at the standard parallel is 1 (variant B definition);
+    conformality: meridian and parallel scales agree everywhere
+    (numerically); and the known EPSG:3031 coordinate of (0E, 71S)
+    is reproduced to the cm."""
+    p = srs.PS_REGISTRY[3031]
+    x, y = srs.ps_forward(np.array([123.0]), np.array([-90.0]), p)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # published EPSG:3031 value (PROJ: 0 -71 -> 0, 2082760.11)
+    x, y = srs.ps_forward(np.array([0.0]), np.array([-71.0]), p)
+    assert abs(x[0]) < 1e-6 and abs(y[0] - 2082760.11) < 0.02
+
+    def scales(lon, lat):
+        eps = 1e-7
+        s = np.sin(np.radians(lat))
+        M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+        N = p.a / np.sqrt(1 - p.e2 * s * s)
+        x1, y1 = srs.ps_forward(np.array([lon]), np.array([lat]), p)
+        x2, y2 = srs.ps_forward(np.array([lon]), np.array([lat + eps]), p)
+        h = float(np.hypot(x2 - x1, y2 - y1)[0]) / (M * np.radians(eps))
+        x3, y3 = srs.ps_forward(np.array([lon + eps]), np.array([lat]), p)
+        k = float(np.hypot(x3 - x1, y3 - y1)[0]) / (
+            N * np.cos(np.radians(lat)) * np.radians(eps)
+        )
+        return h, k
+
+    h, k = scales(37.0, -71.0)
+    assert abs(k - 1.0) < 1e-6  # standard parallel
+    for lon, lat in ((0.0, -80.0), (120.0, -55.0), (-45.0, 10.0)):
+        h, k = scales(lon, lat)
+        assert abs(h - k) < 1e-5 * k  # conformal
+
+
+def test_ps_roundtrip_submm_both_aspects():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-84.9, 84.9, 200)
+    for epsg in (3031, 3413):
+        p = srs.PS_REGISTRY[epsg]
+        x, y = srs.ps_forward(lon, lat, p)
+        lo, la = srs.ps_inverse(x, y, p)
+        x2, y2 = srs.ps_forward(lo, la, p)
+        assert np.abs(x2 - x).max() < 1e-3 and np.abs(y2 - y).max() < 1e-3
