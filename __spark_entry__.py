@@ -1095,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
+        "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        ),
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1329,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
         "ps_corners": reproject.oracle_ps_corners(n),
+        "events_dedup_first": streaming.ORACLE_DEDUP_EVENTS,
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -54,6 +54,108 @@ ORACLE_WINDOWED = (
 )
 
 
+DEDUP_BUCKET_US = 600_000_000  # 10-minute idempotency bucket
+
+
+def dedup_events(events: DataFrame, bucket_us: int = DEDUP_BUCKET_US) -> DataFrame:
+    """At-least-once ingestion dedup (the batch twin of
+    dropDuplicates-within-watermark): within each (user_id,
+    event_type, 10-min bucket) keep the earliest event by (ts,
+    event_id). Output (user_id, event_type, bucket_us, first_us,
+    first_event_id, n_dupes). One shuffle on the dedup key — the
+    standard exactly-once repair of an at-least-once feed at any
+    scale."""
+    from pyspark.sql import Window
+
+    base = events.selectExpr(
+        "user_id",
+        "event_type",
+        "event_id",
+        "unix_micros(cast(ts as timestamp)) AS us",
+    ).selectExpr(
+        "user_id", "event_type", "event_id", "us",
+        f"us - pmod(us, {bucket_us}) AS bucket_us",
+    )
+    key = ["user_id", "event_type", "bucket_us"]
+    rk = Window.partitionBy(*key).orderBy("us", "event_id")
+    cnt = Window.partitionBy(*key)
+    return (
+        base.withColumn("rk", F.row_number().over(rk))
+        .withColumn("n_dupes", F.count("*").over(cnt))
+        .filter("rk = 1")
+        .selectExpr(
+            "user_id", "event_type", "bucket_us",
+            "us AS first_us", "event_id AS first_event_id", "n_dupes",
+        )
+    )
+
+
+ORACLE_DEDUP_EVENTS = (
+    f"SELECT user_id, event_type, bucket_us, us AS first_us, "
+    f"event_id AS first_event_id, cast(n_dupes as bigint) AS n_dupes FROM ("
+    f"SELECT user_id, event_type, bucket_us, us, event_id, "
+    f"row_number() OVER (PARTITION BY user_id, event_type, bucket_us "
+    f"ORDER BY us, event_id) AS rk, "
+    f"count(*) OVER (PARTITION BY user_id, event_type, bucket_us) AS n_dupes "
+    f"FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, "
+    f"(epoch_us(ts) // {DEDUP_BUCKET_US}) * {DEDUP_BUCKET_US} AS bucket_us "
+    f"FROM events)) WHERE rk = 1"
+)
+
+
+def stream_dedup(spark: SparkSession, src_dir: str, schema,
+                 bucket_us: int = DEDUP_BUCKET_US):
+    """Streaming twin of dedup_events: per-key state = (earliest
+    (us, event_id) so far, running count); each micro-batch emits the
+    current state row, downstream keep-latest resolves the final
+    answer. Min-merging state is order-independent, so the result is
+    deterministic whatever the batch split — unlike raw
+    dropDuplicates, which keeps the first-SEEN row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.selectExpr(
+        "user_id",
+        "event_type",
+        "event_id",
+        "unix_micros(cast(ts as timestamp)) AS us",
+    ).selectExpr(
+        "user_id", "event_type", "event_id", "us",
+        f"us - pmod(us, {bucket_us}) AS bucket_us",
+    )
+
+    def fn(key, pdfs, state):
+        user_id, event_type, bucket_us = key
+        rows = pd.concat(list(pdfs))
+        bus, beid = None, None
+        for us, eid in zip(rows["us"], rows["event_id"]):
+            us, eid = int(us), int(eid)
+            if bus is None or (us, eid) < (bus, beid):
+                bus, beid = us, eid
+        n = len(rows)
+        if state.exists:
+            pus, peid, pn = state.get
+            if (pus, peid) < (bus, beid):
+                bus, beid = pus, peid
+            n += pn
+        state.update((bus, beid, n))
+        yield pd.DataFrame(
+            [(user_id, event_type, int(bucket_us), bus, beid, n)],
+            columns=["user_id", "event_type", "bucket_us", "first_us",
+                     "first_event_id", "n_dupes"],
+        )
+
+    return ev.groupBy("user_id", "event_type", "bucket_us").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, event_type string, bucket_us bigint, "
+        "first_us bigint, first_event_id bigint, n_dupes bigint",
+        stateStructType="us bigint, event_id bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 

@@ -184,3 +184,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the far-ahead window (hour 15:00) is NOT finalized -> absent
     ahead_ws = int((base + dt.timedelta(hours=5)).timestamp()) * 1_000_000
     assert (got.ws == ahead_ws).sum() == 0
+
+
+def test_stream_dedup_equals_batch(spark, tmp_path):
+    """Stateful streaming dedup == the batch dedup_events on the same
+    data: min-merge state is order-independent, so one AvailableNow
+    pass (any batch split) lands on the batch answer exactly."""
+    import shutil
+
+    from gdal_spark import streaming
+
+    src = str(tmp_path / "ev_dd")
+    (tmp_path / "ev_dd").mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src + "/part-000.parquet")
+    batch = spark.read.parquet(src)
+    bucket = 6 * 3_600_000_000  # 6h: sf0.001 is sparse, force collisions
+    exp = (
+        streaming.dedup_events(batch, bucket_us=bucket)
+        .toPandas()
+        .sort_values(["user_id", "event_type", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    assert (exp.n_dupes > 1).any()  # the bucket key actually dedups
+    sdf = streaming.stream_dedup(spark, src, batch.schema, bucket_us=bucket)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_first")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_first").toPandas()
+    got = (
+        got.sort_values(["user_id", "event_type", "bucket_us", "n_dupes"])
+        .groupby(["user_id", "event_type", "bucket_us"], as_index=False)
+        .last()
+        .sort_values(["user_id", "event_type", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in ("first_us", "first_event_id", "n_dupes"):
+        assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
