@@ -46,6 +46,7 @@ HEADLINE = [
     "overlay_union",
     "pq_topk",
     "grid_linear",
+    "s2_density_topk",
 ]
 
 
