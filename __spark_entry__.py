@@ -876,6 +876,15 @@ def _q_warp_reproject_lcc(spark, sf_dir):
     return reproject.reproject_lcc(imgs)
 
 
+def _q_warp_reproject_ps(spark, sf_dir):
+    """gdalwarp -t_srs EPSG:3031 pixel path (polar stereographic is
+    defined at every latitude; same hot-cell subset as the LCC path
+    for like-for-like cost); checksum-verified."""
+    imgs = synth.images_df(spark, min(synth.n_images(sf_dir), 4096))
+    imgs = synth.add_pixels(imgs.filter("i % 4 = 0 AND i < 32"))
+    return reproject.reproject_ps(imgs)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: 8-gram overlap of the training docs
     against the deterministic held-out subset (doc_id % 97 = 0)."""
@@ -1095,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
+        "warp_reproject_ps": _q_warp_reproject_ps,
+        "ogr_sql_having": ogrsql.q_group_having,
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1324,6 +1335,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject_lcc": reproject.oracle_reproject_lcc(
             min(n, 4096), 32
         ),
+        "warp_reproject_ps": reproject.oracle_reproject_ps(
+            min(n, 4096), 32
+        ),
         "decontaminate": dedup.oracle_decontaminate(),
         "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
@@ -1333,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
         "ps_corners": reproject.oracle_ps_corners(n),
         "events_dedup_first": streaming.ORACLE_DEDUP_EVENTS,
+        "ogr_sql_having": ogrsql.ORACLE_HAVING,
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

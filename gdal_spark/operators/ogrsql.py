@@ -110,6 +110,35 @@ ORACLE_AGG = (
 )
 
 
+def q_group_having(spark, sf_dir):
+    """GROUP BY + HAVING (OGR SQL swq HAVING clause,
+    ogr/swq_parser.y) — an aggregate-predicate filter after the
+    partial+final aggregation, pushed as a post-agg Catalyst filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum({CENTS})").alias("price_cents"),
+            F.expr(f"max({QKEY})").alias("max_qty"),
+        )
+        .filter("n > 100 AND max_qty >= 4000")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_HAVING = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "cast(sum(cast(floor(l_extendedprice * 100.0E0 + 0.5E0) as bigint)) "
+    "as bigint) AS price_cents, "
+    "max(cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint)) AS max_qty "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "HAVING count(*) > 100 AND "
+    "max(cast(floor(l_quantity * 100.0E0 + 0.5E0) as bigint)) >= 4000 "
+    "ORDER BY l_returnflag, l_linestatus"
+)
+
+
 def q_orderby_limit(spark, sf_dir):
     """Multi-key ORDER BY + LIMIT + OFFSET (CreateOrderByIndex +
     swq LIMIT/OFFSET) — range-partitioned sort + row_number offset."""

@@ -250,9 +250,133 @@ def oracle_aea_corners(n: int, epsg: int = 5070) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Polar Stereographic corners (fourth projection family; EPSG method
-# 9829 / SRS_PT_POLAR_STEREOGRAPHIC). Same pure-Catalyst shape; the
-# projection is defined for every synth latitude, so no filter.
+# Polar Stereographic: corners (pure Catalyst) + the full pixel warp
+# path (fourth projection family; EPSG method 9829 /
+# SRS_PT_POLAR_STEREOGRAPHIC). The projection is defined for every
+# synth latitude, so no service-area filter is needed.
+
+DST_W = 32  # suggested-output long edge in pixels (kept small: the
+# oracle replays every dst pixel through the unrolled inverse)
+
+
+def _suggest_grid_ps(lon, lat, w, h, p, dst_w):
+    """Suggested output grid in the PS CRS (same bounded-size
+    GDALSuggestedWarpOutput shape as _suggest_grid_lcc)."""
+    res = 0.1 / w
+    cx = np.array([lon, lon + w * res, lon, lon + w * res])
+    cy = np.array([lat, lat, lat - h * res, lat - h * res])
+    ex, ny = srs.ps_forward(cx, cy, p)
+    minx, maxx = ex.min(), ex.max()
+    miny, maxy = ny.min(), ny.max()
+    dres = max(maxx - minx, maxy - miny) / dst_w
+    w_eff = max(1, int(np.floor((maxx - minx) / dres + 0.5)))
+    h_eff = max(1, int(np.floor((maxy - miny) / dres + 0.5)))
+    return (minx, dres, 0.0, maxy, 0.0, -dres), h_eff, w_eff
+
+
+def _reproject_ps_iter(batches, epsg: int, dst_w: int, alg: str):
+    p = srs.PS_REGISTRY[epsg]
+    for pdf in batches:
+        rows = []
+        for image_id, payload, lon, lat, w, h in zip(
+            pdf["image_id"], pdf["bytes"], pdf["lon"], pdf["lat"],
+            pdf["w"], pdf["h"],
+        ):
+            arr = codecs.decode_image(bytes(payload))
+            lon, lat = float(lon), float(lat)
+            w, h = int(w), int(h)
+            res = 0.1 / w
+            src_gt = (lon, res, 0.0, lat, 0.0, -res)
+            dst_gt, dst_h, dst_w_eff = _suggest_grid_ps(
+                lon, lat, w, h, p, dst_w
+            )
+
+            def transform(gx, gy, p=p):
+                return srs.ps_inverse(gx, gy, p)
+
+            warped = resample.warp_image(
+                arr, src_gt, dst_gt, (dst_h, dst_w_eff), alg, transform
+            )
+            from .stats import gdal_checksum
+
+            for c in range(warped.shape[2]):
+                rows.append((image_id, c, gdal_checksum(warped[:, :, c])))
+        yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+
+def reproject_ps(
+    images: DataFrame, epsg: int = 3031, dst_w: int = DST_W,
+    alg: str = "near",
+) -> DataFrame:
+    """Warp images onto a suggested polar-stereographic grid;
+    per-channel GDAL checksums. One mapInPandas stage, zero shuffle."""
+    return images.select("image_id", "bytes", "lon", "lat", "w", "h").mapInPandas(
+        lambda it: _reproject_ps_iter(it, epsg, dst_w, alg),
+        schema="image_id string, channel bigint, cks bigint",
+    )
+
+
+def oracle_reproject_ps(
+    n: int, max_i: int, epsg: int = 3031, dst_w: int = DST_W
+) -> str:
+    """Replays corners -> bbox -> grid -> per-pixel PS inverse
+    (conformal-latitude fixed point unrolled) -> nearest src pixel ->
+    checksum, over the same hot-cell subset as the LCC pixel path."""
+    p = srs.PS_REGISTRY[epsg]
+    corner_parts = []
+    for suffix, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.ps_forward_sql(lon_e, lat_e, p)
+        corner_parts.append(f"{e_sql} AS e_{suffix}")
+        corner_parts.append(f"{n_sql} AS n_{suffix}")
+    keep = "i, image_id, ilon, ilat, w, h, fmt, xd, yd, dw, dh"
+    inv_cte = srs.ps_inverse_sql_cte("ec", "nc", p, "px2", keep)
+    prime = (
+        "(CASE ((yd * dw + xd) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    val = synth.pixel_val_sql()
+    return f"""
+WITH img AS (SELECT i, image_id, lon AS ilon, lat AS ilat, lon, lat, w, h, fmt
+             FROM ({synth.images_cte(n, 'duckdb')})
+             WHERE i % 4 = 0 AND i < {max_i}),
+crn AS (SELECT i, image_id, ilon, ilat, w, h, fmt,
+        {', '.join(corner_parts)} FROM img),
+bbox AS (SELECT i, image_id, ilon, ilat, w, h, fmt,
+         least(e_tl, e_tr, e_bl, e_br) AS minx,
+         greatest(e_tl, e_tr, e_bl, e_br) AS maxx,
+         least(n_tl, n_tr, n_bl, n_br) AS miny,
+         greatest(n_tl, n_tr, n_bl, n_br) AS maxy FROM crn),
+grd AS (SELECT bbox.*,
+        greatest(maxx - minx, maxy - miny) / {dst_w}.0E0 AS dres FROM bbox),
+grd2 AS (SELECT grd.*,
+         greatest(1, cast(floor((maxx - minx) / dres + 0.5E0) as bigint)) AS dw,
+         greatest(1, cast(floor((maxy - miny) / dres + 0.5E0) as bigint)) AS dh
+         FROM grd),
+px2 AS (SELECT grd2.*, xd, yd,
+        minx + (xd + 0.5E0) * dres AS ec,
+        maxy - (yd + 0.5E0) * dres AS nc
+        FROM grd2, range(0, {dst_w}) a(xd), range(0, {dst_w}) b(yd)
+        WHERE xd < dw AND yd < dh),
+{inv_cte},
+sxy AS (SELECT i, image_id, w, h, fmt, xd, yd, dw,
+        cast(floor((lon - ilon) / (0.1E0 / w) + 1.0E-10) as bigint) AS x,
+        cast(floor((ilat - lat) / (0.1E0 / w) + 1.0E-10) as bigint) AS y
+        FROM psinv),
+vals AS (SELECT image_id, xd, yd, dw, ch,
+         (CASE WHEN x >= 0 AND x < w AND y >= 0 AND y < h
+               THEN {val} ELSE 0 END) AS v
+         FROM sxy, range(0, 3) c(ch))
+SELECT image_id, ch AS channel,
+       cast(sum(v % {prime}) % 65536 as bigint) AS cks
+FROM vals GROUP BY 1, 2
+"""
 
 
 def ps_corners(images: DataFrame, epsg: int = 3031) -> DataFrame:
@@ -295,10 +419,6 @@ def oracle_ps_corners(n: int, epsg: int = 3031) -> str:
 
 # ---------------------------------------------------------------------------
 # pixel-level reprojection
-
-
-DST_W = 32  # suggested-output long edge in pixels (kept small: the
-# oracle replays every dst pixel through the Newton-unrolled inverse)
 
 
 def _suggest_grid(lon, lat, w, h, lon0, fn, dst_w=DST_W):

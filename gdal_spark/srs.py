@@ -480,7 +480,8 @@ def ps_inverse(x, y, p: PS):
     dy = np.asarray(y, np.float64) - p.fn
     if not p.south:
         dy = -dy
-    rho = np.hypot(dx, dy)
+    # sqrt form (not hypot) so the op sequence matches the SQL twin
+    rho = np.sqrt(dx * dx + dy * dy)
     t = rho / p.k
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(PS_INV_ITERS):
@@ -492,6 +493,49 @@ def ps_inverse(x, y, p: PS):
     lon = p.lon0 + np.degrees(lam)
     lat = np.degrees(phi)
     return lon, (-lat if p.south else lat)
+
+
+def ps_inverse_sql_cte(
+    x_expr: str, y_expr: str, p: PS, base: str, keep: str
+) -> str:
+    """CTE chain computing lon/lat from polar-stereographic E/N — the
+    SQL twin of ps_inverse with the conformal-latitude fixed point
+    unrolled as MATERIALIZED stages. Output relation ``psinv`` with
+    keep + lon, lat."""
+    e = _sql_const(p.e)
+    half_e = _sql_const(p.e / 2.0)
+    k = _sql_const(p.k)
+    dy = f"(({y_expr}) - {_sql_const(p.fn)})"
+    if not p.south:
+        dy = f"(-{dy})"
+    stages = [
+        f"p0 AS MATERIALIZED (SELECT {keep}, "
+        f"(({x_expr}) - {_sql_const(p.fe)}) AS dx, {dy} AS dyc FROM {base})",
+        f"p1 AS MATERIALIZED (SELECT {keep}, dx, dyc, "
+        f"(sqrt(dx * dx + dyc * dyc) / {k}) AS t FROM p0)",
+        f"p2 AS MATERIALIZED (SELECT {keep}, dx, dyc, t, "
+        f"(pi() / 2.0E0 - 2.0E0 * atan(t)) AS phi0 FROM p1)",
+    ]
+    prev, prev_rel = "phi0", "p2"
+    for it in range(PS_INV_ITERS):
+        nxt, rel = f"phi{it + 1}", f"pi{it}"
+        s = f"sin({prev})"
+        stages.append(
+            f"{rel} AS MATERIALIZED (SELECT {keep}, dx, dyc, t, "
+            f"(pi() / 2.0E0 - 2.0E0 * atan(t * power("
+            f"(1.0E0 - {e} * {s}) / (1.0E0 + {e} * {s}), {half_e}))) "
+            f"AS {nxt} FROM {prev_rel})"
+        )
+        prev, prev_rel = nxt, rel
+    lat = f"degrees({prev})"
+    if p.south:
+        lat = f"(-{lat})"
+    stages.append(
+        f"psinv AS MATERIALIZED (SELECT {keep}, "
+        f"{_sql_const(p.lon0)} + degrees(atan2(dx, dyc)) AS lon, "
+        f"{lat} AS lat FROM {prev_rel})"
+    )
+    return ",\n".join(stages)
 
 
 def ps_forward_sql(lon_expr: str, lat_expr: str, p: PS) -> tuple[str, str]:
