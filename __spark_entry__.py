@@ -1106,6 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ps_corners": _q_ps_corners,
         "warp_reproject_ps": _q_warp_reproject_ps,
         "ogr_sql_having": ogrsql.q_group_having,
+        "vector_reproject_3857": lambda spark, sf_dir: vector_ops.reproject_3857_fields(
+            _oracle_polys(spark, sf_dir)
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1348,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "ps_corners": reproject.oracle_ps_corners(n),
         "events_dedup_first": streaming.ORACLE_DEDUP_EVENTS,
         "ogr_sql_having": ogrsql.ORACLE_HAVING,
+        "vector_reproject_3857": vector_ops.oracle_reproject_3857(m),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -256,3 +256,77 @@ def simplify_counts(polys: DataFrame, tol: float) -> DataFrame:
     return polys.select("poly_id", "geom_wkb").mapInPandas(
         run, schema="poly_id string, n_before bigint, n_after bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr -t_srs: reproject every vertex of a vector layer
+# (OGRGeometry::transform over rings, ogr/ogrct.cpp Transform loop;
+# apps/ogr2ogr_lib.cpp -t_srs). Target EPSG:3857 (spherical
+# mercator, grid.lonlat_to_meters). Numeric contract: each projected
+# coordinate is floored to integer CENTIMETERS per vertex BEFORE
+# summation (order-free; raw float sums are engine-order-dependent),
+# with a 5e-4 nudge absorbing the ~1 ulp ln/tan drift between numpy
+# and DuckDB.
+
+MERC_CM_NUDGE = 5.0e-4
+
+
+def reproject_3857_fields(polys: DataFrame) -> DataFrame:
+    """(poly_id, n_vertices, sx_cm, sy_cm): vertex count and the
+    cm-floored coordinate sums of the layer reprojected to 3857 —
+    any vertex transform divergence shifts the sums."""
+    from .. import grid
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                sx = sy = 0
+                nv = 0
+                for ring in wkb.polygon_rings(bytes(g)):
+                    r = _ring_array(ring)
+                    mx, my = grid.lonlat_to_meters(r[:, 0], r[:, 1])
+                    sx += int(np.floor(mx * 100.0 + MERC_CM_NUDGE).sum())
+                    sy += int(np.floor(my * 100.0 + MERC_CM_NUDGE).sum())
+                    nv += len(r)
+                rows.append((poly_id, nv, sx, sy))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "n_vertices", "sx_cm", "sy_cm"]
+            )
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run,
+        schema="poly_id string, n_vertices bigint, sx_cm bigint, sy_cm bigint",
+    )
+
+
+def oracle_reproject_3857(m: int) -> str:
+    """Closed-form vertex enumeration for box/hot_box/triangle kinds
+    in kind_geom ring order, mirrored through the same mercator ops
+    (mx = lon*OS/180; my = ln(tan((90+lat)*pi/360))/(pi/180)*OS/180)."""
+    os180 = synth.flit(6378137.0 * np.pi)  # ORIGIN_SHIFT (then /180)
+    vx = (
+        "(CASE WHEN kind = 'triangle' AND vi = 2 THEN cx "
+        "WHEN vi IN (0, 3) THEN cx - hw ELSE cx + hw END)"
+    )
+    vy = (
+        "(CASE WHEN vi IN (0, 1) THEN cy - hh ELSE cy + hh END)"
+    )
+    mx = f"(({vx}) * {os180} / 180.0E0)"
+    my = (
+        f"((ln(tan((90.0E0 + ({vy})) * pi() / 360.0E0)) / (pi() / 180.0E0)) "
+        f"* {os180} / 180.0E0)"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}), "
+        f"v AS (SELECT j, kind, cx, cy, hw, hh, vi FROM p, range(0, 4) t(vi) "
+        f"WHERE kind IN ('box', 'hot_box', 'triangle') "
+        f"AND (kind <> 'triangle' OR vi < 3)) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"cast(count(*) as bigint) AS n_vertices, "
+        f"cast(sum(cast(floor({mx} * 100.0E0 + {synth.flit(MERC_CM_NUDGE)}) "
+        f"as bigint)) as bigint) AS sx_cm, "
+        f"cast(sum(cast(floor({my} * 100.0E0 + {synth.flit(MERC_CM_NUDGE)}) "
+        f"as bigint)) as bigint) AS sy_cm "
+        f"FROM v GROUP BY 1"
+    )
