@@ -268,6 +268,18 @@ def _q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROJWIN = (11.3, 48.5, 11.45, 48.35)  # inside the hot cell
+
+
+def _q_translate_projwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -projwin: per-image geo window -> pixel window
+    (GDAL's floor(+0.001)/round conversion), clipped crop, checksums.
+    Only hot-cell images intersect; fully-outside images drop."""
+    return translate.translate_projwin(
+        _pixel_images(spark, sf_dir, 64), *_PROJWIN
+    )
+
+
 def _q_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_calc numpy band expression '(A+B)/2 + C/4' (VRT derived
     band / Python pixel function surface)."""
@@ -1109,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_reproject_3857": lambda spark, sf_dir: vector_ops.reproject_3857_fields(
             _oracle_polys(spark, sf_dir)
         ),
+        "translate_projwin": _q_translate_projwin,
+        "ogr_layer_extent": lambda spark, sf_dir: vector_ops.layer_extent(
+            _oracle_polys(spark, sf_dir)
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1352,6 +1368,10 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_first": streaming.ORACLE_DEDUP_EVENTS,
         "ogr_sql_having": ogrsql.ORACLE_HAVING,
         "vector_reproject_3857": vector_ops.oracle_reproject_3857(m),
+        "translate_projwin": translate.oracle_translate_projwin(
+            min(n, 4096), 64, *_PROJWIN
+        ),
+        "ogr_layer_extent": vector_ops.oracle_layer_extent(m),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -183,3 +183,93 @@ def oracle_calc_halfsum(n: int, max_i: int) -> str:
         f"SELECT image_id, cast(sum({formula} % {prime}) % 65536 as bigint) "
         f"AS cks FROM g GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# -projwin: georeferenced window crop (apps/gdal_translate_lib.cpp
+# projwin -> srcwin conversion: floor((ULX - gt[0]) / gt[1] + 0.001),
+# size = floor(span / res + 0.5)). Windows partially outside the
+# raster are CLIPPED here (the reference warns and pads); images
+# completely outside are dropped (the reference errors per file — a
+# layer-level filter is the DataFrame analog).
+
+
+def translate_projwin(
+    images: DataFrame, ulx: float, uly: float, lrx: float, lry: float
+) -> DataFrame:
+    """(image_id, channel, cks, out_w, out_h) for every image whose
+    footprint intersects the geo window."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, lon, lat, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["lon"], pdf["lat"],
+                pdf["w"], pdf["h"],
+            ):
+                lon, lat = float(lon), float(lat)
+                w, h = int(w), int(h)
+                res = 0.1 / w
+                x0 = int(np.floor((ulx - lon) / res + 0.001))
+                y0 = int(np.floor((lat - uly) / res + 0.001))
+                cw = int(np.floor((lrx - ulx) / res + 0.5))
+                chh = int(np.floor((uly - lry) / res + 0.5))
+                xs, ys = max(x0, 0), max(y0, 0)
+                xe, ye = min(x0 + cw, w), min(y0 + chh, h)
+                if xe <= xs or ye <= ys:
+                    continue
+                arr = codecs.decode_image(bytes(payload))[ys:ye, xs:xe, :]
+                for c in range(arr.shape[2]):
+                    rows.append(
+                        (image_id, c, gdal_checksum(arr[:, :, c]),
+                         xe - xs, ye - ys)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "channel", "cks", "out_w", "out_h"],
+            )
+
+    return images.select(
+        "image_id", "bytes", "lon", "lat", "w", "h"
+    ).mapInPandas(
+        run,
+        schema="image_id string, channel bigint, cks bigint, "
+        "out_w bigint, out_h bigint",
+    )
+
+
+def oracle_translate_projwin(
+    n: int, max_i: int, ulx: float, uly: float, lrx: float, lry: float
+) -> str:
+    fl = synth.flit
+    win = (
+        f"SELECT image_id, w, h, "
+        f"cast(floor(({fl(ulx)} - lon) / (0.1E0 / w) + 0.001E0) as bigint) AS x0, "
+        f"cast(floor((lat - {fl(uly)}) / (0.1E0 / w) + 0.001E0) as bigint) AS y0, "
+        f"cast(floor(({fl(lrx)} - {fl(ulx)}) / (0.1E0 / w) + 0.5E0) as bigint) AS cw, "
+        f"cast(floor(({fl(uly)} - {fl(lry)}) / (0.1E0 / w) + 0.5E0) as bigint) AS chh "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}"
+    )
+    prime = (
+        "(CASE (((y - ys) * (xe - xs) + (x - xs)) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH win AS MATERIALIZED (SELECT image_id, w, h, "
+        f"greatest(x0, 0) AS xs, greatest(y0, 0) AS ys, "
+        f"least(x0 + cw, w) AS xe, least(y0 + chh, h) AS ye FROM ({win})), "
+        f"px AS (SELECT p.image_id, p.ch, p.x, p.y, p.val, "
+        f"win.xs, win.ys, win.xe, win.ye "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) p "
+        f"JOIN win ON win.image_id = p.image_id "
+        f"AND win.xe > win.xs AND win.ye > win.ys "
+        f"AND p.x >= win.xs AND p.x < win.xe "
+        f"AND p.y >= win.ys AND p.y < win.ye) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {prime}) % 65536 as bigint) AS cks, "
+        f"cast(min(xe - xs) as bigint) AS out_w, "
+        f"cast(min(ye - ys) as bigint) AS out_h "
+        f"FROM px GROUP BY 1, 2"
+    )

@@ -330,3 +330,53 @@ def oracle_reproject_3857(m: int) -> str:
         f"as bigint)) as bigint) AS sy_cm "
         f"FROM v GROUP BY 1"
     )
+
+
+def layer_extent(polys: DataFrame) -> DataFrame:
+    """OGRLayer::GetExtent + GetFeatureCount (the ogrinfo -so layer
+    summary; generic implementation scans every geometry envelope,
+    ogr/ogrsf_frmts/generic/ogrlayer.cpp GetExtent): one row with the
+    feature count and the 1e6-scaled layer envelope. Partial+final
+    min/max — the same one-pass shape GDAL's loop takes, distributed."""
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                minx, miny, maxx, maxy = wkb.envelope(bytes(g))
+                rows.append((poly_id, minx, miny, maxx, maxy))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "minx", "miny", "maxx", "maxy"]
+            )
+
+    env = polys.select("poly_id", "geom_wkb").mapInPandas(
+        run,
+        schema="poly_id string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    k = "1000000.0E0"
+    return env.agg(
+        F.count("*").alias("n_features"),
+        F.expr(f"cast(floor(min(minx) * {k}) as bigint)").alias("minx_key"),
+        F.expr(f"cast(floor(min(miny) * {k}) as bigint)").alias("miny_key"),
+        F.expr(f"cast(floor(max(maxx) * {k}) as bigint)").alias("maxx_key"),
+        F.expr(f"cast(floor(max(maxy) * {k}) as bigint)").alias("maxy_key"),
+    )
+
+
+def oracle_layer_extent(m: int) -> str:
+    """Closed form: every oracle-subset envelope is (cx +- hw,
+    cy +- hh) — identical doubles on both sides, so the floors are
+    bit-exact (no nudge needed, same discipline as geom_fields
+    cx_key)."""
+    k = "1000000.0E0"
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT cast(count(*) as bigint) AS n_features, "
+        f"cast(floor(min(cx - hw) * {k}) as bigint) AS minx_key, "
+        f"cast(floor(min(cy - hh) * {k}) as bigint) AS miny_key, "
+        f"cast(floor(max(cx + hw) * {k}) as bigint) AS maxx_key, "
+        f"cast(floor(max(cy + hh) * {k}) as bigint) AS maxy_key "
+        f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
+    )
