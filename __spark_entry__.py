@@ -271,6 +271,12 @@ def _q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROJWIN = (11.3, 48.5, 11.45, 48.35)  # inside the hot cell
 
 
+def _q_calc_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc -A a.tif -B b.tif --calc '(A+B)/2': raster-raster
+    equi-join on the pair key, then vectorized compute + checksum."""
+    return translate.calc_two(_pixel_images(spark, sf_dir, 21))
+
+
 def _q_translate_projwin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -projwin: per-image geo window -> pixel window
     (GDAL's floor(+0.001)/round conversion), clipped crop, checksums.
@@ -1125,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_layer_extent": lambda spark, sf_dir: vector_ops.layer_extent(
             _oracle_polys(spark, sf_dir)
         ),
+        "calc_two_rasters": _q_calc_two,
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1372,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), 64, *_PROJWIN
         ),
         "ogr_layer_extent": vector_ops.oracle_layer_extent(m),
+        "calc_two_rasters": translate.oracle_calc_two(min(n, 4096), 16),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -273,3 +273,68 @@ def oracle_translate_projwin(
         f"cast(min(ye - ys) as bigint) AS out_h "
         f"FROM px GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_calc with TWO input rasters (-A a.tif -B b.tif --calc "(A+B)/2"
+# — osgeo_utils/gdal_calc.py multi-dataset mode). The DataFrame shape
+# is a raster-raster equi-join on the pairing key before the
+# vectorized compute; synth images i and i+5 share (w, h), so they
+# form valid aligned pairs.
+
+
+def calc_two(images: DataFrame, offset: int = 5) -> DataFrame:
+    """(image_id, channel, cks): per-channel checksum of
+    (A + B) / 2 over image pairs (i, i + offset). ``images`` must
+    carry i/bytes/w/h."""
+
+    a = images.selectExpr("i", "image_id", "bytes AS bytes_a")
+    b = images.selectExpr(f"i - {offset} AS i", "bytes AS bytes_b")
+    pair = a.join(b, "i")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, pa, pb in zip(
+                pdf["image_id"], pdf["bytes_a"], pdf["bytes_b"]
+            ):
+                arr_a = codecs.decode_image(bytes(pa)).astype(np.float64)
+                arr_b = codecs.decode_image(bytes(pb)).astype(np.float64)
+                out = np.floor(
+                    np.clip((arr_a + arr_b) / 2.0, 0.0, 255.0) + 0.5
+                ).astype(np.uint8)
+                for c in range(out.shape[2]):
+                    rows.append((image_id, c, gdal_checksum(out[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return pair.select("image_id", "bytes_a", "bytes_b").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_calc_two(n: int, max_i: int, offset: int = 5) -> str:
+    """Two pixel tables joined on (pair key, x, y, ch) — the SQL
+    twin of the raster-raster join — then the same clamp-round."""
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    formula = (
+        "cast(floor(least(greatest((cast(va as double) + cast(vb as double)) "
+        "/ 2.0E0, 0.0E0), 255.0E0) + 0.5E0) as bigint)"
+    )
+    return (
+        f"WITH pa AS MATERIALIZED (SELECT image_id, i, w, h, x, y, ch, "
+        f"val AS va FROM ({synth.pixels_cte(n, max_i, 'duckdb')})), "
+        f"pb AS MATERIALIZED (SELECT i - {offset} AS i, x, y, ch, "
+        f"val AS vb FROM ({synth.pixels_cte(n, max_i + offset, 'duckdb')}) "
+        f"WHERE i >= {offset}), "
+        f"j AS (SELECT pa.image_id, pa.w, pa.x, pa.y, pa.ch, va, vb "
+        f"FROM pa JOIN pb ON pb.i = pa.i AND pb.x = pa.x AND pb.y = pa.y "
+        f"AND pb.ch = pa.ch) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum({formula} % {prime}) % 65536 as bigint) AS cks "
+        f"FROM j GROUP BY 1, 2"
+    )
