@@ -154,3 +154,22 @@ def test_pq_adc_plan_is_broadcast_and_partial_agg(spark):
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
     assert s.count("HashAggregate") >= 2  # partial + final ADC sum
+
+
+def test_projection_corner_families_are_pure_codegen(spark):
+    """Every corner-transform family (UTM/LCC/Albers/Polar-Stereo)
+    must stay a map-only JVM stage: no Python eval, no Exchange —
+    at 100 TB the transform fuses into the scan."""
+    from gdal_spark import synth
+    from gdal_spark.operators import reproject
+
+    imgs = synth.images_df(spark, 500)
+    for fn in (
+        reproject.utm_corners,
+        reproject.lcc_corners,
+        reproject.aea_corners,
+        reproject.ps_corners,
+    ):
+        s = plan(fn(imgs))
+        assert "EvalPython" not in s, fn.__name__
+        assert "Exchange" not in s, fn.__name__
