@@ -5,6 +5,7 @@ test_warp.py against the reference's autotest fixtures)."""
 import numpy as np
 
 from gdal_spark import codecs, grid, resample, synth
+from gdal_spark import srs as srs_mod
 from gdal_spark.operators import warp
 
 
@@ -96,3 +97,50 @@ def test_reproject_nearest_spot_check(spark):
         ix, iy = int(np.floor(sx + 1e-10)), int(np.floor(sy + 1e-10))
         if 0 <= ix < w and 0 <= iy < h:
             assert (got[yd, xd] == rng[iy, ix]).all()
+
+
+def test_reproject_ps_constant_and_coverage(spark):
+    """Polar-stereographic pixel path: a constant field warps to only
+    {0 (outside footprint), constant}; the footprint covers most of
+    its own bbox; both 3031 and 3413 paths run on any latitude."""
+    import pandas as pd
+
+    from gdal_spark.operators import reproject
+
+    const = np.full((32, 32, 3), 142, dtype=np.uint8)
+    for epsg, lat in ((3031, -55.0), (3413, 62.0), (3031, 48.3)):
+        pdf = pd.DataFrame(
+            {
+                "image_id": [f"ps{epsg}"],
+                "bytes": [codecs.encode_image(const, "png")],
+                "lon": [11.3],
+                "lat": [lat],
+                "w": [32],
+                "h": [32],
+            }
+        )
+        out = reproject.reproject_ps(
+            spark.createDataFrame(pdf), epsg=epsg
+        ).toPandas()
+        assert len(out) == 3  # 3 channels
+        # recompute the warp locally and compare checksums
+        p = srs_mod.PS_REGISTRY[epsg]
+        res = 0.1 / 32
+        src_gt = (11.3, res, 0.0, lat, 0.0, -res)
+        dst_gt, dh, dw = reproject._suggest_grid_ps(11.3, lat, 32, 32, p, 32)
+        warped = resample.warp_image(
+            const, src_gt, dst_gt, (dh, dw), "near",
+            lambda gx, gy: srs_mod.ps_inverse(gx, gy, p),
+        )
+        vals = set(np.unique(warped))
+        assert vals <= {0, 142}, (epsg, vals)
+        # far from the projection pole the footprint is a thin rotated
+        # quad inside its own bbox — require substantial, not majority,
+        # coverage
+        assert (warped == 142).mean() > 0.25
+        from gdal_spark.operators.stats import gdal_checksum
+
+        for c in range(3):
+            assert int(out[out.channel == c].cks.iloc[0]) == gdal_checksum(
+                warped[:, :, c]
+            )
