@@ -99,11 +99,14 @@ def classify(rings_a, rings_b) -> str:
     Within(A,A) and Contains(A,A) are also true per DE-9IM — callers
     treating equals as within/contains should accept both labels).
     Convex hole-free pairs take an exact Sutherland-Hodgman area
-    branch (robust even for collinear shared-edge overlaps); the
-    general branch classifies by proper edge crossings + vertex
-    containment, which mislabels the measure-zero case of a partial
-    overlap whose boundaries only meet collinearly (GEOS-grade DE-9IM
-    is out of scope v1)."""
+    branch (robust even for collinear shared-edge overlaps). The
+    general branch classifies by the Greiner-Hormann intersection
+    AREA against the operand areas (tolerance-compared — boundary
+    degeneracies resolve through boolop's deterministic-perturbation
+    retry), which labels even the collinear-partial-overlap case
+    correctly; only if the region engine still degenerates does it
+    fall back to proper-crossing + vertex-probe classification (the
+    pre-r3 behavior, which mislabels that measure-zero case)."""
     from .overlay import clip_polygon_convex, is_convex, ring_area
 
     if (
@@ -146,6 +149,27 @@ def classify(rings_a, rings_b) -> str:
             used.add(hit)
         else:
             return "equals"
+    from .. import boolop
+
+    try:
+        ra = boolop.region_of_rings(rings_a)
+        rb = boolop.region_of_rings(rings_b)
+        area_a = boolop.region_area(ra)
+        area_b = boolop.region_area(rb)
+        inter = boolop.region_area(boolop.boolean_regions(ra, rb, "inter"))
+        tol = 1e-9 * max(area_a, area_b, 1e-300)
+        if inter <= tol:
+            _, touch = _segments_cross(_edges(rings_a), _edges(rings_b))
+            return "touches" if touch else "disjoint"
+        if abs(inter - area_a) <= tol and abs(inter - area_b) <= tol:
+            return "equals"
+        if abs(inter - area_a) <= tol:
+            return "within"
+        if abs(inter - area_b) <= tol:
+            return "contains"
+        return "intersects"
+    except boolop.Degeneracy:
+        pass
     ea, eb = _edges(rings_a), _edges(rings_b)
     proper, touch = _segments_cross(ea, eb)
     if proper:

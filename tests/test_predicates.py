@@ -105,3 +105,32 @@ def test_equals_label():
         # rotated vertex order still equal
         rot = [np.roll(r, 2, axis=0) for r in rings]
         assert predicates.classify(rings, rot) == "equals", kind
+
+
+def test_general_branch_collinear_partial_overlap():
+    """The case the pre-r3 general branch mislabeled: a concave
+    polygon overlapping a rectangle with only collinear boundary
+    contact (no proper crossing) must classify as 'intersects' —
+    the GH-area branch sees interior overlap directly."""
+    import numpy as np
+
+    from gdal_spark.operators.predicates import classify
+
+    # L-shape (concave): interior = [0,3]x[0,1] + [0,1]x[1,3]
+    L = np.array(
+        [[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0],
+         [1.0, 3.0], [0.0, 3.0]]
+    )
+    # rect sharing the y=0 and y=1 lines over x in [2,4]: interiors
+    # overlap on [2,3]x[0,1]; boundaries only meet collinearly
+    R = np.array([[2.0, 0.0], [4.0, 0.0], [4.0, 1.0], [2.0, 1.0]])
+    assert classify([L], [R]) == "intersects"
+    assert classify([R], [L]) == "intersects"
+    # containment through the general branch: rect strictly inside
+    # the L's lower arm
+    S = np.array([[1.5, 0.25], [2.5, 0.25], [2.5, 0.75], [1.5, 0.75]])
+    assert classify([S], [L]) == "within"
+    assert classify([L], [S]) == "contains"
+    # far-away rect
+    D = np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]])
+    assert classify([L], [D]) == "disjoint"
