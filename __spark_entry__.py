@@ -1132,6 +1132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _oracle_polys(spark, sf_dir)
         ),
         "calc_two_rasters": _q_calc_two,
+        "viewshed_ground": lambda spark, sf_dir: viewshed.viewshed_ground_rows(
+            spark, _VS_W, _VS_W, _VS_OX, _VS_OY
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1380,6 +1383,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ogr_layer_extent": vector_ops.oracle_layer_extent(m),
         "calc_two_rasters": translate.oracle_calc_two(min(n, 4096), 16),
+        "viewshed_ground": viewshed.oracle_viewshed_ground(
+            _VS_W, _VS_W, _VS_OX, _VS_OY
+        ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

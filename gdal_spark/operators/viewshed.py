@@ -153,3 +153,114 @@ def oracle_viewshed(width: int, height: int, ox: int, oy: int) -> str:
         f"LEFT JOIN blocked b ON b.tx = t.gx AND b.ty = t.gy "
         f"GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# -om GROUND output mode (gdal_viewshed height modes, alg/viewshed.cpp
+# oOpts.outputMode OUTPUT_MODE_GROUND): instead of the 0/1 visibility
+# raster, emit how much HIGHER the target would need to be to become
+# visible. With the explicit-LOS formulation: los at step f with
+# target height z is eye + f*(z - eye) >= terr  <=>
+# z >= eye + (terr - eye)/f, so the required height is the max of
+# that bound over the ray and ground = max(0, z_req - terrain).
+# Already-visible cells get 0 (matching the reference).
+
+
+def viewshed_ground_rows(
+    spark, width: int, height: int, ox: int, oy: int, band_px: int = 16
+) -> DataFrame:
+    """(y, n, ground_mkey_sum): per-scanline sum of the 1e-3-floored
+    GROUND-mode raster — every per-target max and every division is
+    the same fixed IEEE sequence in numpy and the SQL replay."""
+    nb = (height + band_px - 1) // band_px
+    bands = spark.range(nb).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * band_px
+        h = min(band_px, height - y0)
+        gy, gx = np.mgrid[0:height, 0:width]
+        dem = _dem_value(gx, gy).astype(np.float64)
+        out = []
+        eye = dem[oy, ox] + OBS_HEIGHT
+        for ty in range(y0, y0 + h):
+            msum = 0
+            for tx in range(width):
+                K = max(abs(tx - ox), abs(ty - oy))
+                if K <= 1:
+                    continue  # ground 0
+                ks = np.arange(1, K, dtype=np.float64)
+                f = ks / K
+                px = ox + f * (tx - ox)
+                py = oy + f * (ty - oy)
+                x0 = np.floor(px).astype(np.int64)
+                y0i = np.floor(py).astype(np.int64)
+                fx = px - x0
+                fy = py - y0i
+                x1 = np.minimum(x0 + 1, width - 1)
+                y1 = np.minimum(y0i + 1, height - 1)
+                terr = (1.0 - fy) * (
+                    (1.0 - fx) * dem[y0i, x0] + fx * dem[y0i, x1]
+                ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+                zreq = (eye + (terr - eye) / f).max()
+                ground = max(0.0, zreq - dem[ty, tx])
+                msum += int(np.floor(ground * 1000.0 + 1.0e-9))
+            out.append((ty, width, msum))
+        return pd.DataFrame(out, columns=["y", "n", "ground_mkey_sum"])
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, ground_mkey_sum bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"),
+        F.sum("ground_mkey_sum").alias("ground_mkey_sum"),
+    )
+
+
+def oracle_viewshed_ground(width: int, height: int, ox: int, oy: int) -> str:
+    val = DEM_VALUE_SQL
+
+    def dem_at(x, y):
+        return f"cast({val.replace('gx', f'({x})').replace('gy', f'({y})')} as double)"
+
+    eye = f"({dem_at(str(ox), str(oy))} + {OBS_HEIGHT}E0)"
+    steps = (
+        f"SELECT t.tx, t.ty, k, greatest(abs(t.tx - {ox}), abs(t.ty - {oy})) AS kk "
+        f"FROM (SELECT gx AS tx, gy AS ty FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) b(gy)) t, range(1, {max(width, height)}) s(k) "
+        f"WHERE k < greatest(abs(t.tx - {ox}), abs(t.ty - {oy}))"
+    )
+    terr = (
+        "((1.0E0 - fy) * ((1.0E0 - fx) * v00 + fx * v10) "
+        "+ fy * ((1.0E0 - fx) * v01 + fx * v11))"
+    )
+    return (
+        f"WITH s AS MATERIALIZED ({steps}), "
+        f"pos AS MATERIALIZED (SELECT tx, ty, "
+        f"(cast(k as double) / cast(kk as double)) AS f, "
+        f"({ox} + (cast(k as double) / cast(kk as double)) * (tx - {ox})) AS px, "
+        f"({oy} + (cast(k as double) / cast(kk as double)) * (ty - {oy})) AS py "
+        f"FROM s), "
+        f"cells AS MATERIALIZED (SELECT tx, ty, f, "
+        f"cast(floor(px) as bigint) AS x0, cast(floor(py) as bigint) AS y0, "
+        f"(px - cast(floor(px) as bigint)) AS fx, "
+        f"(py - cast(floor(py) as bigint)) AS fy FROM pos), "
+        f"vals AS MATERIALIZED (SELECT tx, ty, f, fx, fy, "
+        f"{dem_at('x0', 'y0')} AS v00, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', 'y0')} AS v10, "
+        f"{dem_at('x0', f'least(y0 + 1, {height - 1})')} AS v01, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', f'least(y0 + 1, {height - 1})')} "
+        f"AS v11 FROM cells), "
+        f"req AS (SELECT tx, ty, "
+        f"max({eye} + ({terr} - {eye}) / f) AS zreq FROM vals GROUP BY 1, 2), "
+        f"ground AS (SELECT t.gx AS tx, t.gy AS ty, "
+        f"cast(floor(greatest(0.0E0, coalesce(r.zreq - "
+        f"{dem_at('t.gx', 't.gy')}, 0.0E0)) * 1000.0E0 + 0.000000001E0) "
+        f"as bigint) AS mkey "
+        f"FROM (SELECT gx, gy FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) c(gy)) t "
+        f"LEFT JOIN req r ON r.tx = t.gx AND r.ty = t.gy) "
+        f"SELECT ty AS y, cast(count(*) as bigint) AS n, "
+        f"cast(sum(mkey) as bigint) AS ground_mkey_sum "
+        f"FROM ground GROUP BY 1"
+    )
