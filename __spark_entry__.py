@@ -360,6 +360,7 @@ def _q_quantize_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROX_W, _PROX_MAXDIST = 96, 6
+_PROX_VALUES = [50, 120, 200]  # the reference's VALUES option
 _SIEVE_W = 96
 
 
@@ -1135,6 +1136,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_ground": lambda spark, sf_dir: viewshed.viewshed_ground_rows(
             spark, _VS_W, _VS_W, _VS_OX, _VS_OY
         ),
+        "pixel_functions": lambda spark, sf_dir: translate.pixel_functions(
+            _pixel_images(spark, sf_dir, 8)
+        ),
+        "proximity_values": lambda spark, sf_dir: proximity.proximity_tiled(
+            spark, _PROX_W, _PROX_W, _PROX_MAXDIST,
+            target_values=_PROX_VALUES,
+        ),
+        "utm_tap_grid": lambda spark, sf_dir: reproject.utm_tap_grid(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1386,6 +1397,11 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_ground": viewshed.oracle_viewshed_ground(
             _VS_W, _VS_W, _VS_OX, _VS_OY
         ),
+        "pixel_functions": translate.oracle_pixel_functions(min(n, 4096), 8),
+        "proximity_values": proximity.oracle_proximity(
+            _PROX_W, _PROX_W, _PROX_MAXDIST, target_values=_PROX_VALUES
+        ),
+        "utm_tap_grid": reproject.oracle_utm_tap_grid(n),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -47,11 +47,15 @@ def proximity_d2(vals: np.ndarray, targets: np.ndarray, maxdist: int) -> np.ndar
 
 
 def proximity_tiled(
-    spark, width: int, height: int, maxdist: int = 6, tile_px: int = 32
+    spark, width: int, height: int, maxdist: int = 6, tile_px: int = 32,
+    target_values=None,
 ) -> DataFrame:
-    """Tiled proximity over the deterministic global DEM raster
-    (targets = value % TARGET_MOD == 0). Output per global scanline:
-    (y, n, d2_sum) with d2 capped at maxdist^2 — integer exact."""
+    """Tiled proximity over the deterministic global DEM raster.
+    Default targets = value % TARGET_MOD == 0; ``target_values`` is
+    the reference's VALUES option (gdalproximity.cpp pszValues —
+    explicit list of raster values treated as targets). Output per
+    global scanline: (y, n, d2_sum) with d2 capped at maxdist^2 —
+    integer exact."""
     ntx = (width + tile_px - 1) // tile_px
     nty = (height + tile_px - 1) // tile_px
     tiles = spark.range(ntx * nty).selectExpr(
@@ -69,7 +73,10 @@ def proximity_tiled(
         hy1 = min(py0 + h + maxdist, height)
         gy, gx = np.mgrid[hy0:hy1, hx0:hx1]
         vals = _dem_value(gx, gy)
-        targets = vals % TARGET_MOD == 0
+        if target_values is not None:
+            targets = np.isin(vals, np.asarray(target_values, dtype=np.int64))
+        else:
+            targets = vals % TARGET_MOD == 0
         d2 = proximity_d2(vals, targets, maxdist)
         # own pixels only
         oy0, ox0 = py0 - hy0, px0 - hx0
@@ -90,15 +97,21 @@ def proximity_tiled(
     )
 
 
-def oracle_proximity(width: int, height: int, maxdist: int = 6) -> str:
+def oracle_proximity(
+    width: int, height: int, maxdist: int = 6, target_values=None
+) -> str:
     """Whole-raster SQL oracle: per pixel, min d2 over target pixels
     within the chebyshev maxdist window, capped; summed per row."""
     val = DEM_VALUE_SQL
     tval = val.replace("gx", "tx2").replace("gy", "ty2")
     cap = maxdist * maxdist
+    if target_values is not None:
+        pred = f"({tval}) IN ({', '.join(str(int(v)) for v in target_values)})"
+    else:
+        pred = f"({tval}) % {TARGET_MOD} = 0"
     return (
         f"WITH t AS (SELECT tx2, ty2 FROM range(0, {width}) a(tx2), "
-        f"range(0, {height}) b(ty2) WHERE ({tval}) % {TARGET_MOD} = 0), "
+        f"range(0, {height}) b(ty2) WHERE {pred}), "
         f"g AS (SELECT gx, gy FROM range(0, {width}) c(gx), "
         f"range(0, {height}) d(gy)), "
         f"m AS (SELECT g.gx, g.gy, "

@@ -675,3 +675,71 @@ SELECT image_id, ch AS channel,
        cast(sum(v % {prime}) % 65536 as bigint) AS cks
 FROM vals GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# -tap (target-aligned pixels, apps/gdalwarp_lib.cpp -tap +
+# GDALSuggestedWarpOutput border adjust): given a fixed target
+# resolution, snap the suggested output extent OUTWARD to multiples
+# of it, so neighboring jobs produce pixel-aligned grids.
+
+
+def utm_tap_grid(images: DataFrame, tr: float = 100.0) -> DataFrame:
+    """(image_id, zone, tap_minx, tap_maxy, tap_w, tap_h): the
+    tap-aligned UTM output grid of every image footprint at ``tr``
+    meters. Pure Catalyst (staged Krueger forward + floor/ceil
+    arithmetic); coordinates are exact multiples of tr -> bigint."""
+    from .. import synth as _synth
+
+    base = images.selectExpr(
+        "image_id", "lon", "lat", "w", "h", f"{ZONE_SQL} AS zone"
+    ).selectExpr(
+        "image_id", "lon", "lat", "w", "h", "zone",
+        f"{LON0_SQL} AS lon0", f"{FN_SQL} AS fn",
+    )
+    corners = [
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ]
+    df = _tm_forward_staged(base, corners)
+    t = _synth.flit(tr)
+    mnx = "least(e_tl, e_tr, e_bl, e_br)"
+    mxx = "greatest(e_tl, e_tr, e_bl, e_br)"
+    mny = "least(n_tl, n_tr, n_bl, n_br)"
+    mxy = "greatest(n_tl, n_tr, n_bl, n_br)"
+    return df.selectExpr(
+        "image_id", "zone",
+        f"cast(floor({mnx} / {t}) * {tr:.0f} as bigint) AS tap_minx",
+        f"cast(ceil({mxy} / {t}) * {tr:.0f} as bigint) AS tap_maxy",
+        f"cast(ceil({mxx} / {t}) - floor({mnx} / {t}) as bigint) AS tap_w",
+        f"cast(ceil({mxy} / {t}) - floor({mny} / {t}) as bigint) AS tap_h",
+    )
+
+
+def oracle_utm_tap_grid(n: int, tr: float = 100.0) -> str:
+    from .. import synth as _synth
+
+    t = _synth.flit(tr)
+    parts = []
+    for suffix, e_sql, n_sql in _corner_exprs():
+        parts.append(f"{e_sql} AS e_{suffix}")
+        parts.append(f"{n_sql} AS n_{suffix}")
+    mnx = "least(e_tl, e_tr, e_bl, e_br)"
+    mxx = "greatest(e_tl, e_tr, e_bl, e_br)"
+    mny = "least(n_tl, n_tr, n_bl, n_br)"
+    mxy = "greatest(n_tl, n_tr, n_bl, n_br)"
+    return (
+        f"WITH img AS ({synth.images_cte(n, 'duckdb')}), "
+        f"z AS (SELECT image_id, lon, lat, w, h, {ZONE_SQL} AS zone FROM img), "
+        f"g AS (SELECT image_id, lon, lat, w, h, zone, {LON0_SQL} AS lon0, "
+        f"{FN_SQL} AS fn FROM z), "
+        f"c AS (SELECT image_id, zone, {', '.join(parts)} FROM g) "
+        f"SELECT image_id, zone, "
+        f"cast(floor({mnx} / {t}) * {tr:.0f} as bigint) AS tap_minx, "
+        f"cast(ceil({mxy} / {t}) * {tr:.0f} as bigint) AS tap_maxy, "
+        f"cast(ceil({mxx} / {t}) - floor({mnx} / {t}) as bigint) AS tap_w, "
+        f"cast(ceil({mxy} / {t}) - floor({mny} / {t}) as bigint) AS tap_h "
+        f"FROM c"
+    )

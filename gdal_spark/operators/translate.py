@@ -338,3 +338,81 @@ def oracle_calc_two(n: int, max_i: int, offset: int = 5) -> str:
         f"cast(sum({formula} % {prime}) % 65536 as bigint) AS cks "
         f"FROM j GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# VRT registered pixel functions (frmts/vrt/pixelfunctions.cpp:1554 —
+# 26 C-registered functions; the real-valued core is exercised here
+# as one suite). Per image x function: the 1e4-floored sum of the
+# function applied to every pixel (floored per pixel BEFORE summing —
+# order-free; the ~1-2 ulp log/exp/pow drift between numpy and DuckDB
+# is absorbed by the 1e-6 nudge, 1000x margin).
+
+PIXELFN_SCALE = 10_000.0
+PIXELFN_NUDGE = 1.0e-6
+
+_PIXELFNS = [
+    # (name, numpy lambda over (v0, v1, v2) float64 arrays, sql over val0/1/2)
+    ("sqrt", lambda v0, v1, v2: np.sqrt(v0), "sqrt(v0)"),
+    ("log10", lambda v0, v1, v2: np.log10(v0 + 1.0), "log10(v0 + 1.0E0)"),
+    ("dB", lambda v0, v1, v2: 20.0 * np.log10(v0 + 1.0),
+     "20.0E0 * log10(v0 + 1.0E0)"),
+    ("exp", lambda v0, v1, v2: np.exp(v0 / 64.0), "exp(v0 / 64.0E0)"),
+    ("pow", lambda v0, v1, v2: np.power(v0, 1.5), "power(v0, 1.5E0)"),
+    ("inv", lambda v0, v1, v2: 1.0 / (v0 + 1.0), "1.0E0 / (v0 + 1.0E0)"),
+    ("sum", lambda v0, v1, v2: v0 + v1 + v2, "v0 + v1 + v2"),
+    ("diff", lambda v0, v1, v2: v0 - v1, "v0 - v1"),
+    ("mul", lambda v0, v1, v2: v0 * v1, "v0 * v1"),
+    ("intensity", lambda v0, v1, v2: v0 * v0, "v0 * v0"),
+    ("scale", lambda v0, v1, v2: v0 * 0.5 + 10.0, "v0 * 0.5E0 + 10.0E0"),
+    ("interpolate_linear", lambda v0, v1, v2: v0 + 0.25 * (v1 - v0),
+     "v0 + 0.25E0 * (v1 - v0)"),
+]
+
+
+def pixel_functions(images: DataFrame) -> DataFrame:
+    """(image_id, fn, key_sum) for the registered-pixel-function
+    suite over the decoded bands."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.float64)
+                v0, v1, v2 = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                for name, f, _ in _PIXELFNS:
+                    out = f(v0, v1, v2)
+                    rows.append(
+                        (image_id, name,
+                         int(np.floor(out * PIXELFN_SCALE + PIXELFN_NUDGE)
+                             .sum()))
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "fn", "key_sum"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, fn string, key_sum bigint"
+    )
+
+
+def oracle_pixel_functions(n: int, max_i: int) -> str:
+    val = synth.pixel_val_sql()
+
+    def ch(c):
+        return f"cast(({val.replace('ch', str(c))}) as double)"
+
+    branches = " ".join(
+        f"WHEN '{name}' THEN cast(floor(({sql}) * {synth.flit(PIXELFN_SCALE)}"
+        f" + {synth.flit(PIXELFN_NUDGE)}) as bigint)"
+        for name, _, sql in _PIXELFNS
+    )
+    fn_list = ", ".join(f"'{name}'" for name, _, _ in _PIXELFNS)
+    return (
+        f"WITH g AS MATERIALIZED (SELECT image_id, "
+        f"{ch(0)} AS v0, {ch(1)} AS v1, {ch(2)} AS v2 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 256) a(x), range(0, 256) b(y) "
+        f"WHERE i.i < {max_i} AND x < i.w AND y < i.h) "
+        f"SELECT image_id, fn, cast(sum(CASE fn {branches} END) as bigint) "
+        f"AS key_sum "
+        f"FROM g, (SELECT unnest([{fn_list}]) AS fn) f GROUP BY 1, 2"
+    )
