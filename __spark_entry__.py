@@ -1146,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_tap_grid": lambda spark, sf_dir: reproject.utm_tap_grid(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
+        "geom_distance": lambda spark, sf_dir: predicates.distance_boxes_query(
+            synth.polygons_df(spark, synth.n_polygons(sf_dir))
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1402,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
             _PROX_W, _PROX_W, _PROX_MAXDIST, target_values=_PROX_VALUES
         ),
         "utm_tap_grid": reproject.oracle_utm_tap_grid(n),
+        "geom_distance": predicates.oracle_distance_boxes(m),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

@@ -299,3 +299,163 @@ SELECT {ids.format(j='ja')} AS id_a, {ids.format(j='jb')} AS id_b,
   END AS predicate
 FROM pr
 """
+
+
+# ---------------------------------------------------------------------------
+# OGRGeometry::Distance (ogr_geometry.h:525, GEOS-delegated in the
+# reference): minimum distance between two geometries. Gated on the
+# DISJOINT-envelope candidate pairs (overlapping pairs have distance
+# 0 and are the predicate query's domain). Numeric contract: both
+# engines evaluate the SAME point-segment formula text
+#   t  = clamp(((p-a).(b-a)) / |b-a|^2, 0, 1)
+#   d2 = |p - (a + t (b-a))|^2
+# (only +,-,*,/ and clamp — correctly-rounded IEEE, so d2 is
+# bit-identical and the 1e6 floor needs no nudge).
+
+DIST_MAX = 2.0  # candidate cap, degrees
+
+
+def min_distance_pairs(
+    layer_a: DataFrame, layer_b: DataFrame, max_dist: float = DIST_MAX
+) -> DataFrame:
+    """(id_a, id_b, d2_key): floor(1e6 * min boundary distance^2) for
+    envelope-disjoint pairs within ``max_dist``. B is broadcast (the
+    dim side); the pair loop is a vertex x edge numpy sweep."""
+    a_env = _envelope_cols(layer_a, "id_a", "wkb_a", "a")
+    b_env = F.broadcast(_envelope_cols(layer_b, "id_b", "wkb_b", "b"))
+    d = max_dist
+    cand = a_env.crossJoin(b_env).where(
+        # envelope-disjoint ...
+        (
+            (F.col("ax1") < F.col("bx0"))
+            | (F.col("bx1") < F.col("ax0"))
+            | (F.col("ay1") < F.col("by0"))
+            | (F.col("by1") < F.col("ay0"))
+        )
+        # ... but within the candidate cap
+        & (F.col("ax0") - d <= F.col("bx1"))
+        & (F.col("bx0") - d <= F.col("ax1"))
+        & (F.col("ay0") - d <= F.col("by1"))
+        & (F.col("by0") - d <= F.col("ay1"))
+    ).select("id_a", "wkb_a", "id_b", "wkb_b")
+
+    def seg_d2(P: np.ndarray, A: np.ndarray, B: np.ndarray) -> float:
+        """min over points P x segments (A[i], B[i]) — formula text
+        mirrored by the SQL oracle."""
+        px, py = P[:, None, 0], P[:, None, 1]
+        ax, ay = A[None, :, 0], A[None, :, 1]
+        bx, by = B[None, :, 0], B[None, :, 1]
+        dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+        len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        t = np.clip(dot / len2, 0.0, 1.0)
+        qx = ax + t * (bx - ax)
+        qy = ay + t * (by - ay)
+        return float(
+            ((px - qx) * (px - qx) + (py - qy) * (py - qy)).min()
+        )
+
+    def refine(batches):
+        for pdf in batches:
+            rows = []
+            for id_a, wa, id_b, wc in zip(
+                pdf["id_a"], pdf["wkb_a"], pdf["id_b"], pdf["wkb_b"]
+            ):
+                ra = [_open_ring(r) for r in wkb.polygon_rings(bytes(wa))]
+                rb = [_open_ring(r) for r in wkb.polygon_rings(bytes(wc))]
+                pa = np.concatenate(ra)
+                pb = np.concatenate(rb)
+                ea0 = np.concatenate([r for r in ra])
+                ea1 = np.concatenate([np.roll(r, -1, axis=0) for r in ra])
+                eb0 = np.concatenate([r for r in rb])
+                eb1 = np.concatenate([np.roll(r, -1, axis=0) for r in rb])
+                d2 = min(seg_d2(pa, eb0, eb1), seg_d2(pb, ea0, ea1))
+                rows.append((id_a, id_b, int(np.floor(d2 * 1e6))))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "d2_key"])
+
+    return cand.mapInPandas(
+        refine, schema="id_a string, id_b string, d2_key bigint"
+    )
+
+
+def distance_boxes_query(polys: DataFrame) -> DataFrame:
+    """Distances between the box/triangle layer and the hot-box
+    cluster (disjoint near-pairs)."""
+    a = polys.where(F.col("kind").isin("box", "hot_box", "triangle")).select(
+        F.col("poly_id").alias("id_a"), F.col("geom_wkb").alias("wkb_a")
+    )
+    b = polys.where(F.col("kind") == "hot_box").select(
+        F.col("poly_id").alias("id_b"), F.col("geom_wkb").alias("wkb_b")
+    )
+    return min_distance_pairs(a, b).where(F.col("id_a") != F.col("id_b"))
+
+
+def oracle_distance_boxes(m: int, max_dist: float = DIST_MAX) -> str:
+    """Closed-form vertex/edge enumeration for box/triangle kinds +
+    the identical point-segment formula text."""
+    from .. import synth
+
+    p = synth.polygons_sql_cte(m, "duckdb")
+    ids = "concat('poly', lpad(cast({j} as varchar), 4, '0'))"
+    d = synth.flit(max_dist)
+
+    # vertex coordinate CASEs in kind_geom ring order: box
+    # (cx-hw,cy-hh),(cx+hw,cy-hh),(cx+hw,cy+hh),(cx-hw,cy+hh);
+    # triangle (cx-hw,cy-hh),(cx+hw,cy-hh),(cx,cy+hh)
+    def vx(pre, v):
+        return (
+            f"(CASE WHEN {pre}kind = 'triangle' AND ({v}) = 2 THEN {pre}cx "
+            f"WHEN ({v}) IN (0, 3) THEN {pre}cx - {pre}hw "
+            f"ELSE {pre}cx + {pre}hw END)"
+        )
+
+    def vy(pre, v):
+        return (
+            f"(CASE WHEN ({v}) IN (0, 1) THEN {pre}cy - {pre}hh "
+            f"ELSE {pre}cy + {pre}hh END)"
+        )
+
+    def nv(pre):
+        return f"(CASE WHEN {pre}kind = 'triangle' THEN 3 ELSE 4 END)"
+
+    def side(pt_pre, ed_pre):
+        e2 = f"((ei + 1) % {nv(ed_pre)})"
+        return (
+            f"SELECT ja, jb, {vx(pt_pre, 'vi')} AS px, {vy(pt_pre, 'vi')} AS py, "
+            f"{vx(ed_pre, 'ei')} AS ax, {vy(ed_pre, 'ei')} AS ay, "
+            f"{vx(ed_pre, e2)} AS bx, {vy(ed_pre, e2)} AS by "
+            f"FROM pr, range(0, 4) t(vi), range(0, 4) s(ei) "
+            f"WHERE vi < {nv(pt_pre)} AND ei < {nv(ed_pre)}"
+        )
+
+    t = (
+        "least(greatest(((px - ax) * (bx - ax) + (py - ay) * (by - ay)) "
+        "/ ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 0.0E0), 1.0E0)"
+    )
+    d2 = (
+        f"((px - (ax + {t} * (bx - ax))) * (px - (ax + {t} * (bx - ax))) "
+        f"+ (py - (ay + {t} * (by - ay))) * (py - (ay + {t} * (by - ay))))"
+    )
+    return f"""
+WITH p AS ({p}),
+a AS (SELECT j, kind, cx, cy, hw, hh, cx - hw AS x0, cx + hw AS x1,
+      cy - hh AS y0, cy + hh AS y1 FROM p
+      WHERE kind IN ('box', 'hot_box', 'triangle')),
+b AS (SELECT j, kind, cx, cy, hw, hh, cx - hw AS x0, cx + hw AS x1,
+      cy - hh AS y0, cy + hh AS y1 FROM p WHERE kind = 'hot_box'),
+pr AS MATERIALIZED (SELECT a.j AS ja, b.j AS jb,
+       a.kind AS akind, a.cx AS acx, a.cy AS acy, a.hw AS ahw, a.hh AS ahh,
+       b.kind AS bkind, b.cx AS bcx, b.cy AS bcy, b.hw AS bhw, b.hh AS bhh
+       FROM a JOIN b ON a.j <> b.j
+       AND (a.x1 < b.x0 OR b.x1 < a.x0 OR a.y1 < b.y0 OR b.y1 < a.y0)
+       AND a.x0 - {d} <= b.x1 AND b.x0 - {d} <= a.x1
+       AND a.y0 - {d} <= b.y1 AND b.y0 - {d} <= a.y1),
+allp AS MATERIALIZED (
+  {side('a', 'b')}
+  UNION ALL
+  {side('b', 'a')}
+),
+md AS (SELECT ja, jb, min({d2}) AS d2 FROM allp GROUP BY 1, 2)
+SELECT {ids.format(j='ja')} AS id_a, {ids.format(j='jb')} AS id_b,
+       cast(floor(d2 * 1000000.0E0) as bigint) AS d2_key
+FROM md
+"""

@@ -134,3 +134,50 @@ def test_general_branch_collinear_partial_overlap():
     # far-away rect
     D = np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]])
     assert classify([L], [D]) == "disjoint"
+
+
+def test_min_distance_matches_dense_sampling():
+    """min_distance_pairs' vertex-edge minimum vs dense boundary
+    sampling: the true min is <= any sampled distance, and dense
+    sampling approaches it."""
+    import numpy as np
+
+    from gdal_spark.operators import predicates
+
+    def boundary_points(ring, k=400):
+        pts = []
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            t = np.linspace(0, 1, k, endpoint=False)[:, None]
+            pts.append(a + t * (b - a))
+        return np.concatenate(pts)
+
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        c1 = rng.uniform(-5, 5, 2)
+        c2 = c1 + rng.uniform(1.5, 3.0, 2)  # disjoint-ish offset
+        A = np.array(
+            [c1 + [-1, -0.5], c1 + [1, -0.5], c1 + [1, 0.5], c1 + [-1, 0.5]]
+        )
+        B = np.array([c2 + [-0.5, -1], c2 + [0.5, -1], c2 + [0.0, 1]])
+
+        # exact vertex-edge min (the operator's kernel, re-driven here)
+        def seg_min(P, R):
+            best = np.inf
+            n = len(R)
+            for i in range(n):
+                a, b = R[i], R[(i + 1) % n]
+                e = b - a
+                t = np.clip(((P - a) @ e) / (e @ e), 0, 1)
+                q = a + t[:, None] * e
+                best = min(best, float(((P - q) ** 2).sum(axis=1).min()))
+            return best
+
+        d2 = min(seg_min(A, B), seg_min(B, A))
+        sa, sb = boundary_points(A), boundary_points(B)
+        samp = float(
+            ((sa[:, None, :] - sb[None, :, :]) ** 2).sum(axis=2).min()
+        )
+        assert d2 <= samp + 1e-12
+        assert samp - d2 < 1e-3  # dense sampling converges to the min
