@@ -303,6 +303,12 @@ def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_misc.nearblack_collar(_pixel_images(spark, sf_dir, _MM_MAX_I))
 
 
+def _grid_pts():
+    import pandas as pd
+
+    return pd.DataFrame(raster_misc.GRID_POINTS)
+
+
 def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALGridCreate IDW power-2 (scattered points -> raster); fp
     accumulation order is engine-defined, so this entry is rows-only
@@ -1149,6 +1155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_distance": lambda spark, sf_dir: predicates.distance_boxes_query(
             synth.polygons_df(spark, synth.n_polygons(sf_dir))
         ),
+        "grid_idwnn": lambda spark, sf_dir: raster_misc.grid_idwnn(
+            spark, _grid_pts(), 64, 64
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1406,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "utm_tap_grid": reproject.oracle_utm_tap_grid(n),
         "geom_distance": predicates.oracle_distance_boxes(m),
+        "grid_idwnn": raster_misc.oracle_grid_idwnn(64, 64),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

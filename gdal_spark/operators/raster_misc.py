@@ -772,3 +772,84 @@ SELECT cast(gy as bigint) AS y, count(*) AS n,
        AS val_sum_key
 FROM allv GROUP BY 1
 """
+
+
+def grid_idwnn(
+    spark,
+    points_pdf: pd.DataFrame,
+    width: int,
+    height: int,
+    n_near: int = 3,
+    tile_px: int = 32,
+) -> DataFrame:
+    """GDALGridInverseDistanceToAPowerNearestNeighbor (gdalgrid.cpp
+    GGA_InverseDistanceToAPowerNearestNeighbor): IDW power-2 limited
+    to the ``n_near`` nearest points, ties by point index. Same
+    scanline-band shape and 1e-3 value keys as grid_idw; the nearest-N
+    SELECTION is bit-deterministic (identical d2 doubles + index
+    tie-break both engines), the weighted sum has the same ~1e-13
+    summation-order drift argument as grid_idw."""
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0 : y0 + h, 0:width]
+        d2 = (gx[..., None] - qx) ** 2 + (gy[..., None] - qy) ** 2
+        # stable sort on d2 == (d2, point index) tie-break
+        sel = np.argsort(d2, axis=-1, kind="stable")[..., :n_near]
+        d2s = np.take_along_axis(d2, sel, axis=-1)
+        vs = qv[sel]
+        with np.errstate(divide="ignore"):
+            num = np.where(d2s > 0, vs / d2s, 0.0).sum(axis=-1)
+            den = np.where(d2s > 0, 1.0 / d2s, 0.0).sum(axis=-1)
+        exact_mask = (d2s == 0).any(axis=-1)
+        exact_val = np.where(
+            exact_mask, vs[..., 0], 0.0
+        )  # d2=0 sorts first -> slot 0
+        vals = np.where(exact_mask, exact_val, num / den)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n": np.full(h, width, dtype=np.int64),
+                "val_sum_key": np.floor(vals * 1000.0)
+                .astype(np.int64)
+                .sum(axis=1),
+            }
+        )
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, val_sum_key bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("val_sum_key").alias("val_sum_key")
+    )
+
+
+def oracle_grid_idwnn(width: int, height: int, n_near: int = 3) -> str:
+    """Rank by (d2, idx), keep n_near, same IDW aggregation."""
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, v,
+      (gx - px) * (gx - px) + (gy - py) * (gy - py) AS d2,
+      row_number() OVER (PARTITION BY gx, gy ORDER BY
+        (gx - px) * (gx - px) + (gy - py) * (gy - py), idx) AS rk
+      FROM g, {_grid_points_sql()}),
+agg AS (SELECT gx, gy,
+        sum(CASE WHEN d2 > 0.0E0 THEN v / d2 ELSE 0.0E0 END) AS num,
+        sum(CASE WHEN d2 > 0.0E0 THEN 1.0E0 / d2 ELSE 0.0E0 END) AS den,
+        max(CASE WHEN d2 = 0.0E0 THEN v END) AS exact
+        FROM d WHERE rk <= {n_near} GROUP BY 1, 2),
+pv AS (SELECT gy, coalesce(exact, num / den) AS val FROM agg)
+SELECT gy AS y, count(*) AS n,
+       cast(sum(cast(floor(val * 1000.0E0) as bigint)) as bigint) AS val_sum_key
+FROM pv GROUP BY 1
+"""
