@@ -1158,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idwnn": lambda spark, sf_dir: raster_misc.grid_idwnn(
             spark, _grid_pts(), 64, 64
         ),
+        "fillnodata_smoothed": lambda spark, sf_dir: raster_misc.fillnodata_rows(
+            _pixel_images(spark, sf_dir, _FILL_MAX_I),
+            smoothing_iterations=2,
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1416,6 +1420,9 @@ def oracle_sql() -> dict[str, str]:
         "utm_tap_grid": reproject.oracle_utm_tap_grid(n),
         "geom_distance": predicates.oracle_distance_boxes(m),
         "grid_idwnn": raster_misc.oracle_grid_idwnn(64, 64),
+        "fillnodata_smoothed": raster_misc.oracle_fillnodata_smoothed(
+            min(n, 4096), _FILL_MAX_I
+        ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(

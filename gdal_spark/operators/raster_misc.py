@@ -160,7 +160,10 @@ FILL_DIRS = (
 )
 
 
-def fillnodata(arr: np.ndarray, nodata: int = 0, max_distance: int = 16) -> np.ndarray:
+def fillnodata(
+    arr: np.ndarray, nodata: int = 0, max_distance: int = 16,
+    smoothing_iterations: int = 0,
+) -> np.ndarray:
     """Fill nodata pixels with the inverse-distance mean of the
     nearest valid pixel along each of the 8 compass rays (<=
     max_distance); unfillable pixels stay nodata. Semantics follow
@@ -200,11 +203,30 @@ def fillnodata(arr: np.ndarray, nodata: int = 0, max_distance: int = 16) -> np.n
     out = arrf.copy()
     fill = bad & (den > 0)
     out[fill] = num[fill] / den[fill]
+    # -si smoothing passes (rasterfill.cpp GDALFilterLine): 3x3 mean
+    # over valid (good or filled) pixels, replacing FILLED pixels
+    # only; runs in float, rounding happens once at the end
+    valid = (~bad) | fill
+    for _ in range(smoothing_iterations):
+        s_ = np.zeros_like(out)
+        c_ = np.zeros_like(out)
+        vv = np.where(valid, out, 0.0)
+        vc = valid.astype(np.float64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ys0, ys1 = max(0, -dy), min(h, h - dy)
+                xs0, xs1 = max(0, -dx), min(w, w - dx)
+                s_[ys0:ys1, xs0:xs1] += vv[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+                c_[ys0:ys1, xs0:xs1] += vc[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+        with np.errstate(invalid="ignore"):
+            newv = np.where(c_ > 0, s_ / c_, 0.0)
+        out = np.where(fill, newv, out)
     return np.floor(out + 0.5).astype(arr.dtype)
 
 
 def fillnodata_rows(
-    images: DataFrame, nodata: int = 0, max_distance: int = 16
+    images: DataFrame, nodata: int = 0, max_distance: int = 16,
+    smoothing_iterations: int = 0,
 ) -> DataFrame:
     """Driver-gated GDALFillNodata stage: fill band 0 of every image,
     then per-scanline aggregates over the originally-nodata pixels
@@ -220,7 +242,9 @@ def fillnodata_rows(
                 bad = band == nodata
                 if not bad.any():
                     continue
-                filled = fillnodata(band, nodata, max_distance)
+                filled = fillnodata(
+                    band, nodata, max_distance, smoothing_iterations
+                )
                 for y in np.unique(np.nonzero(bad)[0]):
                     m = bad[y]
                     rows.append(
@@ -852,4 +876,70 @@ pv AS (SELECT gy, coalesce(exact, num / den) AS val FROM agg)
 SELECT gy AS y, count(*) AS n,
        cast(sum(cast(floor(val * 1000.0E0) as bigint)) as bigint) AS val_sum_key
 FROM pv GROUP BY 1
+"""
+
+
+def oracle_fillnodata_smoothed(
+    n: int, max_i: int, max_distance: int = 16, iters: int = 2
+) -> str:
+    """The fill replay extended with ``iters`` 3x3-mean smoothing
+    stages (the -si option): value relation over ALL pixels (good =
+    pixel function, filled = num/den float, unfillable = NULL), each
+    pass replaces filled pixels with the mean over valid 3x3
+    neighbors; floor(+0.5) once at the end over the bad pixels."""
+    import re
+
+    val = synth.pixel_val_sql()
+    shifted = re.sub(
+        r"\by\b", "(y + dy * dd)", re.sub(r"\bx\b", "(x + dx * dd)", val)
+    )
+    at_min = re.sub(
+        r"\by\b", "(y + dy * dmin)", re.sub(r"\bx\b", "(x + dx * dmin)", val)
+    )
+    stages = []
+    prev = "v0"
+    for it_ in range(iters):
+        rel = f"s{it_ + 1}"
+        stages.append(
+            f"{rel} AS MATERIALIZED (SELECT a.image_id, a.x, a.y, a.bad0, "
+            f"CASE WHEN a.bad0 AND a.v IS NOT NULL "
+            f"THEN sum(b.v) / count(b.v) ELSE a.v END AS v "
+            f"FROM {prev} a LEFT JOIN {prev} b ON b.image_id = a.image_id "
+            f"AND abs(b.x - a.x) <= 1 AND abs(b.y - a.y) <= 1 "
+            f"AND b.v IS NOT NULL "
+            f"GROUP BY a.image_id, a.x, a.y, a.bad0, a.v)"
+        )
+        prev = rel
+    return f"""
+WITH img AS (SELECT i, image_id, w, h, fmt
+             FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}),
+px AS MATERIALIZED (SELECT image_id, i, w, h, fmt, x, y, 0 AS ch
+      FROM img, range(0, 256) tx(x), range(0, 256) ty(y)
+      WHERE x < w AND y < h),
+bad AS (SELECT * FROM px WHERE ({val}) = 0),
+dirs(dy, dx) AS (VALUES (-1,0),(1,0),(0,-1),(0,1),(-1,-1),(-1,1),(1,-1),(1,1)),
+hits AS (SELECT image_id, i, w, h, fmt, x, y, ch, dy, dx, min(dd) AS dmin
+         FROM bad, dirs, range(1, {max_distance + 1}) r(dd)
+         WHERE x + dx * dd >= 0 AND x + dx * dd < w
+           AND y + dy * dd >= 0 AND y + dy * dd < h
+           AND ({shifted}) <> 0
+         GROUP BY ALL),
+fillv AS (SELECT image_id, x, y,
+          sum(({at_min}) / (dmin * (CASE WHEN dy <> 0 AND dx <> 0
+               THEN sqrt(2.0E0) ELSE 1.0E0 END))) AS num,
+          sum(1.0E0 / (dmin * (CASE WHEN dy <> 0 AND dx <> 0
+               THEN sqrt(2.0E0) ELSE 1.0E0 END))) AS den
+          FROM hits GROUP BY 1, 2, 3),
+v0 AS MATERIALIZED (SELECT p.image_id, p.x, p.y,
+      (({val}) = 0) AS bad0,
+      CASE WHEN ({val}) <> 0 THEN cast(({val}) as double)
+           ELSE f.num / f.den END AS v
+      FROM px p LEFT JOIN (SELECT image_id AS fimg, x AS fx, y AS fy,
+           num, den FROM fillv) f
+      ON f.fimg = p.image_id AND f.fx = p.x AND f.fy = p.y),
+{', '.join(stages)}
+SELECT image_id, y, count(*) AS n_bad,
+       cast(sum(cast(floor(coalesce(v, 0.0E0) + 0.5E0) as bigint)) as bigint)
+       AS filled_sum
+FROM {prev} WHERE bad0 GROUP BY 1, 2
 """
