@@ -209,6 +209,21 @@ def _q_warp_near_up2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warp_bilinear_up2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp 2x upsample, bilinear (GWKBilinear) — the first
+    CONVOLUTION kernel under the driver value gate (the family is
+    also golden-tested vs 25 reference autotest fixtures); dyadic
+    weights make the replay bit-exact."""
+    out = warp.warp_scale(
+        _pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "bilinear"
+    )
+    return stats.checksums(out).select(
+        "image_id",
+        F.col("channel").cast("bigint").alias("channel"),
+        F.col("cks").cast("bigint").alias("cks"),
+    )
+
+
 def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -cutline: 2x nearest warp masked to a cutline box
     (GDALWarpCutlineMasker, blend 0); checksum-exact oracle."""
@@ -1162,6 +1177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _pixel_images(spark, sf_dir, _FILL_MAX_I),
             smoothing_iterations=2,
         ),
+        "warp_bilinear_up2": _q_warp_bilinear_up2,
+        "warp_cubic_up2": lambda spark, sf_dir: stats.checksums(
+            warp.warp_scale(
+                _pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "cubic"
+            )
+        ).selectExpr(
+            "image_id", "cast(channel as bigint) AS channel",
+            "cast(cks as bigint) AS cks",
+        ),
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
@@ -1422,6 +1446,12 @@ def oracle_sql() -> dict[str, str]:
         "grid_idwnn": raster_misc.oracle_grid_idwnn(64, 64),
         "fillnodata_smoothed": raster_misc.oracle_fillnodata_smoothed(
             min(n, 4096), _FILL_MAX_I
+        ),
+        "warp_bilinear_up2": warp.oracle_warp_bilinear_up2(
+            min(n, 4096), _WARP_MAX_I
+        ),
+        "warp_cubic_up2": warp.oracle_warp_cubic_up2(
+            min(n, 4096), _WARP_MAX_I
         ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),

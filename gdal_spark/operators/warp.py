@@ -290,3 +290,101 @@ def reproject_to_mercator(
             "gt0 double, gt1 double, gt3 double, gt5 double"
         ),
     )
+
+
+def oracle_warp_bilinear_up2(n: int, max_i: int) -> str:
+    """Bilinear 2x upsample replay (GWKBilinear weights with the
+    xscale >= 1 tap rule of _warp_conv_band): taps (-1..1)^2 around
+    isx = (xd - 1) // 2 with dx in {0.25, 0.75} — every weight and
+    product is an exact dyadic rational, so acc/accw are bit-exact in
+    any summation order and the checksum replay is drift-free.
+    Out-of-bounds taps drop and the weight sum renormalizes (the
+    boundary semantics of the numpy kernel)."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - ((xd - 1) // 2))"
+    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - ((yd - 1) // 2))"
+    wx = f"greatest(0.0E0, 1.0E0 - abs(ti - {dx}))"
+    wy = f"greatest(0.0E0, 1.0E0 - abs(tj - {dy}))"
+    taps = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"((xd - 1) // 2) + ti AS x, ((yd - 1) // 2) + tj AS y, "
+        f"({wx}) * ({wy}) AS wgt "
+        f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
+        f"range(0, 3) tc(ch), range(-1, 2) si(ti), range(-1, 2) sj(tj) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
+        f"AND ((xd - 1) // 2) + ti >= 0 AND ((xd - 1) // 2) + ti < i.w "
+        f"AND ((yd - 1) // 2) + tj >= 0 AND ((yd - 1) // 2) + tj < i.h"
+    )
+    acc = (
+        f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
+        f"sum(cast(({synth.pixel_val_sql()}) as double) * wgt) AS acc, "
+        f"sum(wgt) AS accw "
+        f"FROM ({taps}) GROUP BY 1, 2, 3, 4"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(cast(floor(acc / accw + 0.5E0) as bigint) "
+        f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
+        f"FROM ({acc}) GROUP BY 1, 2"
+    )
+
+
+def oracle_warp_cubic_up2(n: int, max_i: int) -> str:
+    """Cubic (Catmull-Rom, GWKCubic) 2x upsample replay — 4x4 taps
+    (-1..2), same dyadic-exactness argument as bilinear. Pixels whose
+    4x4 window is not fully inside the source fall back to BILINEAR
+    weights (GDAL's 4-sample formula path, gdalwarpkernel.cpp:1166 —
+    mirrored from resample._warp_conv_band's edge branch)."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - ((xd - 1) // 2))"
+    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - ((yd - 1) // 2))"
+    edge = (
+        "(((xd - 1) // 2) - 1 < 0 OR ((xd - 1) // 2) + 2 >= w "
+        "OR ((yd - 1) // 2) - 1 < 0 OR ((yd - 1) // 2) + 2 >= h)"
+    )
+
+    def cw(t):
+        ax = f"abs({t})"
+        return (
+            f"(CASE WHEN {ax} <= 1.0E0 "
+            f"THEN ({t}) * ({t}) * (1.5E0 * {ax} - 2.5E0) + 1.0E0 "
+            f"WHEN {ax} <= 2.0E0 "
+            f"THEN ({t}) * ({t}) * (-0.5E0 * {ax} + 2.5E0) "
+            f"- 4.0E0 * {ax} + 2.0E0 ELSE 0.0E0 END)"
+        )
+
+    def bw(t):
+        return f"greatest(0.0E0, 1.0E0 - abs({t}))"
+
+    wgt = (
+        f"(CASE WHEN {edge} "
+        f"THEN ({bw(f'ti - {dx}')}) * ({bw(f'tj - {dy}')}) "
+        f"ELSE ({cw(f'ti - {dx}')}) * ({cw(f'tj - {dy}')}) END)"
+    )
+    taps = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"((xd - 1) // 2) + ti AS x, ((yd - 1) // 2) + tj AS y, "
+        f"{wgt} AS wgt "
+        f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
+        f"range(0, 3) tc(ch), range(-1, 3) si(ti), range(-1, 3) sj(tj) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
+        f"AND ((xd - 1) // 2) + ti >= 0 AND ((xd - 1) // 2) + ti < i.w "
+        f"AND ((yd - 1) // 2) + tj >= 0 AND ((yd - 1) // 2) + tj < i.h"
+    )
+    acc = (
+        f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
+        f"sum(cast(({synth.pixel_val_sql()}) as double) * wgt) AS acc, "
+        f"sum(wgt) AS accw "
+        f"FROM ({taps}) GROUP BY 1, 2, 3, 4"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(cast(floor(least(greatest(acc / accw, 0.0E0), 255.0E0) "
+        f"+ 0.5E0) as bigint) "
+        f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
+        f"FROM ({acc}) GROUP BY 1, 2"
+    )
