@@ -303,19 +303,19 @@ def oracle_warp_bilinear_up2(n: int, max_i: int) -> str:
     from .. import synth
 
     img = synth.images_cte(n, "duckdb")
-    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - ((xd - 1) // 2))"
-    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - ((yd - 1) // 2))"
+    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((xd - 0.5E0) / 2.0E0) as bigint))"
+    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((yd - 0.5E0) / 2.0E0) as bigint))"
     wx = f"greatest(0.0E0, 1.0E0 - abs(ti - {dx}))"
     wy = f"greatest(0.0E0, 1.0E0 - abs(tj - {dy}))"
     taps = (
         f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
-        f"((xd - 1) // 2) + ti AS x, ((yd - 1) // 2) + tj AS y, "
+        f"cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti AS x, cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj AS y, "
         f"({wx}) * ({wy}) AS wgt "
         f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
         f"range(0, 3) tc(ch), range(-1, 2) si(ti), range(-1, 2) sj(tj) "
         f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
-        f"AND ((xd - 1) // 2) + ti >= 0 AND ((xd - 1) // 2) + ti < i.w "
-        f"AND ((yd - 1) // 2) + tj >= 0 AND ((yd - 1) // 2) + tj < i.h"
+        f"AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti >= 0 AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti < i.w "
+        f"AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj >= 0 AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj < i.h"
     )
     acc = (
         f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
@@ -340,11 +340,11 @@ def oracle_warp_cubic_up2(n: int, max_i: int) -> str:
     from .. import synth
 
     img = synth.images_cte(n, "duckdb")
-    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - ((xd - 1) // 2))"
-    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - ((yd - 1) // 2))"
+    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((xd - 0.5E0) / 2.0E0) as bigint))"
+    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((yd - 0.5E0) / 2.0E0) as bigint))"
     edge = (
-        "(((xd - 1) // 2) - 1 < 0 OR ((xd - 1) // 2) + 2 >= w "
-        "OR ((yd - 1) // 2) - 1 < 0 OR ((yd - 1) // 2) + 2 >= h)"
+        "(cast(floor((xd - 0.5E0) / 2.0E0) as bigint) - 1 < 0 OR cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + 2 >= w "
+        "OR cast(floor((yd - 0.5E0) / 2.0E0) as bigint) - 1 < 0 OR cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + 2 >= h)"
     )
 
     def cw(t):
@@ -367,13 +367,65 @@ def oracle_warp_cubic_up2(n: int, max_i: int) -> str:
     )
     taps = (
         f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
-        f"((xd - 1) // 2) + ti AS x, ((yd - 1) // 2) + tj AS y, "
+        f"cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti AS x, cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj AS y, "
         f"{wgt} AS wgt "
         f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
         f"range(0, 3) tc(ch), range(-1, 3) si(ti), range(-1, 3) sj(tj) "
         f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
-        f"AND ((xd - 1) // 2) + ti >= 0 AND ((xd - 1) // 2) + ti < i.w "
-        f"AND ((yd - 1) // 2) + tj >= 0 AND ((yd - 1) // 2) + tj < i.h"
+        f"AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti >= 0 AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti < i.w "
+        f"AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj >= 0 AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj < i.h"
+    )
+    acc = (
+        f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
+        f"sum(cast(({synth.pixel_val_sql()}) as double) * wgt) AS acc, "
+        f"sum(wgt) AS accw "
+        f"FROM ({taps}) GROUP BY 1, 2, 3, 4"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(cast(floor(least(greatest(acc / accw, 0.0E0), 255.0E0) "
+        f"+ 0.5E0) as bigint) "
+        f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
+        f"FROM ({acc}) GROUP BY 1, 2"
+    )
+
+
+def oracle_warp_cubicspline_up2(n: int, max_i: int) -> str:
+    """B-spline (GWKCubicSpline) 2x upsample replay — unnormalized
+    B-spline weights (the 1/6 cancels in the accw normalization, as
+    in the numpy kernel); all weights are exact dyadics at the 2x
+    dx values, so the replay is bit-exact. No edge fallback (that
+    rule is cubic-specific)."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    dx = "((xd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((xd - 0.5E0) / 2.0E0) as bigint))"
+    dy = "((yd + 0.5E0) / 2.0E0 - 0.5E0 - cast(floor((yd - 0.5E0) / 2.0E0) as bigint))"
+
+    def c3(u):
+        return f"(({u}) * ({u}) * ({u}))"
+
+    def bs(t):
+        return (
+            f"((CASE WHEN ({t}) + 2.0E0 > 0.0E0 THEN {c3(f'({t}) + 2.0E0')} "
+            f"ELSE 0.0E0 END) "
+            f"+ (CASE WHEN ({t}) + 1.0E0 > 0.0E0 "
+            f"THEN -4.0E0 * {c3(f'({t}) + 1.0E0')} ELSE 0.0E0 END) "
+            f"+ (CASE WHEN ({t}) > 0.0E0 THEN 6.0E0 * {c3(t)} "
+            f"ELSE 0.0E0 END) "
+            f"+ (CASE WHEN ({t}) - 1.0E0 > 0.0E0 "
+            f"THEN -4.0E0 * {c3(f'({t}) - 1.0E0')} ELSE 0.0E0 END))"
+        )
+
+    taps = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti AS x, cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj AS y, "
+        f"({bs(f'ti - {dx}')}) * ({bs(f'tj - {dy}')}) AS wgt "
+        f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
+        f"range(0, 3) tc(ch), range(-1, 3) si(ti), range(-1, 3) sj(tj) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
+        f"AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti >= 0 AND cast(floor((xd - 0.5E0) / 2.0E0) as bigint) + ti < i.w "
+        f"AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj >= 0 AND cast(floor((yd - 0.5E0) / 2.0E0) as bigint) + tj < i.h"
     )
     acc = (
         f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
