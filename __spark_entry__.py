@@ -1178,6 +1178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             smoothing_iterations=2,
         ),
         "warp_bilinear_up2": _q_warp_bilinear_up2,
+        "warp_lanczos_up2": lambda spark, sf_dir: stats.checksums(
+            warp.warp_scale(
+                _pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "lanczos"
+            )
+        ).selectExpr(
+            "image_id", "cast(channel as bigint) AS channel",
+            "cast(cks as bigint) AS cks",
+        ),
         "warp_cubicspline_up2": lambda spark, sf_dir: stats.checksums(
             warp.warp_scale(
                 _pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "cubicspline"
@@ -1462,6 +1470,9 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _WARP_MAX_I
         ),
         "warp_cubicspline_up2": warp.oracle_warp_cubicspline_up2(
+            min(n, 4096), _WARP_MAX_I
+        ),
+        "warp_lanczos_up2": warp.oracle_warp_lanczos_up2(
             min(n, 4096), _WARP_MAX_I
         ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),

@@ -440,3 +440,51 @@ def oracle_warp_cubicspline_up2(n: int, max_i: int) -> str:
         f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
         f"FROM ({acc}) GROUP BY 1, 2"
     )
+
+
+def oracle_warp_lanczos_up2(n: int, max_i: int) -> str:
+    """Lanczos (GWKLanczosSinc, radius 3) 2x upsample replay — 7x7
+    taps. Weights use sin(), which is bit-identical numpy/DuckDB on
+    this platform (synth.py:168), with the numpy kernel's exact op
+    order mirrored (pix = pi*t once, (pix*pix)/3 denominator); the
+    only cross-engine difference is accumulation order, ~1e-16
+    relative against the 0.5 rounding boundary."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    fx = "cast(floor((xd - 0.5E0) / 2.0E0) as bigint)"
+    fy = "cast(floor((yd - 0.5E0) / 2.0E0) as bigint)"
+    dx = f"((xd + 0.5E0) / 2.0E0 - 0.5E0 - {fx})"
+    dy = f"((yd + 0.5E0) / 2.0E0 - 0.5E0 - {fy})"
+
+    def lw(t):
+        pix = f"(pi() * ({t}))"
+        return (
+            f"(CASE WHEN abs({t}) <= 3.0E0 "
+            f"THEN (sin({pix}) * sin({pix} / 3.0E0)) "
+            f"/ ({pix} * {pix} / 3.0E0) ELSE 0.0E0 END)"
+        )
+
+    taps = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, "
+        f"{fx} + ti AS x, {fy} + tj AS y, "
+        f"({lw(f'ti - {dx}')}) * ({lw(f'tj - {dy}')}) AS wgt "
+        f"FROM ({img}) i, range(0, 512) tx(xd), range(0, 512) ty(yd), "
+        f"range(0, 3) tc(ch), range(-3, 4) si(ti), range(-3, 4) sj(tj) "
+        f"WHERE i.i < {max_i} AND xd < 2 * i.w AND yd < 2 * i.h "
+        f"AND {fx} + ti >= 0 AND {fx} + ti < i.w "
+        f"AND {fy} + tj >= 0 AND {fy} + tj < i.h"
+    )
+    acc = (
+        f"SELECT image_id, ch, xd, yd, any_value(w) AS w, "
+        f"sum(cast(({synth.pixel_val_sql()}) as double) * wgt) AS acc, "
+        f"sum(wgt) AS accw "
+        f"FROM ({taps}) GROUP BY 1, 2, 3, 4"
+    )
+    return (
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(cast(floor(least(greatest(acc / accw, 0.0E0), 255.0E0) "
+        f"+ 0.5E0) as bigint) "
+        f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
+        f"FROM ({acc}) GROUP BY 1, 2"
+    )
