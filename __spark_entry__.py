@@ -1178,6 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             smoothing_iterations=2,
         ),
         "warp_bilinear_up2": _q_warp_bilinear_up2,
+        "warp_area_family_down2": lambda spark, sf_dir: warp.warp_area_family_down2(
+            _pixel_images(spark, sf_dir, _WARP_MAX_I)
+        ),
         "warp_lanczos_up2": lambda spark, sf_dir: stats.checksums(
             warp.warp_scale(
                 _pixel_images(spark, sf_dir, _WARP_MAX_I), 2.0, "lanczos"
@@ -1473,6 +1476,9 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _WARP_MAX_I
         ),
         "warp_lanczos_up2": warp.oracle_warp_lanczos_up2(
+            min(n, 4096), _WARP_MAX_I
+        ),
+        "warp_area_family_down2": warp.oracle_warp_area_family_down2(
             min(n, 4096), _WARP_MAX_I
         ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),

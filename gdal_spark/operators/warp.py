@@ -488,3 +488,90 @@ def oracle_warp_lanczos_up2(n: int, max_i: int) -> str:
         f"% {_cks_prime('yd * (2 * w) + xd')}) % 65536 as bigint) AS cks "
         f"FROM ({acc}) GROUP BY 1, 2"
     )
+
+
+AREA_FAMILY_DOWN2 = ("med", "q1", "q3", "mode", "sum", "rms")
+
+
+def warp_area_family_down2(images: DataFrame) -> DataFrame:
+    """(image_id, alg, channel, cks) for the remaining area kernels
+    at a clean 2x downsample — each dst pixel reduces an exact 2x2
+    block, so every reduction is discrete/integer (plus one
+    bit-matching sqrt for rms)."""
+    from . import stats as statsmod
+
+    parts = []
+    for alg in AREA_FAMILY_DOWN2:
+        cks = statsmod.checksums(warp_scale(images, 0.5, alg))
+        parts.append(
+            cks.selectExpr(
+                "image_id", f"'{alg}' AS alg",
+                "cast(channel as bigint) AS channel",
+                "cast(cks as bigint) AS cks",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def oracle_warp_area_family_down2(n: int, max_i: int) -> str:
+    """2x2-block replay of med/q1/q3 (sorted index ceil(q*4 - 1) =
+    ranks 1/2/3), mode (max count, earliest last-occurrence
+    tie-break == 'first to reach max count in scan order'), sum
+    (clamped), rms (sqrt of mean square)."""
+    from .. import synth
+
+    img = synth.images_cte(n, "duckdb")
+    inner = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, xd, yd, ch, c, "
+        f"(2 * xd + c % 2) AS x, (2 * yd + c // 2) AS y "
+        f"FROM ({img}) i, range(0, 128) tx(xd), range(0, 128) ty(yd), "
+        f"range(0, 3) tc(ch), range(0, 4) tcr(c) "
+        f"WHERE i.i < {max_i} AND xd < i.w // 2 AND yd < i.h // 2"
+    )
+    vals = (
+        f"SELECT image_id, ch, xd, yd, c, w, "
+        f"cast(({synth.pixel_val_sql()}) as bigint) AS v, "
+        f"row_number() OVER (PARTITION BY image_id, ch, xd, yd "
+        f"ORDER BY ({synth.pixel_val_sql()}), c) AS rk "
+        f"FROM ({inner})"
+    )
+    ranked = (
+        "SELECT image_id, ch, xd, yd, any_value(w) AS w, "
+        "max(CASE WHEN rk = 1 THEN v END) AS q1v, "
+        "max(CASE WHEN rk = 2 THEN v END) AS medv, "
+        "max(CASE WHEN rk = 3 THEN v END) AS q3v, "
+        "cast(sum(v) as bigint) AS sumv, "
+        "cast(sum(v * v) as bigint) AS sq "
+        "FROM vals GROUP BY 1, 2, 3, 4"
+    )
+    modev = (
+        "SELECT image_id, ch, xd, yd, v AS mv FROM ("
+        "SELECT image_id, ch, xd, yd, v, "
+        "row_number() OVER (PARTITION BY image_id, ch, xd, yd "
+        "ORDER BY cnt DESC, last_pos ASC) AS mrk FROM ("
+        "SELECT image_id, ch, xd, yd, v, count(*) AS cnt, max(c) AS last_pos "
+        "FROM vals GROUP BY 1, 2, 3, 4, 5)) WHERE mrk = 1"
+    )
+    px = (
+        "SELECT r.image_id, r.ch, r.xd, r.yd, r.w, alg, "
+        "CASE alg WHEN 'med' THEN medv WHEN 'q1' THEN q1v "
+        "WHEN 'q3' THEN q3v WHEN 'mode' THEN m.mv "
+        "WHEN 'sum' THEN least(sumv, 255) "
+        "ELSE cast(floor(sqrt(cast(sq as double) / 4.0E0) + 0.5E0) as bigint) "
+        "END AS val "
+        "FROM ranked r JOIN modev m ON m.image_id = r.image_id "
+        "AND m.ch = r.ch AND m.xd = r.xd AND m.yd = r.yd, "
+        "(SELECT unnest(['med','q1','q3','mode','sum','rms']) AS alg) a"
+    )
+    return (
+        f"WITH vals AS MATERIALIZED ({vals}), "
+        f"ranked AS MATERIALIZED ({ranked}), "
+        f"modev AS MATERIALIZED ({modev}), "
+        f"px AS ({px}) "
+        f"SELECT image_id, alg, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {_cks_prime('yd * (w // 2) + xd')}) % 65536 as bigint) "
+        f"AS cks FROM px GROUP BY 1, 2, 3"
+    )
