@@ -1178,6 +1178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             smoothing_iterations=2,
         ),
         "warp_bilinear_up2": _q_warp_bilinear_up2,
+        # block raster: same-value blocks touch corner-to-corner along
+        # anti-diagonals, so 8-conn merges them (16 components -> 7) —
+        # the query DISCRIMINATES connectivity, unlike the smooth bands
+        "polygonize_8conn": lambda spark, sf_dir: polyop.polygonize_grid(
+            spark, f"block:{_POLY_BS}:{_POLY_MOD}", 96, 96, connect8=True
+        ),
         "warp_area_family_down2": lambda spark, sf_dir: warp.warp_area_family_down2(
             _pixel_images(spark, sf_dir, _WARP_MAX_I)
         ),
@@ -1480,6 +1486,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warp_area_family_down2": warp.oracle_warp_area_family_down2(
             min(n, 4096), _WARP_MAX_I
+        ),
+        "polygonize_8conn": polyop.oracle_polygonize_pj(
+            f"((gx // {_POLY_BS}) + (gy // {_POLY_BS})) % {_POLY_MOD}",
+            96, 96, connect8=True
         ),
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),

@@ -275,12 +275,14 @@ def oracle_polygonize_blocks(width: int, height: int, bs: int, mod: int) -> str:
 POLY_PJ_ROUNDS = 32  # oracle pointer-jump rounds (fixpoint-verified in tests)
 
 
-def oracle_polygonize_pj(band_sql: str, width: int, height: int) -> str:
+def oracle_polygonize_pj(
+    band_sql: str, width: int, height: int, connect8: bool = False
+) -> str:
     """General connected-components oracle for ANY deterministic
     raster expressed as a DuckDB expression over (gx, gy): unrolled
     MATERIALIZED pointer-jump rounds (the contour-oracle pattern),
     comp id = min linearized pixel index — the same label convention
-    as the Spark polygonize. 4-connectivity."""
+    as the Spark polygonize. 4- or 8-connectivity."""
     rounds = []
     prev = "r0"
     for k in range(POLY_PJ_ROUNDS):
@@ -295,6 +297,15 @@ def oracle_polygonize_pj(band_sql: str, width: int, height: int) -> str:
         )
         prev = f"r{k + 1}"
     pj = ",\n".join(rounds)
+    diag_links = ""
+    if connect8:
+        for dx in (1, -1):
+            diag_links += (
+                f"\n  UNION ALL\n  SELECT a.node, b.node FROM px a JOIN px b "
+                f"ON b.gx = a.gx + {dx} AND b.gy = a.gy + 1 AND b.val = a.val"
+                f"\n  UNION ALL\n  SELECT b.node, a.node FROM px a JOIN px b "
+                f"ON b.gx = a.gx + {dx} AND b.gy = a.gy + 1 AND b.val = a.val"
+            )
     return f"""
 WITH
 px AS MATERIALIZED (
@@ -311,7 +322,7 @@ links AS MATERIALIZED (
   ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val
   UNION ALL
   SELECT b.node, a.node FROM px a JOIN px b
-  ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val),
+  ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val{diag_links}),
 r0 AS MATERIALIZED (SELECT node, node AS root FROM px),
 {pj}
 SELECT r.root AS comp_id, min(px.val) AS val,
