@@ -127,3 +127,19 @@ def test_rasterize_all_touched_golden():
         scanline.fill_polygon_all_touched(arr, [ring], 220)
     a8 = np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)
     assert gdal_checksum(a8) == 121
+
+
+def test_sieve_connectivity_discriminates():
+    """A diagonal 3-chain is three size-1 components under 4-conn
+    (all sieved at threshold 3) but ONE size-3 component under 8-conn
+    (survives) — GDALSieveFilter's 8CONNECTED option semantics."""
+    from gdal_spark.operators import sieve
+
+    arr = np.zeros((9, 9), dtype=np.int64)
+    for k in range(3, 6):
+        arr[k, k] = 1
+    out4 = sieve.sieve_filter(arr, threshold=3, connect8=False)
+    out8 = sieve.sieve_filter(arr, threshold=3, connect8=True)
+    assert (out4 == 1).sum() == 0
+    assert (out8 == 1).sum() == 3
+    assert (out8 == arr).all()
