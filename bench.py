@@ -270,7 +270,15 @@ def main():
                 if len(effs) % 2
                 else round((effs[mid - 1] + effs[mid]) / 2, 3)
             )
-            return max(cur, key=lambda a: a["eff"]), median, len(cur)
+            n_pass = sum(1 for a in cur if a["eff"] >= 0.8)
+            # misses where even the back-to-back pure-numpy ceiling
+            # was < 0.8 — the box, not the engine
+            host_bound = sum(
+                1 for a in cur
+                if a["eff"] < 0.8 and a["ceiling"] < 0.82
+            )
+            return max(cur, key=lambda a: a["eff"]), median, len(cur), \
+                n_pass, host_bound
 
         s28 = stats_for("2x8")
         s832 = stats_for("8x32")
@@ -283,10 +291,19 @@ def main():
         summary = []
         for label, st in (("2->8 cores", s28), ("8->32 cores", s832)):
             if st:
-                b, med, k = st
+                b, med, k, n_pass, host_bound = st
+                extra = ""
+                if n_pass < k and host_bound:
+                    extra = (
+                        f"; of the {k - n_pass} below-0.8 attempt(s), "
+                        f"{host_bound} ran in windows where the pure-numpy "
+                        f"ceiling probe itself was < 0.82 (the box, not "
+                        f"the engine)"
+                    )
                 summary.append(
                     f"- **{label}: best {b['eff']} / median {med}** over "
-                    f"{k} attempt(s) at rev {ENGINE_REV} "
+                    f"{k} attempt(s) at rev {ENGINE_REV}; "
+                    f"{n_pass}/{k} attempts >= 0.8 raw{extra} "
                     f"(best: {b['hi_ips']} img/s at the high level, "
                     f"load1 {b['load1']})"
                 )
