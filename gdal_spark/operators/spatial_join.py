@@ -123,7 +123,16 @@ def pip_parity_expr(lon_col: str, lat_col: str, edges_col: str = "edges") -> str
     so results are bit-identical to the Arrow refine while staying
     entirely JVM-side (no Python workers in the hot path). A
     horizontal edge divides by zero -> NULL condition -> parity
-    unchanged, matching the numpy kernel's cond mask."""
+    unchanged, matching the numpy kernel's cond mask.
+
+    Measured alternatives (r4, 6M imgs / 8 cores, geom branch only):
+    this nested-edge aggregate 8.7 s; the same walk over a FLAT
+    [x1,y1,x2,y2,...] array via aggregate-over-indices 2.4x slower
+    (4 element_at + index arithmetic per edge); an UNROLLED
+    max_edges-wide sum-of-CASE codegen predicate 3x slower (the giant
+    predicate exceeds what Janino/JIT handles and degrades to
+    interpreted eval of 4*max_edges polymorphic element_ats). The
+    higher-order aggregate is the fastest JVM representation."""
     return (
         f"aggregate({edges_col}, false, (acc, e) -> "
         f"CASE WHEN ((e[1] > {lat_col}) != (e[3] > {lat_col})) "
@@ -222,6 +231,12 @@ def spatial_join(
     geom_cells = pcells.filter("NOT is_rect").select(
         "cell_id", geom_col, *env_cols, *poly_cols
     )
+    # the jvm refine runs as a single fused probe (one scan of the
+    # point side); it keeps is_rect + edges together in one broadcast
+    all_cells = pcells.select(
+        "cell_id", "is_rect", *([geom_col] if refine == "jvm" else []),
+        *env_cols, *poly_cols,
+    )
     if broadcast is None:
         # decide from the un-exploded polygon count — a size hint
         # avoids the extra count() action in the hot path; without
@@ -231,9 +246,21 @@ def spatial_join(
     if broadcast:
         rect_cells = F.broadcast(rect_cells)
         geom_cells = F.broadcast(geom_cells)
+        all_cells = F.broadcast(all_cells)
 
     # point side: cell at join_zoom (pandas UDF per north star), then
-    # ancestors via pure int arithmetic, exploded on a narrow projection
+    # ancestors via pure int arithmetic, exploded on a narrow projection.
+    # The explode is pruned to the zoom levels ACTUALLY PRESENT in the
+    # polygon cover (one tiny action on the checkpointed cover table):
+    # a point's z-cell can only match covers at z, so absent levels are
+    # dead rows — for a typical small-polygon layer this cuts the probe
+    # traffic from (join_zoom - min_zoom + 1)x to 1-2x, which is the
+    # difference between bandwidth-bound and compute-bound at full
+    # parallelism. Cell ids pack the zoom in the top bits (grid.pack_cell).
+    meta = pcells.agg(
+        F.collect_set(F.expr("shiftright(cell_id, 58)")).alias("zs")
+    ).first()
+    zs = sorted(meta["zs"] or []) or [join_zoom]
     pts = assign_cells(
         points, join_zoom, grid_kind="geodetic", lon_col=lon_col,
         lat_col=lat_col, engine=engine,
@@ -244,11 +271,18 @@ def spatial_join(
                 f"(tile_x >> {join_zoom - z})", f"(tile_y >> {join_zoom - z})", z
             )
         )
-        for z in range(min_zoom, join_zoom + 1)
+        for z in zs
     ]
-    pts = pts.select(
-        lon_col, lat_col, *point_cols, F.explode(F.array(*levels)).alias("cell_id")
-    )
+    if len(levels) == 1:
+        # single-zoom cover: no explode stage at all
+        pts = pts.select(
+            lon_col, lat_col, *point_cols, levels[0].alias("cell_id")
+        )
+    else:
+        pts = pts.select(
+            lon_col, lat_col, *point_cols,
+            F.explode(F.array(*levels)).alias("cell_id"),
+        )
 
     # envelope reject, JVM-side (FilterGeometry's bbox fast path,
     # ogrlayer.cpp:1468) — cuts the refine input before any Python
@@ -261,19 +295,36 @@ def spatial_join(
         )
 
     out_cols = [lon_col, lat_col, *point_cols, *poly_cols]
-    rect_out = bbox(pts.join(rect_cells, "cell_id", "inner")).select(*out_cols)
-    cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
-    if refine == "jvm":
-        refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
-    else:
-        # homogenize Arrow batches by polygon (local sort, no shuffle)
-        # so the refine factorization sees few distinct geometries per
-        # batch
-        cand = cand.sortWithinPartitions("geom_wkb")
-        pip = make_pip_udf()
+    if refine == "jvm_fused":
+        # single-probe variant: one scan of the point side, but the
+        # whole candidate stream (including rectangle candidates) pays
+        # the CodegenFallback eval of the higher-order PIP — measured
+        # 1.5x slower than the two-branch default on the synth layer
+        # (rect-heavy hot cell). Useful when the layer is
+        # overwhelmingly non-rect.
+        cand = bbox(pts.join(all_cells, "cell_id", "inner"))
         refined = cand.filter(
-            pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
+            F.expr(f"is_rect OR ({pip_parity_expr(lon_col, lat_col)})")
         )
+        return refined.select(*out_cols)
+    rect_out = bbox(pts.join(rect_cells, "cell_id", "inner")).select(*out_cols)
+    if refine == "jvm":
+        # two probes (rect codegen fast path / edge-walk refine), each
+        # against its own narrow broadcast: the point generation is
+        # re-run per branch but is pure codegen (cheap); keeping the
+        # rectangle majority out of the interpreted refine dominates.
+        cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
+        refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
+        return rect_out.unionAll(refined.select(*out_cols))
+    cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
+    # homogenize Arrow batches by polygon (local sort, no shuffle)
+    # so the refine factorization sees few distinct geometries per
+    # batch
+    cand = cand.sortWithinPartitions("geom_wkb")
+    pip = make_pip_udf()
+    refined = cand.filter(
+        pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
+    )
     return rect_out.unionAll(refined.select(*out_cols))
 
 
