@@ -71,15 +71,20 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         lambda it: it, schema="id long"
     ).count()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    single: dict[str, float] = {}
     for name in HEADLINE:
         # best-of-N: the shared host's neighbor bursts inflate single
         # shots by 2x between back-to-back identical runs; the min is
-        # the reproducible engine cost
+        # the reproducible engine cost. The FIRST shot is kept too so
+        # cross-round tables can compare either methodology without
+        # footnotes.
         best = None
-        for _ in range(reps):
+        for rep in range(reps):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()  # full execution, no collect
             dt = time.perf_counter() - t0
+            if rep == 0:
+                single[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
@@ -87,8 +92,10 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     result = {
         "metric": "headline_total",
         "value": total,
+        "value_single_shot": round(sum(single.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_single_shot": single,
         "sf": synth.sf_name(sf_dir),
         "cores": cores,
         "n_images": n_img,
@@ -100,7 +107,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     return result
 
 
-ENGINE_REV = "r3-jvm-refine"  # stamp attempts so best/median aggregate
+ENGINE_REV = "r4-lvlprune"  # stamp attempts so best/median aggregate
 # only over comparable engine revisions
 
 SCALING_N = 96_000_000  # large enough that the ~2.5 s fixed per-job
@@ -143,11 +150,23 @@ def run_scaling_job(cores: int) -> dict:
     job(50_000)  # warm-up: worker pools + broadcast build + codegen
     best = None
     n_pairs = 0
+    phases = {"assign": None, "join": None}
     for _ in range(2):  # best-of-2: the machine is shared/noisy
         t0 = time.perf_counter()
-        n_pairs = job(scaling_n)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        imgs = synth.images_df(spark, scaling_n)
+        cells.assign_cells(imgs, 12, "mercator", engine="sql").select(
+            F.sum("tile_x")
+        ).collect()
+        t1 = time.perf_counter()
+        n_pairs = spatial_join(
+            imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"],
+            poly_count_hint=SCALING_POLYS,
+        ).count()
+        t2 = time.perf_counter()
+        dt = t2 - t0
+        if best is None or dt < best:
+            best = dt
+            phases = {"assign": round(t1 - t0, 2), "join": round(t2 - t1, 2)}
     spark.stop()
     return {
         "cores": cores,
@@ -155,6 +174,7 @@ def run_scaling_job(cores: int) -> dict:
         "images_per_sec": round(scaling_n / best, 1),
         "n_images": scaling_n,
         "n_pairs": n_pairs,
+        "phases": phases,
     }
 
 
@@ -166,26 +186,46 @@ def platform_ceiling(lo: int, hi: int) -> float:
     (on a real N- vs 4N-executor cluster each executor owns its
     cores, so the job efficiency vs this ceiling is the transferable
     figure)."""
+    # ALLOCATION-FREE streaming kernel (r4 fix): the previous probe
+    # allocated two 16 MB temporaries per iteration, so at 32 procs it
+    # measured the kernel's mmap/page-zeroing contention (38-43%% sys
+    # time), not the host — that's why historical ceiling values
+    # swung 0.07-11.6. With out= buffers the probe is pure user-space
+    # DRAM streaming (the job's profile) and reads ~0.6 for 8->32 on
+    # a QUIET host — the box's genuine shared-memory-system ceiling
+    # (a cache-resident variant reads ~0.8; each added executor on a
+    # real cluster brings its own memory system).
     code = (
         "import numpy as np, time\n"
         "a = np.arange(2_000_000, dtype=np.float64)\n"
+        "buf = np.empty_like(a); buf2 = np.empty_like(a)\n"
+        "for _ in range(3):\n"  # touch every page before timing
+        "    np.sin(a, out=buf); np.add(a, 1.0, out=buf2)\n"
         "t0 = time.time(); it = 0\n"
         "while time.time() - t0 < 4.0:\n"
-        "    b = np.sin(a) * 1.0001 + np.sqrt(a + 1.0)\n"
+        "    np.sin(a, out=buf); buf *= 1.0001\n"
+        "    np.add(a, 1.0, out=buf2); np.sqrt(buf2, out=buf2)\n"
+        "    buf += buf2\n"
         "    it += 1\n"
         "print(it)\n"
     )
-    totals = {}
-    for procs in (lo, hi):
+
+    def run_level(procs):
         ps = []
         for i in range(procs):
             cmd = [sys.executable, "-c", code]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["/usr/bin/taskset", "-c", str(i)] + cmd
             ps.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
-        totals[procs] = sum(
+        return sum(
             int(p.communicate()[0].strip().splitlines()[-1]) for p in ps
         )
+
+    # alternate lo/hi twice, best-of-2 per level: a neighbor burst in
+    # one window no longer flips the ratio
+    totals = {lo: 0, hi: 0}
+    for procs in (lo, hi, lo, hi):
+        totals[procs] = max(totals[procs], run_level(procs))
     return totals[hi] / totals[lo]
 
 
@@ -208,15 +248,20 @@ def main():
         #     this pair measures the box, not the code (the numpy
         #     ceiling probe quantifies that).
         pairs = [(2, 8, 48_000_000), (8, 32, SCALING_N)]
-        try:
-            load1 = round(os.getloadavg()[0], 1)
-        except OSError:
-            load1 = -1.0
+        if "--scaling-pair" in sys.argv:
+            # run a single pair (quiet-window campaigns collect many
+            # 8x32 attempts without paying the 2x8 legs every time)
+            want = sys.argv[sys.argv.index("--scaling-pair") + 1]
+            pairs = [p for p in pairs if f"{p[0]}x{p[1]}" == want]
         md = Path(__file__).parent / "BENCH"
         md.mkdir(exist_ok=True)
         hist_path = md / "runs.jsonl"
         this_attempts = []
         for lo, hi, n in pairs:
+            try:
+                load1 = round(os.getloadavg()[0], 1)
+            except OSError:
+                load1 = -1.0
             results = {}
             # hi first: the high level is the contention-sensitive one
             for c in (hi, lo):
@@ -240,11 +285,17 @@ def main():
             eff = round((thr_hi / thr_lo) / (hi / lo), 3)
             ceiling = round(platform_ceiling(lo, hi) / (hi / lo), 3)
             eff_norm = round(eff / ceiling, 3) if ceiling > 0 else eff
+            try:
+                load1_end = round(os.getloadavg()[0], 1)
+            except OSError:
+                load1_end = -1.0
             attempt = {
                 "rev": ENGINE_REV,
                 "pair": f"{lo}x{hi}",
                 "eff": eff, "ceiling": ceiling, "norm": eff_norm,
-                "load1": load1, "n": n,
+                "load1": load1, "load1_end": load1_end, "n": n,
+                "phases_hi": results[hi].get("phases"),
+                "phases_lo": results[lo].get("phases"),
                 "lo_ips": thr_lo, "hi_ips": thr_hi,
                 "lo_sec": results[lo]["sec"], "hi_sec": results[hi]["sec"],
                 "n_pairs": results[hi]["n_pairs"],
@@ -256,6 +307,17 @@ def main():
             json.loads(l) for l in hist_path.read_text().splitlines() if l
         ]
 
+        def median_of(vals):
+            vals = sorted(vals)
+            mid = len(vals) // 2
+            return (
+                vals[mid]
+                if len(vals) % 2
+                else round((vals[mid - 1] + vals[mid]) / 2, 3)
+            )
+
+        QUIET_LOAD = 2.0  # the round-3 verdict's quiet-host gate
+
         def stats_for(pair):
             cur = [
                 a for a in attempts
@@ -263,13 +325,9 @@ def main():
             ]
             if not cur:
                 return None
-            effs = sorted(a["eff"] for a in cur)
-            mid = len(effs) // 2
-            median = (
-                effs[mid]
-                if len(effs) % 2
-                else round((effs[mid - 1] + effs[mid]) / 2, 3)
-            )
+            median = median_of(a["eff"] for a in cur)
+            quiet = [a for a in cur if 0 <= a["load1"] < QUIET_LOAD]
+            quiet_median = median_of(a["eff"] for a in quiet) if quiet else None
             n_pass = sum(1 for a in cur if a["eff"] >= 0.8)
             # misses where even the back-to-back pure-numpy ceiling
             # was < 0.8 — the box, not the engine
@@ -278,7 +336,7 @@ def main():
                 if a["eff"] < 0.8 and a["ceiling"] < 0.82
             )
             return max(cur, key=lambda a: a["eff"]), median, len(cur), \
-                n_pass, host_bound
+                n_pass, host_bound, quiet_median, len(quiet)
 
         s28 = stats_for("2x8")
         s832 = stats_for("8x32")
@@ -291,7 +349,7 @@ def main():
         summary = []
         for label, st in (("2->8 cores", s28), ("8->32 cores", s832)):
             if st:
-                b, med, k, n_pass, host_bound = st
+                b, med, k, n_pass, host_bound, qmed, nq = st
                 extra = ""
                 if n_pass < k and host_bound:
                     extra = (
@@ -300,9 +358,16 @@ def main():
                         f"ceiling probe itself was < 0.82 (the box, not "
                         f"the engine)"
                     )
+                qpart = (
+                    f"QUIET-HOST median {qmed} over {nq} attempt(s) "
+                    f"with load1 < {QUIET_LOAD} / "
+                    if qmed is not None
+                    else ""
+                )
                 summary.append(
-                    f"- **{label}: best {b['eff']} / median {med}** over "
-                    f"{k} attempt(s) at rev {ENGINE_REV}; "
+                    f"- **{label}: {qpart}all-window best {b['eff']} / "
+                    f"median {med}** over {k} attempt(s) at rev "
+                    f"{ENGINE_REV}; "
                     f"{n_pass}/{k} attempts >= 0.8 raw{extra} "
                     f"(best: {b['hi_ips']} img/s at the high level, "
                     f"load1 {b['load1']})"
@@ -351,13 +416,13 @@ def main():
             "Headline per-query timings at sf0.1 are in the driver's "
             "BENCH_r*.json (default bench mode).\n"
         )
+        by_pair = {a["pair"]: a["eff"] for a in this_attempts}
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
-                    "value": this_attempts[0]["eff"],  # the 2->8 pair
-                    "pair_8x32": this_attempts[1]["eff"],
-                    "load1": load1,
+                    "value": by_pair.get("2x8", by_pair.get("8x32")),
+                    "pair_8x32": by_pair.get("8x32"),
                     "unit": "ratio",
                     "attempts": this_attempts,
                 }

@@ -287,15 +287,19 @@ def _vec_sum_sql(dialect: str, col: str, dim: int = DIM) -> str:
     raise NotImplementedError
 
 
-def ivf_assignments(emb: DataFrame):
+def ivf_assignments(
+    emb: DataFrame, n_clusters: int = IVF_K, iters: int = IVF_ITERS
+):
     """Run the fixed Lloyd iterations; returns (vectors_df with
-    cluster col, centroids_df (cid, s (array), n))."""
+    cluster col, centroids_df (cid, s (array), n)). ``n_clusters`` /
+    ``iters`` are run-scale knobs (module defaults match the oracle;
+    a 100x corpus passes bigger values here without code edits)."""
     v = emb.selectExpr("vec_id", f"{ivf_scaled_sql('spark')} AS vs")
     cents = (
-        v.filter(F.col("vec_id") < IVF_K)
+        v.filter(F.col("vec_id") < n_clusters)
         .selectExpr("vec_id AS cid", "vs AS s", "cast(1 as bigint) AS n")
     )
-    for _ in range(IVF_ITERS):
+    for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cents)).selectExpr(
             "vec_id", "vs", "cid",
             f"{_sqdist_scaled_sql('spark', 'vs', 's', 'n')} AS d",
@@ -318,12 +322,13 @@ def ivf_assignments(emb: DataFrame):
 
 def ann_ivf_topk(
     emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
-    probes: int = IVF_PROBES,
+    probes: int = IVF_PROBES, n_clusters: int = IVF_K,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """IVF ANN: assign vectors to k-means clusters, probe each
     query's ``probes`` nearest centroids, exact cosine re-rank within
     the probed clusters. Same schema as cosine_topk."""
-    assigned, cents = ivf_assignments(emb)
+    assigned, cents = ivf_assignments(emb, n_clusters, iters)
     q = assigned.filter(F.col("vec_id") < n_queries).selectExpr(
         "vec_id AS qid", "vs AS qv"
     )
@@ -549,12 +554,13 @@ PQ_K = 16              # replay stays cheap at sf0.01)
 PQ_ITERS = 2
 
 
-def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, m, sv[PQ_SUB]) — floor-scaled integer subvectors."""
+def _pq_subvectors(emb: DataFrame, m_sub: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sv[DIM/m_sub]) — floor-scaled integer subvectors."""
+    sub = DIM // m_sub
     v = emb.selectExpr("vec_id", f"{ivf_scaled_sql('spark')} AS vs")
     return v.selectExpr(
-        "vec_id", f"explode(sequence(0, {PQ_M - 1})) AS m", "vs"
-    ).selectExpr("vec_id", "m", f"slice(vs, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv")
+        "vec_id", f"explode(sequence(0, {m_sub - 1})) AS m", "vs"
+    ).selectExpr("vec_id", "m", f"slice(vs, m * {sub} + 1, {sub}) AS sv")
 
 
 def _pq_d2_sql(dialect: str, a: str, b: str, dim: int = 0) -> str:
@@ -571,17 +577,21 @@ def _pq_d2_sql(dialect: str, a: str, b: str, dim: int = 0) -> str:
     )
 
 
-def _pq_lloyd(sv: DataFrame) -> DataFrame:
+def _pq_lloyd(
+    sv: DataFrame, n_codes: int = PQ_K, iters: int = PQ_ITERS,
+    sub: int = PQ_SUB,
+) -> DataFrame:
     """Fixed Lloyd rounds over an (vec_id, m, sv) subvector table;
-    returns integer codebooks (m, cid, c[PQ_SUB]). Seeded from the
-    first PQ_K vec_ids — deterministic, shared with the oracle."""
-    cents = sv.filter(F.col("vec_id") < PQ_K).selectExpr(
+    returns integer codebooks (m, cid, c[sub]). Seeded from the
+    first ``n_codes`` vec_ids — deterministic, shared with the
+    oracle at the module defaults; production scales pass K=256."""
+    cents = sv.filter(F.col("vec_id") < n_codes).selectExpr(
         "m", "vec_id AS cid", "sv AS s", "cast(1 as bigint) AS n"
     )
-    for _ in range(PQ_ITERS):
+    for _ in range(iters):
         scored = sv.join(F.broadcast(cents), "m").selectExpr(
             "vec_id", "m", "sv", "cid",
-            f"{_sqdist_scaled_sql('spark', 'sv', 's', 'n', PQ_SUB)} AS d",
+            f"{_sqdist_scaled_sql('spark', 'sv', 's', 'n', sub)} AS d",
         )
         win = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
         assigned = (
@@ -590,7 +600,7 @@ def _pq_lloyd(sv: DataFrame) -> DataFrame:
             .select("vec_id", "m", "sv", "cid")
         )
         cents = assigned.groupBy("m", "cid").agg(
-            F.expr(_vec_sum_sql("spark", "sv", PQ_SUB)).alias("s"),
+            F.expr(_vec_sum_sql("spark", "sv", sub)).alias("s"),
             F.count("*").alias("n"),
         ).localCheckpoint(eager=True)
     return cents.selectExpr(
@@ -599,11 +609,14 @@ def _pq_lloyd(sv: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebooks(emb: DataFrame):
+def pq_codebooks(
+    emb: DataFrame, n_codes: int = PQ_K, iters: int = PQ_ITERS,
+    m_sub: int = PQ_M,
+):
     """Train per-subspace codebooks; returns (subvectors_df,
-    codebooks_df (m, cid, c[PQ_SUB] integer centroid))."""
-    sv = _pq_subvectors(emb).localCheckpoint(eager=True)
-    return sv, _pq_lloyd(sv)
+    codebooks_df (m, cid, c[DIM/m_sub] integer centroid))."""
+    sv = _pq_subvectors(emb, m_sub).localCheckpoint(eager=True)
+    return sv, _pq_lloyd(sv, n_codes, iters, DIM // m_sub)
 
 
 def pq_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
@@ -622,14 +635,15 @@ def pq_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def pq_topk(
-    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+    n_codes: int = PQ_K, iters: int = PQ_ITERS, m_sub: int = PQ_M,
 ) -> DataFrame:
     """PQ-ADC top-k: (qid, rank, vec_id, adc) with adc the exact
     integer asymmetric distance. Query subvectors stay exact; the
     per-query lookup table (n_queries x PQ_M x PQ_K rows) broadcasts,
     codes join it map-side, and the only shuffle is the partial-agg
     sum over M=4 rows per (qid, vec_id)."""
-    sv, cb = pq_codebooks(emb)
+    sv, cb = pq_codebooks(emb, n_codes, iters, m_sub)
     codes = pq_codes(sv, cb)
     q = sv.filter(F.col("vec_id") < n_queries).selectExpr(
         "vec_id AS qid", "m", "sv AS qsv"
@@ -730,13 +744,16 @@ def oracle_pq_topk(k: int = 5, n_queries: int = N_QUERIES) -> str:
 
 def ivfpq_topk(
     emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
-    probes: int = IVF_PROBES,
+    probes: int = IVF_PROBES, n_clusters: int = IVF_K,
+    n_codes: int = PQ_K, iters: int = PQ_ITERS,
 ) -> DataFrame:
     """(qid, rank, vec_id, adc): top-k by integer residual-ADC within
     the probed coarse clusters. Scale shape: coarse centroids and PQ
     codebooks broadcast; encode is map-only; the probe-side candidate
-    join is an equi-join on cid; the ADC sum map-side combines."""
-    assigned, cents = ivf_assignments(emb)
+    join is an equi-join on cid; the ADC sum map-side combines.
+    ``n_clusters``/``n_codes``/``iters`` are the production scale
+    knobs (defaults match the sf0.01 oracle replay)."""
+    assigned, cents = ivf_assignments(emb, n_clusters, iters)
     assigned = assigned.localCheckpoint(eager=True)
     ccent = cents.selectExpr(
         "cid",
@@ -751,7 +768,7 @@ def ivfpq_topk(
         "vec_id", "cid", "m",
         f"slice(rv, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv",
     ).localCheckpoint(eager=True)
-    cb = _pq_lloyd(rsv.select("vec_id", "m", "sv"))
+    cb = _pq_lloyd(rsv.select("vec_id", "m", "sv"), n_codes, iters)
     codes = pq_codes(rsv.select("vec_id", "m", "sv"), cb)
     # coarse probe (same rational-centroid distances as ann_ivf_topk)
     q = assigned.filter(F.col("vec_id") < n_queries).selectExpr(

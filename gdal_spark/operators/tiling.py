@@ -228,6 +228,123 @@ def overview_tiles(
     )
 
 
+GAUSS_K3 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.int64)
+
+
+def overview_gauss(
+    tiles: DataFrame,
+    extent: tuple[int, int, int, int],
+    tile_px: int = TILE_PX,
+) -> DataFrame:
+    """GDAL GAUSS overview kernel, one pyramid level up
+    (gcore/overview.cpp:1827 GDALResampleChunk32R_Gauss): for a 2x
+    overview the 3x3 binomial kernel [1,2,1;2,4,2;1,2,1] is anchored
+    at source (2x, 2y) (the reference's window [2x, 2x+3)), truncated
+    at the raster edge, and the output pixel is
+    float32(total/weight) rounded to byte via GDALCopyWord's
+    trunc(v + 0.5). With byte inputs and weight <= 16 the float32
+    rounding can never move the value across a .5 boundary
+    (|v - X.5| is either 0 or >= 1/(2*16), far above float32 eps at
+    255), so the byte equals the pure-integer
+    (2*total + weight) div (2*weight) — exact and SQL-replicable.
+
+    Unlike the aligned 2x2 kernels, the 3x3 window crosses parent
+    boundaries, so even-tx children also feed the parent to their
+    LEFT and odd-ty children the parent ABOVE them (TMS y-up) as a
+    one-pixel halo — the tiled-halo pattern of dem.py, a small
+    explode before the same one-shuffle tree reduce. ``extent`` is
+    the raster's child-tile range (tx0, tx1, ty0, ty1); positions
+    outside it truncate the kernel window exactly like the
+    reference's raster edge."""
+    tx0, tx1, ty0, ty1 = extent
+    t = tile_px
+
+    parented = tiles.selectExpr(
+        "tx", "ty", "bytes", "n_painted",
+        "explode(filter(array("
+        "named_struct('ptx', tx div 2, 'pty', ty div 2, 'm', true), "
+        "IF(tx % 2 = 0, named_struct('ptx', tx div 2 - 1, "
+        "'pty', ty div 2, 'm', false), null), "
+        "IF(ty % 2 = 1, named_struct('ptx', tx div 2, "
+        "'pty', ty div 2 + 1, 'm', false), null), "
+        "IF(tx % 2 = 0 AND ty % 2 = 1, named_struct('ptx', "
+        "tx div 2 - 1, 'pty', ty div 2 + 1, 'm', false), null)"
+        "), x -> x IS NOT NULL)) AS p",
+    ).selectExpr(
+        "p.ptx AS ptx", "p.pty AS pty", "p.m AS is_main",
+        "tx", "ty", "bytes", "n_painted",
+    )
+
+    def reduce_parent(key, pdf):
+        ptx, pty = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {
+                "tx": pd.array([], dtype="int64"),
+                "ty": pd.array([], dtype="int64"),
+                "bytes": pd.array([], dtype=object),
+                "n_painted": pd.array([], dtype="int64"),
+                "cks_0": pd.array([], dtype="int64"),
+                "cks_1": pd.array([], dtype="int64"),
+                "cks_2": pd.array([], dtype="int64"),
+            }
+        )
+        if not pdf["is_main"].any():
+            return empty  # halo-only group: not a rendered parent
+        # compose children + halo row/col on a (2t+1)^2 canvas
+        comp = np.zeros((2 * t + 1, 2 * t + 1, 3), dtype=np.int64)
+        for row in pdf.itertuples(index=False):
+            arr = codecs.decode_image(bytes(row.bytes)).astype(np.int64)
+            qx = int(row.tx) - 2 * ptx          # 0, 1, or 2 (halo col)
+            ry = (2 * pty + 1 - int(row.ty)) * t  # 0, t, or 2t (halo row)
+            h = 1 if ry == 2 * t else t
+            w_ = 1 if qx == 2 else t
+            comp[ry : ry + h, qx * t : qx * t + w_, :] = arr[:h, :w_, :]
+        # validity: within the raster extent (truncates the window at
+        # the mosaic edge, matching the reference's chunk bounds)
+        rr = np.arange(2 * t + 1)
+        ctx = 2 * ptx + rr // t
+        cty = 2 * pty + 1 - rr // t
+        col_ok = (ctx >= tx0) & (ctx <= tx1)
+        row_ok = (cty >= ty0) & (cty <= ty1)
+        valid = row_ok[:, None] & col_ok[None, :]
+        total = np.zeros((t, t, 3), dtype=np.int64)
+        wsum = np.zeros((t, t, 1), dtype=np.int64)
+        for j in range(3):
+            for i in range(3):
+                w = int(GAUSS_K3[j, i])
+                sub = comp[j : j + 2 * t : 2, i : i + 2 * t : 2, :]
+                v = valid[j : j + 2 * t : 2, i : i + 2 * t : 2]
+                total += w * sub * v[:, :, None]
+                wsum[:, :, 0] += w * v
+        # parent pixels wholly outside the raster extent (a parent
+        # tile half past the mosaic edge) have no source window at
+        # all: emit 0, matching the zero-filled composition
+        # convention (and contributing 0 to the checksum, exactly
+        # like the oracle's absent rows)
+        safe = np.maximum(wsum, 1)
+        buf = np.where(
+            wsum > 0, (2 * total + safe) // (2 * safe), 0
+        ).astype(np.uint8)
+        main = pdf[pdf["is_main"]]
+        return pd.DataFrame(
+            {
+                "tx": [ptx],
+                "ty": [pty],
+                "bytes": [codecs.encode_image(buf, "png")],
+                "n_painted": [int(main["n_painted"].sum())],
+                "cks_0": [tile_checksum(buf[:, :, 0])],
+                "cks_1": [tile_checksum(buf[:, :, 1])],
+                "cks_2": [tile_checksum(buf[:, :, 2])],
+            }
+        )
+
+    return parented.groupby("ptx", "pty").applyInPandas(
+        reduce_parent,
+        schema="tx bigint, ty bigint, bytes binary, n_painted bigint, "
+        "cks_0 bigint, cks_1 bigint, cks_2 bigint",
+    )
+
+
 def build_pyramid(
     images: DataFrame, z_base: int, z_min: int, tile_px: int = TILE_PX
 ) -> dict[int, DataFrame]:
@@ -378,6 +495,45 @@ def oracle_overview_resamplers(
         f"SELECT ptx AS tx, pty AS ty, alg, cast(ch as bigint) AS channel, "
         f"cast(sum(val % {prime}) % 65536 as bigint) AS cks "
         f"FROM reduced GROUP BY 1, 2, 3, 4"
+    )
+
+
+def oracle_overview_gauss(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int = TILE_PX
+) -> str:
+    """GAUSS overview replay: 3x3 binomial window anchored at
+    (2x, 2y), truncated at the raster (tile-extent) edge, exact
+    integer round-half-up (2*total + wsum) // (2*wsum) — see
+    overview_gauss for why the float32 path collapses to this."""
+    t = tile_px
+    prime = (
+        f"(CASE ((y * {t} + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    wx = "(CASE dx WHEN 1 THEN 2 ELSE 1 END)"
+    wy = "(CASE dy WHEN 1 THEN 2 ELSE 1 END)"
+    return (
+        f"WITH {_render_ctes(n, max_i, zoom, tx0, tx1, ty0, ty1, tile_px)}, "
+        f"parents AS (SELECT DISTINCT tx // 2 AS ptx, ty // 2 AS pty FROM vals), "
+        f"quad3 AS (SELECT q.ptx, q.pty, q.x, q.y, q.ch, q.wgt, v.val "
+        f"FROM (SELECT ptx, pty, x, y, ch, {wx} * {wy} AS wgt, "
+        f"2 * ptx + ((2 * x + dx) // {t}) AS ctx, "
+        f"2 * pty + (1 - ((2 * y + dy) // {t})) AS cty, "
+        f"(2 * x + dx) % {t} AS cx, (2 * y + dy) % {t} AS cy "
+        f"FROM parents, range(0, {t}) a(x), range(0, {t}) b(y), "
+        f"range(0, 3) c(ch), range(0, 3) d(dx), range(0, 3) e(dy)) q "
+        f"LEFT JOIN vals v ON v.tx = q.ctx AND v.ty = q.cty "
+        f"AND v.ox = q.cx AND v.oy = q.cy AND v.ch = q.ch "
+        f"WHERE q.ctx BETWEEN {tx0} AND {tx1} "
+        f"AND q.cty BETWEEN {ty0} AND {ty1}), "
+        f"reduced AS (SELECT ptx, pty, x, y, ch, "
+        f"(2 * sum(wgt * coalesce(val, 0)) + sum(wgt)) // (2 * sum(wgt)) "
+        f"AS val FROM quad3 GROUP BY ptx, pty, x, y, ch) "
+        f"SELECT ptx AS tx, pty AS ty, cast(ch as bigint) AS channel, "
+        f"cast(sum(val % {prime}) % 65536 as bigint) AS cks "
+        f"FROM reduced GROUP BY 1, 2, 3"
     )
 
 

@@ -370,6 +370,109 @@ _PIXELFNS = [
 ]
 
 
+# The complex-domain half of the registered table
+# (pixelfunctions.cpp:1546-1587): bands interpreted as complex pairs —
+# A = v0 + i*v1, B = v1 + i*v2 (CMul takes A * conj(B)), polar reads
+# (amplitude, phase). Complex outputs contribute BOTH parts to the
+# key (floor each part separately, then sum — order-free).
+# Guards that keep the probe total on byte-valued bands (documented
+# deviations, not semantic ones): div regularizes the denominator by
+# +1 (as the real suite's inv does), interpolate_exp shifts by +1
+# before ln (GDAL assumes positive samples), replace_nodata uses
+# nodata=0 -> 255.
+_PIXELFNS_CPLX = [
+    # (name, numpy -> (re, im|None), (sql_re, sql_im|None))
+    ("real", lambda v0, v1, v2: (v0, None), ("v0", None)),
+    ("imag", lambda v0, v1, v2: (v1, None), ("v1", None)),
+    ("complex", lambda v0, v1, v2: (v0, v1), ("v0", "v1")),
+    ("conj", lambda v0, v1, v2: (v0, -v1), ("v0", "-v1")),
+    ("mod", lambda v0, v1, v2: (np.sqrt(v0 * v0 + v1 * v1), None),
+     ("sqrt(v0 * v0 + v1 * v1)", None)),
+    ("phase", lambda v0, v1, v2: (np.arctan2(v1, v0), None),
+     ("atan2(v1, v0)", None)),
+    ("cmul", lambda v0, v1, v2: (v0 * v1 + v1 * v2, v1 * v1 - v0 * v2),
+     ("v0 * v1 + v1 * v2", "v1 * v1 - v0 * v2")),
+    ("div", lambda v0, v1, v2: (v0 / (v1 + 1.0), None),
+     ("v0 / (v1 + 1.0E0)", None)),
+    ("polar", lambda v0, v1, v2: (v0 * np.cos(v1), v0 * np.sin(v1)),
+     ("v0 * cos(v1)", "v0 * sin(v1)")),
+    # dB inputs are re-centered to [-64, 63.5] dB ((v0-128)/2) so the
+    # 1e4-scaled key stays far inside int64 (raw byte dB would reach
+    # 10^25.5 * 1e4 and overflow the sum)
+    ("dB2amp", lambda v0, v1, v2: (np.power(10.0, (v0 - 128.0) / 40.0), None),
+     ("power(10.0E0, (v0 - 128.0E0) / 40.0E0)", None)),
+    ("dB2pow", lambda v0, v1, v2: (np.power(10.0, (v0 - 128.0) / 20.0), None),
+     ("power(10.0E0, (v0 - 128.0E0) / 20.0E0)", None)),
+    ("interpolate_exp",
+     lambda v0, v1, v2: (
+         np.exp(np.log(v0 + 1.0)
+                + 0.25 * (np.log(v1 + 1.0) - np.log(v0 + 1.0))), None),
+     ("exp(ln(v0 + 1.0E0) + 0.25E0 * (ln(v1 + 1.0E0) - ln(v0 + 1.0E0)))",
+      None)),
+    ("replace_nodata",
+     lambda v0, v1, v2: (np.where(v0 == 0.0, 255.0, v0), None),
+     ("CASE WHEN v0 = 0.0E0 THEN 255.0E0 ELSE v0 END", None)),
+]
+
+
+def pixel_functions_complex(images: DataFrame) -> DataFrame:
+    """(image_id, fn, key_sum) for the complex-domain pixel-function
+    half of the registered table (real/imag/complex/conj/mod/phase/
+    cmul/div/polar/dB2amp/dB2pow/interpolate_exp/replace_nodata)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.float64)
+                v0, v1, v2 = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                for name, f, _ in _PIXELFNS_CPLX:
+                    re, im = f(v0, v1, v2)
+                    key = int(
+                        np.floor(re * PIXELFN_SCALE + PIXELFN_NUDGE).sum()
+                    )
+                    if im is not None:
+                        key += int(
+                            np.floor(im * PIXELFN_SCALE + PIXELFN_NUDGE).sum()
+                        )
+                    rows.append((image_id, name, key))
+            yield pd.DataFrame(rows, columns=["image_id", "fn", "key_sum"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, fn string, key_sum bigint"
+    )
+
+
+def oracle_pixel_functions_complex(n: int, max_i: int) -> str:
+    val = synth.pixel_val_sql()
+
+    def ch(c):
+        return f"cast(({val.replace('ch', str(c))}) as double)"
+
+    def fl(sql):
+        return (
+            f"cast(floor(({sql}) * {synth.flit(PIXELFN_SCALE)}"
+            f" + {synth.flit(PIXELFN_NUDGE)}) as bigint)"
+        )
+
+    branches = " ".join(
+        f"WHEN '{name}' THEN {fl(sql_re)}"
+        + (f" + {fl(sql_im)}" if sql_im else "")
+        for name, _, (sql_re, sql_im) in _PIXELFNS_CPLX
+    )
+    fn_list = ", ".join(f"'{name}'" for name, _, _ in _PIXELFNS_CPLX)
+    return (
+        f"WITH g AS MATERIALIZED (SELECT image_id, "
+        f"{ch(0)} AS v0, {ch(1)} AS v1, {ch(2)} AS v2 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 256) a(x), range(0, 256) b(y) "
+        f"WHERE i.i < {max_i} AND x < i.w AND y < i.h) "
+        f"SELECT image_id, fn, cast(sum(CASE fn {branches} END) as bigint) "
+        f"AS key_sum "
+        f"FROM g, (SELECT unnest([{fn_list}]) AS fn) f GROUP BY 1, 2"
+    )
+
+
 def pixel_functions(images: DataFrame) -> DataFrame:
     """(image_id, fn, key_sum) for the registered-pixel-function
     suite over the decoded bands."""

@@ -380,3 +380,159 @@ def oracle_layer_extent(m: int) -> str:
         f"cast(floor(max(cy + hh) * {k}) as bigint) AS maxy_key "
         f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
     )
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr -wrapdateline (apps/ogr2ogr_lib.cpp): split geometries that
+# cross the antimeridian into their western/eastern parts, the eastern
+# part shifted into [-180, 180). Without it, a lon=+/-180-crossing
+# polygon silently spans the whole world in cell covers
+# (spatial_join.polygon_cells) — the r3 verdict's dateline hazard.
+
+
+def _clip_ring_lon(r: np.ndarray, lon: float, keep_left: bool) -> np.ndarray:
+    """Sutherland-Hodgman halfplane clip of one ring at ``lon``."""
+    out = []
+    n = len(r)
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        ain = a[0] <= lon if keep_left else a[0] >= lon
+        bin_ = b[0] <= lon if keep_left else b[0] >= lon
+        if ain:
+            out.append(a)
+        if ain != bin_:
+            t = (lon - a[0]) / (b[0] - a[0])
+            out.append(np.array([lon, a[1] + t * (b[1] - a[1])]))
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def wrapdateline_parts(rings, split_lon: float = 180.0):
+    """Split a ring set (lons possibly beyond +180) at the
+    antimeridian. Returns [(part, rings)] with part 'w' (unshifted)
+    / 'e' (shifted by -360); uncrossed geometry comes back as one
+    'w' part (normalized into range if it sat wholly beyond +180).
+    Multi-crossing concave subjects leave zero-width seam bridges
+    after the halfplane clip — makevalid's mod-2 linework reduction
+    removes them, so parts are clean simple rings."""
+    from .makevalid import make_valid_rings
+
+    rs = [_ring_array(r) for r in rings]
+    xs = np.concatenate([r[:, 0] for r in rs])
+    if xs.max() <= split_lon:
+        return [("w", rs)]
+    if xs.min() >= split_lon:
+        return [("w", [r - np.array([360.0, 0.0]) for r in rs])]
+    west = [c for c in (_clip_ring_lon(r, split_lon, True) for r in rs)
+            if len(c) >= 3]
+    east = [c - np.array([360.0, 0.0])
+            for c in (_clip_ring_lon(r, split_lon, False) for r in rs)
+            if len(c) >= 3]
+    out = []
+    if west:
+        out.append(("w", make_valid_rings(west)))
+    if east:
+        out.append(("e", make_valid_rings(east)))
+    return out
+
+
+def wrapdateline(layer: DataFrame, id_col: str = "fid") -> DataFrame:
+    """(fid, part, n_rings, area_key, geom_wkb) — one row per split
+    part; area_key = floor(1e6 * part area). Map-only (per-feature
+    local), Arrow-batched."""
+    from .. import wkb as wkbmod
+    from .makevalid import rings_area_evenodd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for fid, g in zip(pdf[id_col], pdf["geom_wkb"]):
+                rings = wkbmod.polygon_rings(bytes(g))
+                for part, rs in wrapdateline_parts(rings):
+                    area = abs(rings_area_evenodd(rs))
+                    rows.append(
+                        (
+                            fid,
+                            part,
+                            len(rs),
+                            int(np.floor(area * 1e6)),
+                            wkbmod.encode_polygon(rs[0], rs[1:])
+                            if rs else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "part", "n_rings", "area_key", "geom_wkb"],
+            )
+
+    return layer.select(id_col, "geom_wkb").mapInPandas(
+        run,
+        schema=f"{id_col} string, part string, n_rings bigint, "
+        "area_key bigint, geom_wkb binary",
+    )
+
+
+_WRAP_SHIFT = 170.0  # fixture shift: synth boxes land on both sides
+
+
+def wrapdateline_fixtures_pdf(m: int) -> pd.DataFrame:
+    """Box-kind synth polygons translated +170 deg east: some stay
+    west of 180, some sit wholly beyond (normalize), some straddle it
+    (split) — all three behaviors closed-form for the oracle."""
+    from .. import synth, wkb as wkbmod
+
+    j, cx, cy, hw, hh = synth._poly_params(m)
+    rows = []
+    for idx in range(m):
+        if idx % 8 not in (1, 4):
+            continue
+        x = float(cx[idx]) + _WRAP_SHIFT
+        y, w, h = float(cy[idx]), float(hw[idx]), float(hh[idx])
+        ring = [(x - w, y - h), (x + w, y - h), (x + w, y + h), (x - w, y + h)]
+        rows.append(
+            {"fid": f"poly{idx:04d}",
+             "geom_wkb": wkbmod.encode_polygon(ring)}
+        )
+    return pd.DataFrame(rows)
+
+
+def wrapdateline_query(spark, m: int) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.StringType(), False),
+            T.StructField("geom_wkb", T.BinaryType(), False),
+        ]
+    )
+    layer = spark.createDataFrame(wrapdateline_fixtures_pdf(m), schema=schema)
+    return wrapdateline(layer).select("fid", "part", "n_rings", "area_key")
+
+
+def oracle_wrapdateline(m: int) -> str:
+    """Closed-form part areas for the translated boxes: west part
+    (180 - x0) * 2hh, east part (x1 - 180) * 2hh, whole box when not
+    straddling."""
+    from .. import synth
+
+    p = synth.polygons_sql_cte(m, "duckdb")
+    s = synth.flit(_WRAP_SHIFT)
+    base = (
+        f"SELECT j, cx + {s} AS x, cy, hw, hh FROM ({p}) "
+        f"WHERE j % 8 IN (1, 4)"
+    )
+    fid = "concat('poly', lpad(cast(j as varchar), 4, '0'))"
+    return (
+        f"WITH b AS ({base}), "
+        f"parts AS ("
+        # uncrossed (wholly west or wholly east -> one 'w' part)
+        f"SELECT j, 'w' AS part, 4.0E0 * hw * hh AS area FROM b "
+        f"WHERE x + hw <= 180.0E0 OR x - hw >= 180.0E0 "
+        f"UNION ALL "
+        f"SELECT j, 'w' AS part, (180.0E0 - (x - hw)) * (2.0E0 * hh) "
+        f"AS area FROM b WHERE x - hw < 180.0E0 AND x + hw > 180.0E0 "
+        f"UNION ALL "
+        f"SELECT j, 'e' AS part, ((x + hw) - 180.0E0) * (2.0E0 * hh) "
+        f"AS area FROM b WHERE x - hw < 180.0E0 AND x + hw > 180.0E0) "
+        f"SELECT {fid} AS fid, part, cast(1 as bigint) AS n_rings, "
+        f"cast(floor(area * 1000000.0E0) as bigint) AS area_key FROM parts"
+    )

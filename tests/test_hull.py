@@ -82,3 +82,14 @@ def test_cell_hulls_spark(spark):
     assert ((out.hull_n >= 3) == (out.area2 > 0)).all()
     # sampled 3000/16 ~ 187 points over 8x8 cells: several real hulls
     assert (out.hull_n >= 3).sum() >= 10
+
+
+def test_cell_hulls_nondefault_zoom(spark):
+    """Scale-knob audit: zoom is a run-scale argument — a finer grid
+    (z4 = 16x16 cells) yields at least as many cells, each with no
+    more points than its z3 parent."""
+    z3 = hull.cell_hulls(synth.images_df(spark, 3000)).toPandas()
+    z4 = hull.cell_hulls(synth.images_df(spark, 3000), zoom=4).toPandas()
+    assert len(z4) >= len(z3)
+    assert z4.n_pts.sum() == z3.n_pts.sum()  # same sampled points
+    assert z4.n_pts.max() <= z3.n_pts.max()

@@ -113,3 +113,54 @@ def test_covering_tiles_complete(spark, hot_images):
         ]:
             tx, ty = grid.lonlat_to_tile_merc(np.array([lon]), np.array([lat]), Z)
             assert (int(tx[0]), int(ty[0])) in pairs
+
+
+def test_overview_gauss_matches_bruteforce(spark, hot_images):
+    """GAUSS overview (r4): mosaic the full child window into one
+    array, run the anchored 3x3 binomial window with raster-edge
+    truncation in plain numpy, and demand byte equality per parent —
+    including across parent-tile seams (the halo path)."""
+    meta, df = hot_images
+    tx0, tx1, ty0, ty1 = RANGE
+    base = tiling.render_base_tiles(df, Z).filter(
+        f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}"
+    )
+    out = tiling.overview_gauss(base, RANGE).toPandas()
+    assert len(out) >= 4
+
+    # full mosaic of the child window (TMS y-up -> image rows go
+    # down as ty decreases)
+    t = tiling.TILE_PX
+    W = (tx1 - tx0 + 1) * t
+    H = (ty1 - ty0 + 1) * t
+    mosaic = np.zeros((H, W, 3), dtype=np.int64)
+    for row in base.toPandas().itertuples(index=False):
+        arr = codecs.decode_image(bytes(row.bytes))
+        ox = (int(row.tx) - tx0) * t
+        oy = (ty1 - int(row.ty)) * t
+        mosaic[oy : oy + t, ox : ox + t, :] = arr
+
+    K = tiling.GAUSS_K3
+    for row in out.itertuples(index=False):
+        ptx, pty = int(row.tx), int(row.ty)
+        got = codecs.decode_image(bytes(row.bytes))
+        for y in range(t):
+            for x in range(t):
+                # parent pixel -> global child coords
+                gx = (2 * ptx - tx0) * t + 2 * x
+                gy = (ty1 - 2 * pty - 1) * t + 2 * y
+                tot = 0
+                wsum = 0
+                for j in range(3):
+                    for i in range(3):
+                        yy, xx = gy + j, gx + i
+                        if 0 <= yy < H and 0 <= xx < W:
+                            w = int(K[j, i])
+                            tot_px = mosaic[yy, xx, :]
+                            tot = tot + w * tot_px
+                            wsum += w
+                if wsum == 0:
+                    want = np.zeros(3, dtype=np.int64)
+                else:
+                    want = (2 * tot + wsum) // (2 * wsum)
+                assert (got[y, x, :] == want).all(), (ptx, pty, x, y)
