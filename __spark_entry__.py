@@ -1134,6 +1134,8 @@ _R4_WINDOW = [
     "makevalid",
     "wrapdateline",
     "quantize_dither",
+    "osgb_corners",
+    "explode_collections",
     # (c) re-verify samples of r02/r03 greens
     "spatial_join_pip",
     "minhash_lsh",
@@ -1253,6 +1255,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
+        ),
+        "explode_collections": lambda spark, sf_dir: (
+            vector_ops.explode_collections_query(
+                spark, synth.n_polygons(sf_dir)
+            )
+        ),
+        "osgb_corners": lambda spark, sf_dir: reproject.osgb_corners(
+            synth.images_df(spark, synth.n_images(sf_dir))
         ),
         "proximity_values": lambda spark, sf_dir: proximity.proximity_tiled(
             spark, _PROX_W, _PROX_W, _PROX_MAXDIST,
@@ -1564,6 +1574,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
+        "explode_collections": vector_ops.oracle_explode_collections(
+            _ORACLE_N_POLYGONS
+        ),
+        "osgb_corners": reproject.oracle_osgb_corners(n),
         "proximity_values": proximity.oracle_proximity(
             _PROX_W, _PROX_W, _PROX_MAXDIST, target_values=_PROX_VALUES
         ),

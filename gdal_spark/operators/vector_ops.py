@@ -536,3 +536,131 @@ def oracle_wrapdateline(m: int) -> str:
         f"SELECT {fid} AS fid, part, cast(1 as bigint) AS n_rings, "
         f"cast(floor(area * 1000000.0E0) as bigint) AS area_key FROM parts"
     )
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr -explodecollections (apps/ogr2ogr_lib.cpp): one output
+# feature per member of a geometry collection, attributes duplicated;
+# non-collection geometries pass through as a single part. Map-only
+# (per-feature local) — at 100 TB this is a mapInPandas over the
+# layer with no shuffle.
+
+
+def explode_collections(layer: DataFrame, id_col: str = "fid") -> DataFrame:
+    """(fid, part_idx, n_rings, area_key, geom_wkb) — one row per
+    collection member, part_idx in member order (the reference
+    iterates getGeometryRef(i) in order); POLYGON passes through with
+    part_idx = 0."""
+    from .. import wkb as wkbmod
+    from .makevalid import rings_area_evenodd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for fid, g in zip(pdf[id_col], pdf["geom_wkb"]):
+                gtype, payload = wkbmod.decode(bytes(g))
+                if gtype == wkbmod.MULTIPOLYGON:
+                    members = payload
+                elif gtype == wkbmod.POLYGON:
+                    members = [payload]
+                else:
+                    raise ValueError(f"unsupported geometry {gtype}")
+                for k, rings in enumerate(members):
+                    area = abs(rings_area_evenodd(rings))
+                    rows.append(
+                        (
+                            fid,
+                            k,
+                            len(rings),
+                            int(np.floor(area * 1e6)),
+                            wkbmod.encode_polygon(rings[0], rings[1:]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "part_idx", "n_rings", "area_key",
+                         "geom_wkb"],
+            )
+
+    return layer.select(id_col, "geom_wkb").mapInPandas(
+        run,
+        schema=f"{id_col} string, part_idx int, n_rings bigint, "
+        "area_key bigint, geom_wkb binary",
+    )
+
+
+_EXPL_GROUP = 3  # boxes per fixture multipolygon
+
+
+def explode_fixtures_pdf(m: int) -> pd.DataFrame:
+    """Mixed layer: box-kind synth polygons grouped 3-per-MULTIPOLYGON
+    (member order = j order) + triangle-kind singles as plain POLYGON
+    rows — exercising both the split and the passthrough."""
+    from .. import synth, wkb as wkbmod
+
+    j, cx, cy, hw, hh = synth._poly_params(m)
+    groups: dict[int, list] = {}
+    rows = []
+    for idx in range(m):
+        r = idx % 8
+        x, y, w, h = (float(cx[idx]), float(cy[idx]),
+                      float(hw[idx]), float(hh[idx]))
+        if r in (1, 4):  # box -> multi member; rank is closed-form
+            rank = 2 * (idx // 8) + (1 if r == 4 else 0)
+            ring = [(x - w, y - h), (x + w, y - h),
+                    (x + w, y + h), (x - w, y + h)]
+            groups.setdefault(rank // _EXPL_GROUP, []).append((ring, ()))
+        elif r in (2, 5):  # triangle -> single POLYGON passthrough
+            ring = [(x - w, y - h), (x + w, y - h), (x, y + h)]
+            rows.append(
+                {"fid": f"single{idx:04d}",
+                 "geom_wkb": wkbmod.encode_polygon(ring)}
+            )
+    for gid, polys in groups.items():
+        rows.append(
+            {"fid": f"multi{gid:04d}",
+             "geom_wkb": wkbmod.encode_multipolygon(polys)}
+        )
+    return pd.DataFrame(rows)
+
+
+def explode_collections_query(spark, m: int) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.StringType(), False),
+            T.StructField("geom_wkb", T.BinaryType(), False),
+        ]
+    )
+    layer = spark.createDataFrame(explode_fixtures_pdf(m), schema=schema)
+    return explode_collections(layer).select(
+        "fid", "part_idx", "n_rings", "area_key"
+    )
+
+
+def oracle_explode_collections(m: int) -> str:
+    """Closed-form: boxes (j % 8 IN (1,4)) area 4*hw*hh, rank
+    2*(j//8) + [j%8=4], fid multi{rank//3}, part rank%3; triangles
+    (j % 8 IN (2,5)) area 2*hw*hh as single{j} part 0."""
+    from .. import synth
+
+    p = synth.polygons_sql_cte(m, "duckdb")
+    g = _EXPL_GROUP
+    return (
+        f"WITH b AS (SELECT j, hw, hh, "
+        f"2 * (j // 8) + (CASE WHEN j % 8 = 4 THEN 1 ELSE 0 END) AS rank "
+        f"FROM ({p}) WHERE j % 8 IN (1, 4)), "
+        f"t AS (SELECT j, hw, hh FROM ({p}) WHERE j % 8 IN (2, 5)) "
+        f"SELECT concat('multi', lpad(cast(rank // {g} as varchar), 4, "
+        f"'0')) AS fid, cast(rank % {g} as int) AS part_idx, "
+        f"cast(1 as bigint) AS n_rings, "
+        f"cast(floor(4.0E0 * hw * hh * 1000000.0E0) as bigint) "
+        f"AS area_key FROM b "
+        f"UNION ALL "
+        f"SELECT concat('single', lpad(cast(j as varchar), 4, '0')) "
+        f"AS fid, cast(0 as int) AS part_idx, cast(1 as bigint) "
+        f"AS n_rings, "
+        f"cast(floor(2.0E0 * hw * hh * 1000000.0E0) as bigint) "
+        f"AS area_key FROM t"
+    )

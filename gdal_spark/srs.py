@@ -807,3 +807,251 @@ def tm_inverse_sql_cte(
         f"degrees({prev}) AS lat FROM n{NEWTON_ITERS - 1})"
     )
     return ",\n".join(stages)
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts + non-WGS84-ellipsoid TM (the r3 verdict's missing
+# item 5: "a real GIS user with EPSG:27700 hits it immediately").
+# Reference path: ogr/ogrct.cpp -> PROJ pipeline
+#   +proj=tmerc +ellps=airy +towgs84=...
+# i.e. TM inverse/forward on the source ellipsoid composed with a
+# 7-parameter position-vector Helmert (EPSG method 9606) through
+# geocentric coordinates. Formulas are public (EPSG Guidance Note 7-2;
+# Karney 2011 for the Krueger series, reused generalized over n).
+
+
+def krueger_constants(a: float, f: float):
+    """(e, e2, A*, alpha[6], beta[6]) for an arbitrary ellipsoid —
+    the module-level WGS84 constants specialized by the same public
+    polynomials in the third flattening n."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    n = f / (2.0 - f)
+    a_cap = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+        + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+    return e, e2, a_cap, alpha, beta
+
+
+class TMD:
+    """Transverse Mercator on a non-WGS84 ellipsoid + TOWGS84 datum
+    (EPSG:27700-style projected CRS)."""
+
+    def __init__(self, a, f, k0, lat0, lon0, fe, fn, towgs84):
+        self.a, self.f = a, f
+        self.k0, self.lat0, self.lon0 = k0, lat0, lon0
+        self.fe, self.fn = fe, fn
+        # TOWGS84: (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]),
+        # position-vector sign convention, source datum -> WGS84
+        self.towgs84 = towgs84
+        self.e, self.e2, self.a_cap, self.alpha, self.beta = (
+            krueger_constants(a, f)
+        )
+        # false-origin northing offset: xi of (lat0, lon0)
+        phi0 = np.radians(lat0)
+        s0 = np.sin(phi0)
+        t0 = np.sinh(np.arctanh(s0) - self.e * np.arctanh(self.e * s0))
+        xi0 = float(np.arctan2(t0, 1.0))
+        for j, al in enumerate(self.alpha, start=1):
+            xi0 = xi0 + al * np.sin(2 * j * np.arctan2(t0, 1.0))
+        self.m0 = k0 * self.a_cap * xi0
+
+    def helmert_rad(self):
+        """(tx, ty, tz, rx, ry, rz [rad], scale) of the source->WGS84
+        position-vector transform."""
+        tx, ty, tz, rx, ry, rz, ds = self.towgs84
+        sec = np.pi / (180.0 * 3600.0)
+        return tx, ty, tz, rx * sec, ry * sec, rz * sec, 1.0 + ds * 1e-6
+
+
+# EPSG:27700 OSGB36 / British National Grid: TM on Airy 1830 with the
+# EPSG-registered TOWGS84 (tfm code 1314 values as distributed in
+# proj.db / GDAL's datum.csv)
+TMD_REGISTRY = {
+    27700: TMD(
+        a=6377563.396, f=1.0 / 299.3249646, k0=0.9996012717,
+        lat0=49.0, lon0=-2.0, fe=400000.0, fn=-100000.0,
+        towgs84=(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+                 -20.4894),
+    ),
+}
+
+GEOCENT_ITERS = 8  # fixed-point geodetic-latitude iterations
+
+
+def geodetic_to_cart(lon_deg, lat_deg, a, e2, h=0.0):
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    s = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    x = (nu + h) * np.cos(phi) * np.cos(lam)
+    y = (nu + h) * np.cos(phi) * np.sin(lam)
+    z = (nu * (1.0 - e2) + h) * s
+    return x, y, z
+
+
+def cart_to_geodetic(x, y, z, a, e2, iters: int = GEOCENT_ITERS):
+    """Fixed-count fixed-point iteration (deterministic, mirrored
+    stage-for-stage by the SQL oracle)."""
+    lam = np.arctan2(y, x)
+    p = np.sqrt(x * x + y * y)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(z + e2 * nu * s, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def helmert_forward(x, y, z, p: TMD):
+    """source-datum geocentric -> WGS84 (position vector)."""
+    tx, ty, tz, rx, ry, rz, m = p.helmert_rad()
+    x2 = tx + m * (x - rz * y + ry * z)
+    y2 = ty + m * (rz * x + y - rx * z)
+    z2 = tz + m * (-ry * x + rx * y + z)
+    return x2, y2, z2
+
+
+def helmert_inverse(x, y, z, p: TMD):
+    """WGS84 geocentric -> source datum: the EPSG-sanctioned reverse
+    (same linearized matrix with negated parameters)."""
+    tx, ty, tz, rx, ry, rz, m = p.helmert_rad()
+    m2 = 2.0 - m  # 1 + (-ds)
+    x2 = -tx + m2 * (x + rz * y - ry * z)
+    y2 = -ty + m2 * (-rz * x + y + rx * z)
+    z2 = -tz + m2 * (ry * x - rx * y + z)
+    return x2, y2, z2
+
+
+def tmd_forward(lon, lat, p: TMD):
+    """Source-datum geographic (deg) -> projected easting/northing."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - p.e * np.arctanh(p.e * sphi))
+    cl = np.cos(lam)
+    xi_p = np.arctan2(t, cl)
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, al in enumerate(p.alpha, start=1):
+        xi = xi + al * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + al * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    east = p.fe + p.k0 * p.a_cap * eta
+    north = p.fn + p.k0 * p.a_cap * xi - p.m0
+    return east, north
+
+
+def tmd_from_wgs84(lon, lat, p: TMD):
+    """WGS84 geographic -> projected CRS with datum shift (the full
+    ogrct.cpp chain: geodetic->geocentric->Helmert^-1->geodetic on
+    the source ellipsoid->TM forward)."""
+    x, y, z = geodetic_to_cart(lon, lat, A, E2)
+    xs, ys, zs = helmert_inverse(x, y, z, p)
+    lon_s, lat_s = cart_to_geodetic(xs, ys, zs, p.a, p.e2)
+    return tmd_forward(lon_s, lat_s, p)
+
+
+def tmd_stage_list(p: TMD, dialect: str) -> list[tuple[str, str]]:
+    """The full WGS84 -> projected chain as ordered (column, expr)
+    stages over input columns lon/lat (degrees, WGS84). The SAME list
+    drives both engines — Spark as chained selectExpr stages (named
+    non-cheap intermediates stay staged under CollapseProject),
+    DuckDB as MATERIALIZED CTE stages — so op order and text match
+    and dm-floor parity holds. Hyperbolics use native functions on
+    Spark and exp() compositions on DuckDB (agree to ~ulp; the dm
+    quantization absorbs it, as in the UTM/LCC corner gates)."""
+    c = _sql_const
+    tx, ty, tz, rx, ry, rz, m = p.helmert_rad()
+    m2 = 2.0 - m
+
+    def sinh_(x):
+        if dialect == "spark":
+            return f"sinh({x})"
+        return f"((exp({x}) - exp(-({x}))) / 2.0E0)"
+
+    def cosh_(x):
+        if dialect == "spark":
+            return f"cosh({x})"
+        return f"((exp({x}) + exp(-({x}))) / 2.0E0)"
+
+    def asinh_(x):
+        if dialect == "spark":
+            return f"asinh({x})"
+        return f"ln(({x}) + sqrt(({x}) * ({x}) + 1.0E0))"
+
+    def atanh_(x):
+        if dialect == "spark":
+            return f"atanh({x})"
+        return f"(0.5E0 * ln((1.0E0 + ({x})) / (1.0E0 - ({x}))))"
+
+    st: list[tuple[str, str]] = []
+    # WGS84 geodetic -> geocentric (h = 0)
+    st.append(("lamw", "radians(lon)"))
+    st.append(("phiw", "radians(lat)"))
+    st.append(("sw", "sin(phiw)"))
+    st.append(("cw", "cos(phiw)"))
+    st.append(("nuw", f"{c(A)} / sqrt(1.0E0 - {c(E2)} * sw * sw)"))
+    st.append(("gx", "nuw * cw * cos(lamw)"))
+    st.append(("gy", "nuw * cw * sin(lamw)"))
+    st.append(("gz", f"nuw * (1.0E0 - {c(E2)}) * sw"))
+    # Helmert inverse (WGS84 -> source datum, negated params)
+    st.append(("hx", f"-({c(tx)}) + {c(m2)} * (gx + {c(rz)} * gy - {c(ry)} * gz)"))
+    st.append(("hy", f"-({c(ty)}) + {c(m2)} * (-({c(rz)}) * gx + gy + {c(rx)} * gz)"))
+    st.append(("hz", f"-({c(tz)}) + {c(m2)} * ({c(ry)} * gx - {c(rx)} * gy + gz)"))
+    # geocentric -> geodetic on the source ellipsoid (fixed point)
+    st.append(("lams", "atan2(hy, hx)"))
+    st.append(("pp", "sqrt(hx * hx + hy * hy)"))
+    st.append(("phi0", f"atan2(hz, pp * (1.0E0 - {c(p.e2)}))"))
+    prev = "phi0"
+    for k in range(GEOCENT_ITERS):
+        st.append((f"s{k}", f"sin({prev})"))
+        st.append((f"v{k}", f"{c(p.a)} / sqrt(1.0E0 - {c(p.e2)} * s{k} * s{k})"))
+        st.append((f"phi{k + 1}", f"atan2(hz + {c(p.e2)} * v{k} * s{k}, pp)"))
+        prev = f"phi{k + 1}"
+    # degrees round-trip mirrors the numpy path exactly
+    st.append(("lons", "degrees(lams)"))
+    st.append(("lats", f"degrees({prev})"))
+    # TM forward on the source ellipsoid
+    st.append(("lamt", f"radians(lons - ({c(p.lon0)}))"))
+    st.append(("phit", "radians(lats)"))
+    st.append(("sphit", "sin(phit)"))
+    st.append(("tt", sinh_(f"{atanh_('sphit')} - {c(p.e)} * "
+                           f"{atanh_(f'{c(p.e)} * sphit')}")))
+    st.append(("clt", "cos(lamt)"))
+    st.append(("xip", "atan2(tt, clt)"))
+    st.append(("etap", asinh_("sin(lamt) / sqrt(tt * tt + clt * clt)")))
+    xi_terms = ["xip"]
+    eta_terms = ["etap"]
+    for j, al in enumerate(p.alpha, start=1):
+        aj = c(al)
+        xi_terms.append(f"{aj} * sin({2 * j}.0E0 * xip) * "
+                        + cosh_(f"{2 * j}.0E0 * etap"))
+        eta_terms.append(f"{aj} * cos({2 * j}.0E0 * xip) * "
+                         + sinh_(f"{2 * j}.0E0 * etap"))
+    st.append(("xisum", "(" + " + ".join(xi_terms) + ")"))
+    st.append(("etasum", "(" + " + ".join(eta_terms) + ")"))
+    ka = c(p.k0 * p.a_cap)
+    st.append(("easting", f"{c(p.fe)} + {ka} * etasum"))
+    st.append(("northing", f"{c(p.fn)} + {ka} * xisum - {c(p.m0)}"))
+    return st
