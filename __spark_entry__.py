@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
+from gdal_spark.operators import compare
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import makevalid as mkv
@@ -938,6 +939,15 @@ def _q_warp_reproject_ps(spark, sf_dir):
     return reproject.reproject_ps(imgs)
 
 
+def _q_warp_reproject_sinu(spark, sf_dir):
+    """gdalwarp -t_srs sinusoidal (ESRI:54008 / the MODIS-grid family)
+    pixel path — fifth full warp projection family, same hot-cell
+    subset as the LCC/PS paths; checksum-verified."""
+    imgs = synth.images_df(spark, min(synth.n_images(sf_dir), 4096))
+    imgs = synth.add_pixels(imgs.filter("i % 4 = 0 AND i < 32"))
+    return reproject.reproject_sinu(imgs)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: 8-gram overlap of the training docs
     against the deterministic held-out subset (doc_id % 97 = 0)."""
@@ -1136,6 +1146,10 @@ _R4_WINDOW = [
     "quantize_dither",
     "osgb_corners",
     "explode_collections",
+    "compare_reencode",
+    "sinu_corners",
+    "repetition_profile",
+    "warp_reproject_sinu",
     # (c) re-verify samples of r02/r03 greens
     "spatial_join_pip",
     "minhash_lsh",
@@ -1232,6 +1246,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
         "warp_reproject_ps": _q_warp_reproject_ps,
+        "warp_reproject_sinu": _q_warp_reproject_sinu,
         "ogr_sql_having": ogrsql.q_group_having,
         "vector_reproject_3857": lambda spark, sf_dir: vector_ops.reproject_3857_fields(
             _oracle_polys(spark, sf_dir)
@@ -1250,6 +1265,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_functions_complex": lambda spark, sf_dir: (
             translate.pixel_functions_complex(_pixel_images(spark, sf_dir, 8))
         ),
+        # gdalcompare + the north-rule per-row re-encode invariant:
+        # decoded-pixel PSNR>=40dB as a pure-integer predicate +
+        # caption equality, per row then corpus-verdict aggregable
+        "compare_reencode": lambda spark, sf_dir: compare.compare_rows(
+            _pixel_images(spark, sf_dir, _MM_MAX_I),
+            compare.reencode(
+                _pixel_images(spark, sf_dir, _MM_MAX_I), "jpeg"
+            ),
+        ),
         "makevalid": lambda spark, sf_dir: mkv.makevalid_query(
             spark, synth.n_polygons(sf_dir)
         ),
@@ -1263,6 +1287,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "osgb_corners": lambda spark, sf_dir: reproject.osgb_corners(
             synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        "sinu_corners": lambda spark, sf_dir: reproject.sinu_corners(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # Gopher repetition rules (Rae et al. 2021 app. A): modal
+        # unigram/bigram dominance in integer ppm + the removal flag
+        "repetition_profile": lambda spark, sf_dir: (
+            textops.repetition_profile(_docs(spark, sf_dir))
         ),
         "proximity_values": lambda spark, sf_dir: proximity.proximity_tiled(
             spark, _PROX_W, _PROX_W, _PROX_MAXDIST,
@@ -1549,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject_ps": reproject.oracle_reproject_ps(
             min(n, 4096), 32
         ),
+        "warp_reproject_sinu": reproject.oracle_reproject_sinu(
+            min(n, 4096), 32
+        ),
         "decontaminate": dedup.oracle_decontaminate(),
         "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
@@ -1572,12 +1607,17 @@ def oracle_sql() -> dict[str, str]:
         "pixel_functions_complex": translate.oracle_pixel_functions_complex(
             min(n, 4096), 8
         ),
+        "compare_reencode": compare.oracle_compare_reencode(
+            min(n, 4096), _MM_MAX_I
+        ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "explode_collections": vector_ops.oracle_explode_collections(
             _ORACLE_N_POLYGONS
         ),
         "osgb_corners": reproject.oracle_osgb_corners(n),
+        "sinu_corners": reproject.oracle_sinu_corners(n),
+        "repetition_profile": textops.oracle_repetition_profile(),
         "proximity_values": proximity.oracle_proximity(
             _PROX_W, _PROX_W, _PROX_MAXDIST, target_values=_PROX_VALUES
         ),

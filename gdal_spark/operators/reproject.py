@@ -793,6 +793,177 @@ def osgb_corners(images: DataFrame, epsg: int = 27700) -> DataFrame:
     )
 
 
+def _suggest_grid_sinu(lon, lat, w, h, p, dst_w):
+    """Suggested output grid in the sinusoidal CRS (same bounded-size
+    GDALSuggestedWarpOutput shape as _suggest_grid_ps)."""
+    res = 0.1 / w
+    cx = np.array([lon, lon + w * res, lon, lon + w * res])
+    cy = np.array([lat, lat, lat - h * res, lat - h * res])
+    ex, ny = srs.sinu_forward(cx, cy, p)
+    minx, maxx = ex.min(), ex.max()
+    miny, maxy = ny.min(), ny.max()
+    dres = max(maxx - minx, maxy - miny) / dst_w
+    w_eff = max(1, int(np.floor((maxx - minx) / dres + 0.5)))
+    h_eff = max(1, int(np.floor((maxy - miny) / dres + 0.5)))
+    return (minx, dres, 0.0, maxy, 0.0, -dres), h_eff, w_eff
+
+
+def _reproject_sinu_iter(batches, key: int, dst_w: int, alg: str):
+    p = srs.SINU_REGISTRY[key]
+    for pdf in batches:
+        rows = []
+        for image_id, payload, lon, lat, w, h in zip(
+            pdf["image_id"], pdf["bytes"], pdf["lon"], pdf["lat"],
+            pdf["w"], pdf["h"],
+        ):
+            arr = codecs.decode_image(bytes(payload))
+            lon, lat = float(lon), float(lat)
+            w, h = int(w), int(h)
+            res = 0.1 / w
+            src_gt = (lon, res, 0.0, lat, 0.0, -res)
+            dst_gt, dst_h, dst_w_eff = _suggest_grid_sinu(
+                lon, lat, w, h, p, dst_w
+            )
+
+            def transform(gx, gy, p=p):
+                return srs.sinu_inverse(gx, gy, p)
+
+            warped = resample.warp_image(
+                arr, src_gt, dst_gt, (dst_h, dst_w_eff), alg, transform
+            )
+            from .stats import gdal_checksum
+
+            for c in range(warped.shape[2]):
+                rows.append((image_id, c, gdal_checksum(warped[:, :, c])))
+        yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+
+def reproject_sinu(
+    images: DataFrame, key: int = 54008, dst_w: int = DST_W,
+    alg: str = "near",
+) -> DataFrame:
+    """Warp images onto a suggested sinusoidal (MODIS-family) grid;
+    per-channel GDAL checksums. One mapInPandas stage, zero shuffle —
+    the fifth full pixel-warp projection family."""
+    return images.select(
+        "image_id", "bytes", "lon", "lat", "w", "h"
+    ).mapInPandas(
+        lambda it: _reproject_sinu_iter(it, key, dst_w, alg),
+        schema="image_id string, channel bigint, cks bigint",
+    )
+
+
+def oracle_reproject_sinu(
+    n: int, max_i: int, key: int = 54008, dst_w: int = DST_W
+) -> str:
+    """Replays corners -> bbox -> grid -> per-pixel sinusoidal inverse
+    (meridional-arc Newton unrolled) -> nearest src pixel -> checksum,
+    over the same hot-cell subset as the LCC/PS pixel paths."""
+    p = srs.SINU_REGISTRY[key]
+    corner_parts = []
+    for suffix, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.sinu_forward_sql(lon_e, lat_e, p)
+        corner_parts.append(f"{e_sql} AS e_{suffix}")
+        corner_parts.append(f"{n_sql} AS n_{suffix}")
+    keep = "i, image_id, ilon, ilat, w, h, fmt, xd, yd, dw, dh"
+    inv_cte = srs.sinu_inverse_sql_cte("ec", "nc", p, "px2", keep)
+    prime = (
+        "(CASE ((yd * dw + xd) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    val = synth.pixel_val_sql()
+    return f"""
+WITH img AS (SELECT i, image_id, lon AS ilon, lat AS ilat, lon, lat, w, h, fmt
+             FROM ({synth.images_cte(n, 'duckdb')})
+             WHERE i % 4 = 0 AND i < {max_i}),
+crn AS (SELECT i, image_id, ilon, ilat, w, h, fmt,
+        {', '.join(corner_parts)} FROM img),
+bbox AS (SELECT i, image_id, ilon, ilat, w, h, fmt,
+         least(e_tl, e_tr, e_bl, e_br) AS minx,
+         greatest(e_tl, e_tr, e_bl, e_br) AS maxx,
+         least(n_tl, n_tr, n_bl, n_br) AS miny,
+         greatest(n_tl, n_tr, n_bl, n_br) AS maxy FROM crn),
+grd AS (SELECT bbox.*,
+        greatest(maxx - minx, maxy - miny) / {dst_w}.0E0 AS dres FROM bbox),
+grd2 AS (SELECT grd.*,
+         greatest(1, cast(floor((maxx - minx) / dres + 0.5E0) as bigint)) AS dw,
+         greatest(1, cast(floor((maxy - miny) / dres + 0.5E0) as bigint)) AS dh
+         FROM grd),
+px2 AS (SELECT grd2.*, xd, yd,
+        minx + (xd + 0.5E0) * dres AS ec,
+        maxy - (yd + 0.5E0) * dres AS nc
+        FROM grd2, range(0, {dst_w}) a(xd), range(0, {dst_w}) b(yd)
+        WHERE xd < dw AND yd < dh),
+{inv_cte},
+sxy AS (SELECT i, image_id, w, h, fmt, xd, yd, dw,
+        cast(floor((lon - ilon) / (0.1E0 / w) + 1.0E-10) as bigint) AS x,
+        cast(floor((ilat - lat) / (0.1E0 / w) + 1.0E-10) as bigint) AS y
+        FROM sinuinv),
+vals AS (SELECT image_id, xd, yd, dw, ch,
+         (CASE WHEN x >= 0 AND x < w AND y >= 0 AND y < h
+               THEN {val} ELSE 0 END) AS v
+         FROM sxy, range(0, 3) c(ch))
+SELECT image_id, ch AS channel,
+       cast(sum(v % {prime}) % 65536 as bigint) AS cks
+FROM vals GROUP BY 1, 2
+"""
+
+
+def sinu_corners(images: DataFrame) -> DataFrame:
+    """Footprint corners in TWO sinusoidal CRSes at once: ESRI:54008
+    (WGS84 ellipsoidal, Snyder eq. 30-8/30-9) and the MODIS production
+    grid (SR-ORG:6974 authalic sphere). Map-only JVM stage, zero
+    Python; dm-quantized like the other corner families."""
+    pw = srs.SINU_REGISTRY[54008]
+    pm = srs.SINU_REGISTRY[6974]
+    df = images.selectExpr("image_id", "lon", "lat", "w", "h")
+    exprs = ["image_id"]
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.sinu_forward_sql(lon_e, lat_e, pw)
+        df = df.selectExpr("*", f"{e_sql} AS e_{sfx}", f"{n_sql} AS n_{sfx}")
+        exprs.append(f"cast(floor(e_{sfx} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        exprs.append(f"cast(floor(n_{sfx} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    em, nm = srs.sinu_forward_sql("lon", "lat", pm)
+    df = df.selectExpr("*", f"{em} AS e_mod", f"{nm} AS n_mod")
+    exprs.append("cast(floor(e_mod * 10.0E0) as bigint) AS e_modis_dm")
+    exprs.append("cast(floor(n_mod * 10.0E0) as bigint) AS n_modis_dm")
+    return df.selectExpr(*exprs)
+
+
+def oracle_sinu_corners(n: int) -> str:
+    pw = srs.SINU_REGISTRY[54008]
+    pm = srs.SINU_REGISTRY[6974]
+    parts = []
+    for sfx, lon_e, lat_e in (
+        ("tl", "lon", "lat"),
+        ("tr", LON2_SQL, "lat"),
+        ("bl", "lon", LAT2_SQL),
+        ("br", LON2_SQL, LAT2_SQL),
+    ):
+        e_sql, n_sql = srs.sinu_forward_sql(lon_e, lat_e, pw)
+        parts.append(f"cast(floor({e_sql} * 10.0E0) as bigint) AS e_{sfx}_dm")
+        parts.append(f"cast(floor({n_sql} * 10.0E0) as bigint) AS n_{sfx}_dm")
+    em, nm = srs.sinu_forward_sql("lon", "lat", pm)
+    parts.append(f"cast(floor({em} * 10.0E0) as bigint) AS e_modis_dm")
+    parts.append(f"cast(floor({nm} * 10.0E0) as bigint) AS n_modis_dm")
+    return (
+        f"SELECT image_id, {', '.join(parts)} "
+        f"FROM ({synth.images_cte(n, 'duckdb')})"
+    )
+
+
 def oracle_osgb_corners(n: int, epsg: int = 27700) -> str:
     p = srs.TMD_REGISTRY[epsg]
     stages = [

@@ -180,6 +180,36 @@ def lang_pred_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style repetitious-text rules, Rae et al.
+# 2021 "Scaling Language Models" appendix A: a document dominated by
+# one n-gram is boilerplate/spam). The corpus is single-line, so the
+# line-duplication rules degenerate and the n-gram family carries the
+# signal: fraction of tokens in the modal unigram / modal bigram,
+# integer ppm so both engines agree bit-for-bit. Thresholds follow the
+# paper (top 2-gram > 0.20 of characters -> flag; we count tokens).
+
+TOP_UNIGRAM_PPM = 200_000  # modal token > 20% of tokens
+TOP_BIGRAM_PPM = 180_000  # modal bigram > 18% of bigram slots
+
+
+def bigrams_sql(dialect: str, toks: str = "toks") -> str:
+    """Adjacent-token bigram list ('tok_k tok_k+1')."""
+    if dialect == "spark":
+        # guard: Spark's sequence(1, 0) DESCENDS instead of emitting
+        # empty, so short docs need the explicit empty branch
+        return (
+            f"(CASE WHEN size({toks}) < 2 THEN array() "
+            f"ELSE transform(sequence(1, size({toks}) - 1), "
+            f"k -> concat(element_at({toks}, k), ' ', "
+            f"element_at({toks}, k + 1))) END)"
+        )
+    return (
+        f"list_transform(range(1, len({toks})), "
+        f"k -> {toks}[k] || ' ' || {toks}[k + 1])"
+    )
+
+
+# ---------------------------------------------------------------------------
 # DataFrame operators (Spark side)
 
 
@@ -196,6 +226,101 @@ def text_profile(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Per-document quality features + combined score."""
     return _with_tokens(docs).selectExpr("doc_id", *quality_select_sql("spark"))
+
+
+def _modal_gram(grams: DataFrame, prefix: str) -> DataFrame:
+    """Per-doc modal gram (highest count, ties to the lexicographically
+    smallest gram): map-side-combined groupBy then a per-doc top-1
+    window — both shuffle on doc_id only, skew-free at corpus scale."""
+    from pyspark.sql import Window
+
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "doc_id",
+            F.col("g").alias(f"top_{prefix}"),
+            F.col("n").cast("bigint").alias(f"top_{prefix}_n"),
+        )
+    )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: modal unigram /
+    modal bigram counts and ppm fractions + the removal flag. All
+    integer outputs (ppm via integer division), bit-exact cross-engine.
+    Docs too short for bigrams report ('', 0, 0)."""
+    t = _with_tokens(docs).withColumn("bgs", F.expr(bigrams_sql("spark")))
+    base = t.selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "cast(size(bgs) as bigint) AS n_bigrams",
+    )
+    uni = _modal_gram(
+        t.select("doc_id", F.explode("toks").alias("g")), "token"
+    )
+    bi = _modal_gram(
+        t.select("doc_id", F.explode("bgs").alias("g")), "bigram"
+    )
+    out = (
+        base.join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_tokens", "n_bigrams",
+            "coalesce(top_token, '') AS top_token",
+            "coalesce(top_token_n, 0) AS top_token_n",
+            "coalesce(top_bigram, '') AS top_bigram",
+            "coalesce(top_bigram_n, 0) AS top_bigram_n",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN n_tokens > 0 THEN (1000000 * top_token_n) div n_tokens "
+            "ELSE 0 END AS top_token_ppm",
+            "CASE WHEN n_bigrams > 0 THEN (1000000 * top_bigram_n) div n_bigrams "
+            "ELSE 0 END AS top_bigram_ppm",
+        )
+    )
+    return out.selectExpr(
+        "*",
+        f"cast(top_token_ppm > {TOP_UNIGRAM_PPM} "
+        f"OR top_bigram_ppm > {TOP_BIGRAM_PPM} as int) AS gopher_flag",
+    )
+
+
+def oracle_repetition_profile() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"tb AS (SELECT doc_id, toks, {bigrams_sql('duckdb')} AS bgs FROM t), "
+        f"base AS (SELECT doc_id, cast(len(toks) as bigint) AS n_tokens, "
+        f"cast(len(bgs) as bigint) AS n_bigrams FROM tb), "
+        f"uni AS (SELECT doc_id, g, count(*) AS n, "
+        f"row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) "
+        f"AS rk FROM (SELECT doc_id, unnest(toks) AS g FROM tb) GROUP BY 1, 2), "
+        f"bi AS (SELECT doc_id, g, count(*) AS n, "
+        f"row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) "
+        f"AS rk FROM (SELECT doc_id, unnest(bgs) AS g FROM tb) GROUP BY 1, 2), "
+        f"j AS (SELECT base.doc_id, n_tokens, n_bigrams, "
+        f"coalesce(uni.g, '') AS top_token, "
+        f"cast(coalesce(uni.n, 0) as bigint) AS top_token_n, "
+        f"coalesce(bi.g, '') AS top_bigram, "
+        f"cast(coalesce(bi.n, 0) as bigint) AS top_bigram_n "
+        f"FROM base LEFT JOIN (SELECT * FROM uni WHERE rk = 1) uni "
+        f"ON base.doc_id = uni.doc_id "
+        f"LEFT JOIN (SELECT * FROM bi WHERE rk = 1) bi "
+        f"ON base.doc_id = bi.doc_id), "
+        f"p AS (SELECT *, "
+        f"CASE WHEN n_tokens > 0 THEN (1000000 * top_token_n) // n_tokens "
+        f"ELSE 0 END AS top_token_ppm, "
+        f"CASE WHEN n_bigrams > 0 THEN (1000000 * top_bigram_n) // n_bigrams "
+        f"ELSE 0 END AS top_bigram_ppm FROM j) "
+        f"SELECT doc_id, n_tokens, n_bigrams, top_token, top_token_n, "
+        f"top_bigram, top_bigram_n, top_token_ppm, top_bigram_ppm, "
+        f"cast(top_token_ppm > {TOP_UNIGRAM_PPM} "
+        f"OR top_bigram_ppm > {TOP_BIGRAM_PPM} as int) AS gopher_flag FROM p"
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

@@ -561,6 +561,173 @@ def ps_forward_sql(lon_expr: str, lat_expr: str, p: PS) -> tuple[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal (SRS_PT_SINUSOIDAL, ogr/ogr_srs_api.h; PROJ +proj=sinu;
+# Snyder 1987 pp. 243-247 eq. 30-8/30-9 ellipsoidal, 30-1/30-2
+# spherical). Fifth projection family — the MODIS/VIIRS production
+# grid is the spherical variant (R = 6371007.181, the GRS80 authalic
+# sphere), so a 10^12-image satellite corpus hits this CRS first.
+
+
+class SINU:
+    """Precomputed sinusoidal constants. e2=0 selects the spherical
+    variant (the MODIS grid); default ellipsoid WGS84."""
+
+    def __init__(
+        self,
+        lon0_deg: float = 0.0,
+        fe: float = 0.0,
+        fn: float = 0.0,
+        a: float = 6378137.0,
+        inv_f: float | None = 298.257223563,
+    ):
+        self.a = a
+        f = 0.0 if inv_f is None else 1.0 / inv_f
+        self.e2 = f * (2.0 - f)
+        self.lon0, self.fe, self.fn = lon0_deg, fe, fn
+        e2 = self.e2
+        # meridional-arc series coefficients (Snyder eq. 3-21)
+        self.c0 = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+        self.c2 = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+        self.c4 = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+        self.c6 = 35.0 * e2**3 / 3072.0
+
+
+SINU_REGISTRY = {
+    # PROJ/ESRI 54008 "World Sinusoidal" on WGS84
+    54008: SINU(),
+    # the MODIS sinusoidal grid (SR-ORG:6974): authalic sphere
+    6974: SINU(a=6371007.181, inv_f=None),
+}
+
+
+def sinu_merid_arc(phi, p: SINU):
+    """Meridional arc length M(phi) (Snyder eq. 3-21), vectorized."""
+    return p.a * (
+        p.c0 * phi
+        - p.c2 * np.sin(2.0 * phi)
+        + p.c4 * np.sin(4.0 * phi)
+        - p.c6 * np.sin(6.0 * phi)
+    )
+
+
+def sinu_forward(lon, lat, p: SINU):
+    """Geographic (deg) -> sinusoidal easting/northing (Snyder eq.
+    30-8/30-9; spherical 30-1/30-2 falls out at e2=0)."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    x = p.a * lam * np.cos(phi) / np.sqrt(1.0 - p.e2 * s * s)
+    return p.fe + x, p.fn + sinu_merid_arc(phi, p)
+
+
+SINU_INV_ITERS = 5  # Newton on M(phi): quadratic, <1e-12 rad in 3
+
+
+def sinu_inverse(x, y, p: SINU):
+    """Sinusoidal easting/northing -> geographic (deg). Fixed-count
+    Newton on the meridional arc (dM/dphi = a(1-e2)/(1-e2 s^2)^1.5),
+    then lon from eq. 30-10."""
+    m = np.asarray(y, np.float64) - p.fn
+    phi = m / (p.a * p.c0)
+    for _ in range(SINU_INV_ITERS):
+        s = np.sin(phi)
+        if p.e2:
+            one = 1.0 - p.e2 * s * s
+            dm = p.a * (1.0 - p.e2) / (one * np.sqrt(one))  # (.)^1.5
+            # via mul+sqrt: bit-identical to the SQL twin (pow is the
+            # one libm call that drifts cross-engine)
+        else:
+            dm = p.a
+        phi = phi - (sinu_merid_arc(phi, p) - m) / dm
+    s = np.sin(phi)
+    denom = p.a * np.cos(phi) / np.sqrt(1.0 - p.e2 * s * s)
+    lam = np.where(
+        np.abs(denom) > 1e-9, (np.asarray(x, np.float64) - p.fe) / denom, 0.0
+    )
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def sinu_inverse_sql_cte(
+    x_expr: str, y_expr: str, p: SINU, base: str, keep: str
+) -> str:
+    """CTE chain computing lon/lat from sinusoidal E/N — the SQL twin
+    of sinu_inverse with the Newton iterations on the meridional arc
+    unrolled as MATERIALIZED stages. Output relation ``sinuinv`` with
+    keep + lon, lat."""
+    a = _sql_const(p.a)
+
+    def m_of(phi):
+        return (
+            f"({a} * ({_sql_const(p.c0)} * {phi} "
+            f"- {_sql_const(p.c2)} * sin(2.0E0 * {phi}) "
+            f"+ {_sql_const(p.c4)} * sin(4.0E0 * {phi}) "
+            f"- {_sql_const(p.c6)} * sin(6.0E0 * {phi})))"
+        )
+
+    stages = [
+        f"s0 AS MATERIALIZED (SELECT {keep}, "
+        f"(({x_expr}) - {_sql_const(p.fe)}) AS dx, "
+        f"(({y_expr}) - {_sql_const(p.fn)}) AS marc FROM {base})",
+        f"s1 AS MATERIALIZED (SELECT {keep}, dx, marc, "
+        f"(marc / {_sql_const(p.a * p.c0)}) AS phi0 FROM s0)",
+    ]
+    prev, prev_rel = "phi0", "s1"
+    for it in range(SINU_INV_ITERS):
+        nxt, rel = f"phi{it + 1}", f"si{it}"
+        s = f"sin({prev})"
+        if p.e2:
+            one = f"(1.0E0 - {_sql_const(p.e2)} * {s} * {s})"
+            dm = f"({a} * {_sql_const(1.0 - p.e2)} / ({one} * sqrt({one})))"
+        else:
+            dm = a
+        stages.append(
+            f"{rel} AS MATERIALIZED (SELECT {keep}, dx, marc, "
+            f"({prev} - ({m_of(prev)} - marc) / {dm}) AS {nxt} "
+            f"FROM {prev_rel})"
+        )
+        prev, prev_rel = nxt, rel
+    s = f"sin({prev})"
+    if p.e2:
+        denom = f"({a} * cos({prev}) / sqrt(1.0E0 - {_sql_const(p.e2)} * {s} * {s}))"
+    else:
+        denom = f"({a} * cos({prev}))"
+    stages.append(
+        f"sinuinv AS MATERIALIZED (SELECT {keep}, "
+        f"(CASE WHEN abs({denom}) > 1.0E-9 "
+        f"THEN {_sql_const(p.lon0)} + degrees(dx / {denom}) "
+        f"ELSE {_sql_const(p.lon0)} END) AS lon, "
+        f"degrees({prev}) AS lat FROM {prev_rel})"
+    )
+    return ",\n".join(stages)
+
+
+def sinu_forward_sql(lon_expr: str, lat_expr: str, p: SINU) -> tuple[str, str]:
+    """(easting_expr, northing_expr) dual-dialect SQL twin of
+    sinu_forward (sin/cos/sqrt bit-match across engines on this
+    platform; dm quantization absorbs any residual ulp)."""
+    lam = f"radians(({lon_expr}) - {_sql_const(p.lon0)})"
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    if p.e2:
+        x = (
+            f"({_sql_const(p.a)} * {lam} * cos({phi}) "
+            f"/ sqrt(1.0E0 - {_sql_const(p.e2)} * {s} * {s}))"
+        )
+    else:
+        x = f"({_sql_const(p.a)} * {lam} * cos({phi}))"
+    m = (
+        f"({_sql_const(p.a)} * ({_sql_const(p.c0)} * {phi} "
+        f"- {_sql_const(p.c2)} * sin(2.0E0 * {phi}) "
+        f"+ {_sql_const(p.c4)} * sin(4.0E0 * {phi}) "
+        f"- {_sql_const(p.c6)} * sin(6.0E0 * {phi})))"
+    )
+    return (
+        f"({_sql_const(p.fe)} + {x})",
+        f"({_sql_const(p.fn)} + {m})",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRS registry + transformer chain (the GDALCreateGenImgProjTransformer
 # composition: everything routes through the EPSG:4326 hub)
 

@@ -387,3 +387,75 @@ def test_ps_roundtrip_submm_both_aspects():
         lo, la = srs.ps_inverse(x, y, p)
         x2, y2 = srs.ps_forward(lo, la, p)
         assert np.abs(x2 - x).max() < 1e-3 and np.abs(y2 - y).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# sinusoidal (Snyder pp. 243-247; the MODIS grid)
+
+
+def test_sinu_quarter_meridian_golden():
+    # WGS84 quarter meridian is 10 001 965.7293 m (defining-constant
+    # derivation, independent of this implementation)
+    p = srs.SINU_REGISTRY[54008]
+    m = float(srs.sinu_merid_arc(np.radians(90.0), p))
+    assert abs(m - 10_001_965.7293) < 0.01
+    # equator: x = a * lambda exactly
+    x, y = srs.sinu_forward(np.array([90.0]), np.array([0.0]), p)
+    assert abs(x[0] - p.a * np.pi / 2.0) < 1e-6 and abs(y[0]) < 1e-9
+
+
+def test_sinu_equal_area_jacobian():
+    # sinusoidal is equal-area: the forward Jacobian determinant over
+    # the ellipsoid-authalic area element is 1 everywhere
+    p = srs.SINU_REGISTRY[54008]
+    eps = 1e-7
+    for lon, lat in ((0.0, 0.0), (100.0, 47.0), (-140.0, -66.0)):
+        x0, y0 = srs.sinu_forward(np.array([lon]), np.array([lat]), p)
+        xl, yl = srs.sinu_forward(np.array([lon + eps]), np.array([lat]), p)
+        xp, yp = srs.sinu_forward(np.array([lon]), np.array([lat + eps]), p)
+        det = (
+            (xl[0] - x0[0]) * (yp[0] - y0[0])
+            - (xp[0] - x0[0]) * (yl[0] - y0[0])
+        ) / np.radians(eps) ** 2
+        s = np.sin(np.radians(lat))
+        # dA on the ellipsoid = M * N * cos(phi) (meridional x normal
+        # radii); Snyder 30-9 integrates exactly this
+        M = p.a * (1 - p.e2) / (1 - p.e2 * s * s) ** 1.5
+        N = p.a / np.sqrt(1 - p.e2 * s * s)
+        area_el = M * N * np.cos(np.radians(lat))
+        assert abs(det / area_el - 1.0) < 1e-5
+
+
+def test_sinu_roundtrip_and_sphere():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-84.9, 84.9, 200)
+    for key in (54008, 6974):
+        p = srs.SINU_REGISTRY[key]
+        x, y = srs.sinu_forward(lon, lat, p)
+        lo, la = srs.sinu_inverse(x, y, p)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+    # spherical variant: closed form R*lam*cos(phi), R*phi
+    p = srs.SINU_REGISTRY[6974]
+    x, y = srs.sinu_forward(lon, lat, p)
+    assert np.allclose(x, p.a * np.radians(lon) * np.cos(np.radians(lat)))
+    assert np.allclose(y, p.a * np.radians(lat))
+
+
+def test_sinu_sql_twin_matches_numpy():
+    import duckdb
+
+    p = srs.SINU_REGISTRY[54008]
+    e_sql, n_sql = srs.sinu_forward_sql("lon", "lat", p)
+    rows = duckdb.sql(
+        f"SELECT {e_sql} AS e, {n_sql} AS n FROM (SELECT "
+        f"(i * 73.1E0 % 359.8E0) - 179.9E0 AS lon, "
+        f"(i * 37.3E0 % 169.8E0) - 84.9E0 AS lat "
+        f"FROM range(0, 50) t(i))"
+    ).fetchnumpy()
+    lon = (np.arange(50) * 73.1) % 359.8 - 179.9
+    lat = (np.arange(50) * 37.3) % 169.8 - 84.9
+    x, y = srs.sinu_forward(lon, lat, p)
+    assert np.abs(rows["e"] - x).max() < 1e-6
+    assert np.abs(rows["n"] - y).max() < 1e-6
