@@ -1150,6 +1150,7 @@ _R4_WINDOW = [
     "sinu_corners",
     "repetition_profile",
     "warp_reproject_sinu",
+    "rasterize_inverse",
     # (c) re-verify samples of r02/r03 greens
     "spatial_join_pip",
     "minhash_lsh",
@@ -1268,6 +1269,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gdalcompare + the north-rule per-row re-encode invariant:
         # decoded-pixel PSNR>=40dB as a pure-integer predicate +
         # caption equality, per row then corpus-verdict aggregable
+        # gdal_rasterize -i: burn into pixels NOT covered by any
+        # geometry (coverage-union REPLACE burn + scanline complement)
+        "rasterize_inverse": lambda spark, sf_dir: rastop.rasterize_inverse(
+            spark,
+            synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+                F.col("kind").isin("box", "hot_box", "triangle")
+            ),
+            _RAST_GRID,
+        ),
         "compare_reencode": lambda spark, sf_dir: compare.compare_rows(
             _pixel_images(spark, sf_dir, _MM_MAX_I),
             compare.reencode(
@@ -1662,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "point_probe": rastertable.oracle_point_probe(n),
         "rasterize_rows": rastop.oracle_rasterize_rows(m, _RAST_GRID),
+        "rasterize_inverse": rastop.oracle_rasterize_inverse(m, _RAST_GRID),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -47,6 +47,10 @@ HEADLINE = [
     "pq_topk",
     "grid_linear",
     "s2_density_topk",
+    # round-4 operators
+    "warp_reproject_sinu",
+    "compare_reencode",
+    "repetition_profile",
 ]
 
 

@@ -118,6 +118,67 @@ def rasterize(
     )
 
 
+def rasterize_inverse(
+    spark, polys: DataFrame, grid_def: GridDef, burn_val: float = 255.0
+) -> DataFrame:
+    """gdal_rasterize -i (apps/gdal_rasterize_lib.cpp, bInvertRaster):
+    burn ``burn_val`` into every pixel NOT covered by any geometry.
+    Distributed as coverage-union burn (REPLACE of 1.0 — overlap-safe)
+    then a per-scanline complement against the grid width; every
+    scanline of the raster appears, including fully-covered ones
+    (nnz = 0)."""
+    g = grid_def
+    cov = rasterize(
+        spark, polys, g, burn_expr="cast(1.0E0 as double)", merge="replace"
+    )
+    ys = spark.range(g.height).selectExpr("id AS y")
+    return (
+        ys.join(cov.select("y", F.col("nnz").alias("ncov")), "y", "left")
+        .selectExpr(
+            "y",
+            f"cast({g.width} - coalesce(ncov, 0) as bigint) AS nnz",
+            f"cast(({g.width} - coalesce(ncov, 0)) * {float(burn_val)}E0 "
+            f"as double) AS sum_v",
+        )
+    )
+
+
+def oracle_rasterize_inverse(
+    m: int, grid_def: GridDef, burn_val: float = 255.0
+) -> str:
+    from .. import synth
+
+    g = grid_def
+    px = f"({synth.flit(g.x0)} + (x + 0.5E0) * {synth.flit(g.res)})"
+    py = f"({synth.flit(g.y_top)} - (y + 0.5E0) * {synth.flit(g.res)})"
+    pip = f"""
+        p.kind IN ('box', 'hot_box', 'triangle')
+        AND {px} >= p.cx - p.hw AND {px} <= p.cx + p.hw
+        AND {py} >= p.cy - p.hh AND {py} <= p.cy + p.hh
+        AND (
+          p.kind <> 'triangle' OR (
+            ((p.cx + p.hw) - (p.cx - p.hw)) * ({py} - (p.cy - p.hh)) >= 0
+            AND (p.cx - (p.cx + p.hw)) * ({py} - (p.cy - p.hh))
+                - ((p.cy + p.hh) - (p.cy - p.hh)) * ({px} - (p.cx + p.hw)) >= 0
+            AND ((p.cx - p.hw) - p.cx) * ({py} - (p.cy + p.hh))
+                - ((p.cy - p.hh) - (p.cy + p.hh)) * ({px} - p.cx) >= 0
+          )
+        )
+    """
+    return (
+        f"WITH polys AS ({synth.polygons_sql_cte(m, 'duckdb')}), "
+        f"cov AS (SELECT DISTINCT y, x "
+        f"FROM range(0, {g.width}) tx(x), range(0, {g.height}) ty(y), polys p "
+        f"WHERE {pip}), "
+        f"c AS (SELECT y, cast(count(*) as bigint) AS ncov FROM cov GROUP BY y) "
+        f"SELECT t.y AS y, "
+        f"cast({g.width} - coalesce(ncov, 0) as bigint) AS nnz, "
+        f"cast(({g.width} - coalesce(ncov, 0)) * {synth.flit(burn_val)} "
+        f"as double) AS sum_v "
+        f"FROM range(0, {g.height}) t(y) LEFT JOIN c ON t.y = c.y"
+    )
+
+
 def _envelope_iter(batches):
     for pdf in batches:
         mins, miys, maxs, mays = [], [], [], []

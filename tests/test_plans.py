@@ -186,3 +186,46 @@ def test_min_distance_pairs_has_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s
+
+
+def test_compare_rows_is_single_equijoin(spark):
+    """The re-encode verification joins golden x candidate on
+    image_id only — no cartesian/BNLJ anywhere in the plan."""
+    from gdal_spark.operators import compare
+
+    golden = synth.images_df(spark, 64, with_pixels=True)
+    cand = compare.reencode(
+        synth.images_df(spark, 64, with_pixels=True), "jpeg"
+    )
+    s = plan(compare.compare_rows(golden, cand))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_repetition_profile_shuffles_on_doc_id_only(spark):
+    """Gopher repetition: the only exchanges are hash partitionings
+    keyed on doc_id (gram counts + per-doc top-1 window + rejoin);
+    nothing materializes a cross product."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textops.repetition_profile(docs.limit(100))
+    s = plan(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    for line in s.splitlines():
+        if "hashpartitioning" in line:
+            assert "doc_id" in line, line
+
+
+def test_rasterize_inverse_broadcasts_coverage(spark):
+    """-i complement: tiles x polygons stays the broadcast-envelope
+    join of the forward burn; the scanline complement is a doc-free
+    left join, no cartesian."""
+    from gdal_spark.operators import rasterize as rastop
+
+    polys = synth.polygons_df(spark, 64).filter(
+        "kind IN ('box', 'hot_box', 'triangle')"
+    )
+    g = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
+    s = plan(rastop.rasterize_inverse(spark, polys, g))
+    assert "CartesianProduct" not in s
+    assert "BroadcastExchange" in s or "BroadcastHashJoin" in s

@@ -143,3 +143,31 @@ def test_sieve_connectivity_discriminates():
     assert (out4 == 1).sum() == 0
     assert (out8 == 1).sum() == 3
     assert (out8 == arr).all()
+
+
+def test_rasterize_inverse_closed_form(spark):
+    """-i complement against a closed-form single-box cover: a box
+    spanning [-10.3, 19.7] x [20.2, 40.2] on a 1-deg 360x180 grid
+    covers pixel centers x in [170..199], y in [50..69] (30 wide,
+    20 tall) -> inverse nnz = 330 on those 20 scanlines, 360
+    elsewhere; every scanline present."""
+    from gdal_spark import wkb as wkbmod
+    from gdal_spark.operators import rasterize as rastop
+
+    box = [(-10.3, 20.2), (19.7, 20.2), (19.7, 40.2), (-10.3, 40.2),
+           (-10.3, 20.2)]
+    polys = spark.createDataFrame(
+        [(wkbmod.encode_polygon(box),)], "geom_wkb binary"
+    )
+    g = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
+    out = (
+        rastop.rasterize_inverse(spark, polys, g, burn_val=7.0)
+        .toPandas()
+        .set_index("y")
+        .sort_index()
+    )
+    assert len(out) == 180
+    for y in range(180):
+        want = 330 if 50 <= y < 70 else 360
+        assert out.loc[y, "nnz"] == want
+        assert out.loc[y, "sum_v"] == want * 7.0
