@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import compare
+from gdal_spark.operators import compare, curation, enhance, lineref
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import makevalid as mkv
@@ -1151,6 +1151,11 @@ _R4_WINDOW = [
     "repetition_profile",
     "warp_reproject_sinu",
     "rasterize_inverse",
+    "enhance_equalize",
+    "exact_substring_spans",
+    "unigram_perplexity",
+    "laion_filter",
+    "lineref_points",
     # (c) re-verify samples of r02/r03 greens
     "spatial_join_pip",
     "minhash_lsh",
@@ -1277,6 +1282,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("kind").isin("box", "hot_box", "triangle")
             ),
             _RAST_GRID,
+        ),
+        # gdalenhance -equalize (apps/gdalenhance.cpp:509): per-band
+        # integer histogram-equalization LUT, checksum-gated
+        "enhance_equalize": lambda spark, sf_dir: enhance.equalize_checksums(
+            _pixel_images(spark, sf_dir, _CKS_MAX_I)
+        ).selectExpr(
+            "image_id", "cast(channel as bigint) AS channel",
+            "cast(cks as bigint) AS cks",
+        ),
+        # ExactSubstr dedup (Lee et al. 2021): maximal duplicated
+        # token-L-gram spans per document
+        "exact_substring_spans": lambda spark, sf_dir: (
+            dedup.exact_substring_spans(_docs(spark, sf_dir))
+        ),
+        # CCNet perplexity filter (Wenzek et al. 2020) under the
+        # corpus's own unigram LM, fixed-point nats
+        "unigram_perplexity": lambda spark, sf_dir: (
+            textops.unigram_perplexity(_docs(spark, sf_dir))
+        ),
+        # LAION-style metadata curation over the image+caption table
+        "laion_filter": lambda spark, sf_dir: curation.laion_filter(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # ogrlineref (apps/ogrlineref.cpp): point at measure m along
+        # the feature's outer ring
+        "lineref_points": lambda spark, sf_dir: lineref.lineref_points(
+            spark, synth.n_polygons(sf_dir)
         ),
         "compare_reencode": lambda spark, sf_dir: compare.compare_rows(
             _pixel_images(spark, sf_dir, _MM_MAX_I),
@@ -1673,6 +1705,13 @@ def oracle_sql() -> dict[str, str]:
         "point_probe": rastertable.oracle_point_probe(n),
         "rasterize_rows": rastop.oracle_rasterize_rows(m, _RAST_GRID),
         "rasterize_inverse": rastop.oracle_rasterize_inverse(m, _RAST_GRID),
+        "enhance_equalize": enhance.oracle_equalize(
+            min(n, 4096), _CKS_MAX_I, _CKS_PRIME_CASE
+        ),
+        "exact_substring_spans": dedup.oracle_exact_substring_spans(),
+        "unigram_perplexity": textops.oracle_unigram_perplexity(),
+        "laion_filter": curation.oracle_laion_filter(n),
+        "lineref_points": lineref.oracle_lineref_points(m),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -608,3 +608,96 @@ def oracle_decontaminate(n: int = CONTAM_N, bench_mod: int = BENCH_MOD) -> str:
         f"cast(coalesce(n_hit, 0) > 0 as int) AS is_contaminated "
         f"FROM counts LEFT JOIN hits ON hits.doc_id = counts.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr criterion over
+# token L-grams instead of a suffix array: a token position starts a
+# duplicated span iff its L-gram occurs anywhere else in the corpus;
+# overlapping/adjacent duplicated L-grams merge into maximal spans)
+
+ES_L = 8
+
+
+def positioned_grams_sql(dialect: str, L: int = ES_L) -> str:
+    """List of {p, g} structs: token position p (0-based) and the
+    L-token gram starting there. Expects ``toks`` in scope."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, size(toks) - {L}), "
+            f"k -> named_struct('p', cast(k as bigint), "
+            f"'g', concat_ws(' ', slice(toks, k + 1, {L}))))"
+        )
+    return (
+        f"list_transform(range(0, len(toks) - {L} + 1), "
+        f"k -> {{'p': cast(k as bigint), "
+        f"'g': array_to_string(toks[k + 1:k + {L}], ' ')}})"
+    )
+
+
+def exact_substring_spans(docs: DataFrame, L: int = ES_L) -> DataFrame:
+    """Maximal duplicated-substring spans per document:
+    (doc_id, span_start, span_end, n_grams) with token indices
+    inclusive. A position is duplicated iff its L-gram occurs >= 2
+    times corpus-wide (any doc, any position — the symmetric
+    ExactSubstr criterion); runs of positions whose L-gram windows
+    overlap or touch (gap <= L) merge via a per-doc window scan.
+
+    Scale: one shuffle on the gram key for the frequency count +
+    semi-join (hot boilerplate grams aggregate, they never pair), one
+    shuffle on doc_id for the island scan — no pairwise join anywhere,
+    so the plan is linear in corpus size."""
+    t = (
+        docs.withColumn("toks", F.expr(tokens_sql("spark")))
+        .filter(F.expr(f"size(toks) >= {L}"))
+    )
+    grams = t.select(
+        "doc_id", F.explode(F.expr(positioned_grams_sql("spark", L))).alias("u")
+    ).select("doc_id", F.col("u.p").alias("p"), F.col("u.g").alias("g"))
+    grams = grams.localCheckpoint(eager=True)  # feeds counts AND probe
+    dup_g = (
+        grams.groupBy("g").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2).select("g")
+    )
+    dup = grams.join(dup_g, "g").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.coalesce(F.col("p") - F.lag("p").over(w) > L, F.lit(True)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").cast("bigint").alias("span_start"),
+        (F.max("p") + (L - 1)).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def oracle_exact_substring_spans(L: int = ES_L) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"g AS MATERIALIZED (SELECT doc_id, u.p AS p, u.g AS g FROM ("
+        f"SELECT doc_id, unnest({positioned_grams_sql('duckdb', L)}) AS u "
+        f"FROM t WHERE len(toks) >= {L})), "
+        f"dup AS (SELECT doc_id, p FROM g WHERE g IN ("
+        f"SELECT g FROM g GROUP BY g HAVING count(*) >= 2)), "
+        f"brk AS (SELECT doc_id, p, CASE WHEN "
+        f"p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {L} "
+        f"OR lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL "
+        f"THEN 1 ELSE 0 END AS b FROM dup), "
+        f"isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id "
+        f"ORDER BY p ROWS UNBOUNDED PRECEDING) AS island FROM brk) "
+        f"SELECT doc_id, cast(min(p) as bigint) AS span_start, "
+        f"cast(max(p) + {L - 1} as bigint) AS span_end, "
+        f"cast(count(*) as bigint) AS n_grams "
+        f"FROM isl GROUP BY doc_id, island"
+    )

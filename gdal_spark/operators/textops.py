@@ -396,3 +396,73 @@ def oracle_token_topk(k: int = 50) -> str:
         f"SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total "
         f"FROM t GROUP BY token ORDER BY n_total DESC, token LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity filter (CCNet, Wenzek et al. 2020: language-
+# model perplexity scoring + head/middle/tail bucketing — here the LM
+# is the corpus's own unigram model, so the operator is self-contained:
+# no external model artifact)
+
+PPL_SCALE = 10_000  # fixed-point: 1e-4 nats per unit
+PPL_HEAD = 34_000   # avg NLL below -> 'head' (best) bucket
+PPL_TAIL = 35_200   # avg NLL above -> 'tail' (worst) bucket
+
+
+def unigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus
+    unigram model, in fixed-point 1e-4 nats:
+    ``nll_u(tok) = floor(1e4 * ln(T / count(tok)))`` quantized PER
+    DISTINCT TOKEN (before any summation — summation order then cannot
+    matter), ``nll_avg_u = sum(nll_u) div n_tokens``, plus the CCNet
+    head/middle/tail bucket.
+
+    Scale: vocab aggregation is one map-side-combined shuffle; the
+    corpus total rides a 1-row broadcast cross join (never a window
+    over an unpartitioned frame); the token->nll join broadcasts the
+    vocab when small and degrades to a shuffle hash join at real vocab
+    sizes — both shapes are linear."""
+    toks = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    toks = toks.localCheckpoint(eager=True)  # feeds vocab AND scoring
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("T"))
+    nll = vocab.crossJoin(F.broadcast(total)).selectExpr(
+        "token",
+        f"cast(floor({PPL_SCALE}.0E0 * ln(cast(T as double) "
+        f"/ cast(c as double))) as bigint) AS nll_u",
+    )
+    d = toks.join(nll, "token").groupBy("doc_id").agg(
+        F.sum("nll_u").cast("bigint").alias("nll_sum_u"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    return d.selectExpr(
+        "doc_id", "n_tokens", "nll_sum_u",
+        "nll_sum_u div n_tokens AS nll_avg_u",
+    ).selectExpr(
+        "*",
+        f"CASE WHEN nll_avg_u < {PPL_HEAD} THEN 'head' "
+        f"WHEN nll_avg_u > {PPL_TAIL} THEN 'tail' "
+        f"ELSE 'middle' END AS ppl_bucket",
+    )
+
+
+def oracle_unigram_perplexity() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({tokens_sql('duckdb')}) AS token "
+        f"FROM documents), "
+        f"v AS MATERIALIZED (SELECT token, count(*) AS c FROM t GROUP BY token), "
+        f"tot AS (SELECT sum(c) AS T FROM v), "
+        f"nll AS (SELECT token, cast(floor({PPL_SCALE}.0E0 * "
+        f"ln(cast(T as double) / cast(c as double))) as bigint) AS nll_u "
+        f"FROM v, tot), "
+        f"d AS (SELECT doc_id, cast(sum(nll_u) as bigint) AS nll_sum_u, "
+        f"cast(count(*) as bigint) AS n_tokens "
+        f"FROM t JOIN nll USING (token) GROUP BY doc_id) "
+        f"SELECT doc_id, n_tokens, nll_sum_u, "
+        f"nll_sum_u // n_tokens AS nll_avg_u, "
+        f"CASE WHEN nll_sum_u // n_tokens < {PPL_HEAD} THEN 'head' "
+        f"WHEN nll_sum_u // n_tokens > {PPL_TAIL} THEN 'tail' "
+        f"ELSE 'middle' END AS ppl_bucket FROM d"
+    )

@@ -1,0 +1,262 @@
+"""Independent (brute-force / closed-form) checks for the round-4
+session-2 operators: gdalenhance equalize, ExactSubstr span dedup,
+unigram perplexity, LAION-style curation, ogrlineref."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+from gdal_spark import synth
+from gdal_spark.operators import curation, dedup, enhance, lineref, textops
+from gdal_spark.operators.stats import gdal_checksum
+
+
+# ---------------------------------------------------------------------------
+# gdalenhance -equalize
+
+
+def test_equalize_band_matches_reference_lut():
+    """Brute-force C-semantics replay on a fixed band."""
+    rng = np.arange(0, 64, dtype=np.int64).reshape(8, 8) * 4 % 256
+    out = enhance._equalize_band(rng.astype(np.uint8))
+    # reference loop, straight from gdalenhance.cpp
+    hist = [0] * 256
+    for v in rng.reshape(-1):
+        hist[int(v)] += 1
+    hist[0] = 0
+    hist[255] = 0
+    total = sum(hist) or 1
+    cum, run = [0] * 256, 0
+    for i in range(256):
+        cum[i] = run + hist[i] // 2
+        run += hist[i]
+    lut = [max(0, min(255, (cum[i] * 256) // total)) for i in range(256)]
+    expect = np.array([[lut[int(v)] for v in row] for row in rng])
+    assert (out == expect).all()
+
+
+def test_equalize_flattens_histogram():
+    """Equalization should spread a peaked distribution: the max
+    bucket share drops."""
+    v = np.concatenate([np.full(900, 100), np.arange(100, dtype=np.int64)])
+    v = v.reshape(10, 100).astype(np.uint8)
+    out = enhance._equalize_band(v)
+    assert out.min() >= 0 and out.max() <= 255
+    # the dominant value maps near its CDF position (~0.45*256 + uniform half)
+    dom = np.bincount(out.reshape(-1), minlength=256).argmax()
+    assert 100 <= dom <= 140
+
+
+def test_equalize_all_extremes_guard():
+    """A band of only 0/255 has a zeroed histogram -> total guard."""
+    v = np.zeros((4, 4), dtype=np.uint8)
+    v[0, 0] = 255
+    out = enhance._equalize_band(v)
+    assert out.shape == v.shape  # no div-by-zero
+
+
+def test_equalize_checksums_spark(spark):
+    imgs = synth.add_pixels(
+        synth.images_df(spark, 8).filter("i < 4")
+    )
+    rows = enhance.equalize_checksums(imgs).collect()
+    assert len(rows) == 12  # 4 images x 3 channels
+    # cross-check one image against local decode
+    from gdal_spark import codecs
+
+    pdf = imgs.select("image_id", "bytes").toPandas()
+    arr = codecs.decode_image(bytes(pdf["bytes"][0]))
+    want = gdal_checksum(enhance._equalize_band(arr[:, :, 0]))
+    got = {(r.image_id, r.channel): r.cks for r in rows}
+    assert got[(pdf["image_id"][0], 0)] == want
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr spans
+
+
+def _brute_spans(texts, L):
+    grams = {}
+    for did, txt in texts:
+        toks = [t for t in txt.split(" ") if t]
+        for p in range(len(toks) - L + 1):
+            g = " ".join(toks[p : p + L])
+            grams.setdefault(g, []).append((did, p))
+    dup = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for did, p in occ:
+                dup.setdefault(did, set()).add(p)
+    spans = []
+    for did, ps in dup.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev > L:
+                spans.append((did, start, prev + L - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        spans.append((did, start, prev + L - 1, n))
+    return sorted(spans)
+
+
+def test_exact_substring_spans_brute(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = _brute_spans(texts, dedup.ES_L)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.exact_substring_spans(docs).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the corpus does contain duplicated substrings
+
+
+def test_exact_substring_spans_merges_overlaps(spark):
+    """Two duplicated 3-grams at offsets 0 and 2 in one doc merge into
+    a single span; an isolated dup elsewhere stays separate."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e x y z q w",  # dup grams: abc@0, cde@2 -> one span 0..4
+                "a b c d e r s t u v",
+                "m m m x y z k k k l",  # xyz@3 dup with doc1's x y z? (pos 5..7)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.exact_substring_spans(docs, L=3).collect()
+    )
+    want = _brute_spans(list(zip(pdf.doc_id, pdf.text)), 3)
+    assert got == [(d, s, e) for d, s, e, _ in want]
+    # doc 1: the 'a b c d e' dup grams (p=0..2) merge, and the 'x y z'
+    # dup at p=5 touches that window (gap == L), extending it to 0..7
+    assert (1, 0, 7) in got
+    # doc 3's isolated 'x y z' dup stays its own span
+    assert (3, 3, 5) in got
+
+
+# ---------------------------------------------------------------------------
+# unigram perplexity
+
+
+def test_unigram_perplexity_brute(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = {r.doc_id: [t for t in r.text.split(" ") if t] for r in docs.collect()}
+    from collections import Counter
+
+    c = Counter(t for toks in texts.values() for t in toks)
+    T = sum(c.values())
+    nll = {t: math.floor(10_000.0 * math.log(float(T) / n)) for t, n in c.items()}
+    out = {r.doc_id: (r.n_tokens, r.nll_sum_u, r.nll_avg_u, r.ppl_bucket)
+           for r in textops.unigram_perplexity(docs).collect()}
+    assert set(out) == set(texts)
+    for did, toks in texts.items():
+        s = sum(nll[t] for t in toks)
+        assert out[did][0] == len(toks)
+        assert out[did][1] == s
+        assert out[did][2] == s // len(toks)
+    assert {b for *_, b in out.values()} >= {"head", "middle"}
+
+
+# ---------------------------------------------------------------------------
+# LAION-style curation filter
+
+
+def test_laion_filter_rules(spark):
+    imgs = synth.images_df(spark, 64)
+    out = {r.image_id: r for r in curation.laion_filter(imgs).collect()}
+    meta = synth.images_pdf(64)
+    assert len(out) == 64
+    for _, m in meta.iterrows():
+        r = out[m.image_id]
+        size_ok = min(m.w, m.h) >= curation.MIN_SIDE
+        aspect_ok = max(m.w, m.h) * 10 <= curation.ASPECT_X10 * min(m.w, m.h)
+        assert r.size_ok == int(size_ok)
+        assert r.aspect_ok == int(aspect_ok)
+        assert r.lossless == int(m.fmt == "png")
+        assert r.keep == int(size_ok and aspect_ok)  # caption rules all pass
+    kept = sum(r.keep for r in out.values())
+    assert 0 < kept < 64  # the rule set discriminates
+
+
+# ---------------------------------------------------------------------------
+# ogrlineref
+
+
+def test_lineref_points_brute(spark):
+    m = 32
+    out = lineref.lineref_points(spark, m).collect()
+    polys = synth.polygons_pdf(m)
+    params = {}
+    import duckdb
+
+    pdf = duckdb.sql(synth.polygons_sql_cte(m, "duckdb")).df()
+    for _, p in pdf.iterrows():
+        if p.kind not in ("box", "hot_box", "triangle"):
+            continue
+        cx, cy, hw, hh = p.cx, p.cy, p.hw, p.hh
+        if p.kind == "triangle":
+            verts = [(cx - hw, cy - hh), (cx + hw, cy - hh), (cx, cy + hh),
+                     (cx - hw, cy - hh)]
+        else:
+            verts = [(cx - hw, cy - hh), (cx + hw, cy - hh), (cx + hw, cy + hh),
+                     (cx - hw, cy + hh), (cx - hw, cy - hh)]
+        params[int(p.j)] = verts
+    got = {(r.poly_id, r.frac_ppm): (r.seg, r.px_key, r.py_key) for r in out}
+    n_expected = len(params) * len(lineref.FRAC_PPMS)
+    assert len(got) == n_expected
+    for j, verts in params.items():
+        lens_u = []
+        for (x0, y0), (x1, y1) in zip(verts, verts[1:]):
+            lens_u.append(
+                math.floor(1e9 * math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2))
+            )
+        total_u = sum(lens_u)
+        for ppm in lineref.FRAC_PPMS:
+            m_u = (ppm * total_u) // 1_000_000
+            cum = 0
+            for s, seg_u in enumerate(lens_u):
+                if cum <= m_u < cum + seg_u:
+                    (x0, y0), (x1, y1) = verts[s], verts[s + 1]
+                    t = float(m_u - cum) / float(seg_u)
+                    px, py = x0 + t * (x1 - x0), y0 + t * (y1 - y0)
+                    key = (f"poly{j:04d}", ppm)
+                    assert got[key][0] == s
+                    assert got[key][1] == math.floor(1e6 * px)
+                    assert got[key][2] == math.floor(1e6 * py)
+                    break
+                cum += seg_u
+            else:
+                pytest.fail("measure outside ring")
+
+
+def test_lineref_point_on_ring(spark):
+    """Every output point lies on the feature boundary (box: one
+    coordinate pinned to an edge; measured via envelope distance)."""
+    out = lineref.lineref_points(spark, 16).collect()
+    import duckdb
+
+    pdf = duckdb.sql(synth.polygons_sql_cte(16, "duckdb")).df()
+    byj = {f"poly{int(p.j):04d}": p for _, p in pdf.iterrows()}
+    for r in out:
+        p = byj[r.poly_id]
+        if p.kind == "triangle":
+            continue
+        x, y = r.px_key / 1e6, r.py_key / 1e6
+        on_x_edge = (
+            abs(x - (p.cx - p.hw)) < 2e-6 or abs(x - (p.cx + p.hw)) < 2e-6
+        )
+        on_y_edge = (
+            abs(y - (p.cy - p.hh)) < 2e-6 or abs(y - (p.cy + p.hh)) < 2e-6
+        )
+        assert on_x_edge or on_y_edge
