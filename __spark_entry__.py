@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import compare, curation, enhance, lineref
+from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import makevalid as mkv
@@ -1310,6 +1310,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineref_points": lambda spark, sf_dir: lineref.lineref_points(
             spark, synth.n_polygons(sf_dir)
         ),
+        # ogrdissolve (apps/ogrdissolve.cpp): per-key union area via
+        # relational slab decomposition (no pairwise geometry joins)
+        "dissolve_area": lambda spark, sf_dir: dissolve.dissolve_area(
+            spark, synth.n_polygons(sf_dir)
+        ),
+        # stream-stream interval join, batch form: last-touch
+        # view->purchase attribution within 30 min
+        "events_attribution": lambda spark, sf_dir: (
+            streaming.attribute_purchases(
+                spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+            )
+        ),
         "compare_reencode": lambda spark, sf_dir: compare.compare_rows(
             _pixel_images(spark, sf_dir, _MM_MAX_I),
             compare.reencode(
@@ -1712,6 +1724,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_perplexity": textops.oracle_unigram_perplexity(),
         "laion_filter": curation.oracle_laion_filter(n),
         "lineref_points": lineref.oracle_lineref_points(m),
+        "dissolve_area": dissolve.oracle_dissolve_area(m),
+        "events_attribution": streaming.ORACLE_ATTRIBUTION,
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

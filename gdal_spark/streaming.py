@@ -249,3 +249,112 @@ def stream_windowed_counts(
             "value_cents_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join: last-touch attribution (the canonical
+# Structured Streaming join shape — two event streams joined on a key
+# plus a time-range condition bounded by watermarks; Spark docs' "ad
+# monetization" pattern)
+
+ATTR_WINDOW_US = 1_800_000_000  # attribute purchases to views <= 30 min back
+
+
+def attribute_purchases(
+    events: DataFrame, window_us: int = ATTR_WINDOW_US
+) -> DataFrame:
+    """Last-touch attribution, batch form: for each 'purchase', the
+    most recent 'view' by the same user within the window (ties on ts
+    broken by view event_id desc — later id wins, matching the oracle).
+    Output (purchase_event_id, user_id, view_event_id, lag_us,
+    value_cents).
+
+    One shuffle on user_id for the interval join (equi-key + range
+    residual), one on purchase_event_id for the top-1 window — the
+    same two-exchange plan at any scale; the range residual keeps the
+    per-user pairing bounded by the window, not the history."""
+    from pyspark.sql import Window
+
+    base = events.selectExpr(
+        "event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) AS us",
+        "cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents",
+    )
+    views = base.filter("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_event_id", "us AS view_us"
+    )
+    buys = base.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_event_id", "us AS buy_us",
+        "value_cents",
+    )
+    pairs = buys.join(views, "user_id").filter(
+        (F.col("view_us") <= F.col("buy_us"))
+        & (F.col("buy_us") - F.col("view_us") <= window_us)
+    )
+    rk = Window.partitionBy("purchase_event_id").orderBy(
+        F.desc("view_us"), F.desc("view_event_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .filter("rk = 1")
+        .selectExpr(
+            "purchase_event_id", "user_id", "view_event_id",
+            "buy_us - view_us AS lag_us", "value_cents",
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = (
+    f"WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, "
+    f"cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents "
+    f"FROM events), "
+    f"pairs AS (SELECT b.event_id AS purchase_event_id, b.user_id, "
+    f"v.event_id AS view_event_id, b.us - v.us AS lag_us, b.value_cents, "
+    f"row_number() OVER (PARTITION BY b.event_id "
+    f"ORDER BY v.us DESC, v.event_id DESC) AS rk "
+    f"FROM base b JOIN base v ON v.user_id = b.user_id "
+    f"AND b.event_type = 'purchase' AND v.event_type = 'view' "
+    f"AND v.us <= b.us AND b.us - v.us <= {ATTR_WINDOW_US}) "
+    f"SELECT purchase_event_id, user_id, view_event_id, lag_us, value_cents "
+    f"FROM pairs WHERE rk = 1"
+)
+
+
+def stream_attribute_pairs(spark: SparkSession, src_dir: str, schema):
+    """The streaming twin: two file-source streams (views, purchases)
+    of the SAME event feed, watermarked, inner-joined on user_id with
+    the time-range condition. Emits ALL (view, purchase) pairs in the
+    window — the last-touch top-1 is a downstream batch reduction
+    (streaming row_number over an unbounded key is not expressible;
+    production runs this exact split). Tests assert pair-set equality
+    with the batch join."""
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withColumn("ts2", F.expr("cast(ts as timestamp)"))
+        )
+
+    views = (
+        src().filter("event_type = 'view'")
+        .withWatermark("ts2", "2 hours")
+        .selectExpr("user_id AS v_user", "event_id AS view_event_id",
+                    "ts2 AS view_ts")
+    )
+    buys = (
+        src().filter("event_type = 'purchase'")
+        .withWatermark("ts2", "2 hours")
+        .selectExpr("user_id", "event_id AS purchase_event_id", "ts2 AS buy_ts")
+    )
+    return buys.join(
+        views,
+        F.expr(
+            "v_user = user_id AND view_ts <= buy_ts "
+            f"AND buy_ts <= view_ts + INTERVAL {ATTR_WINDOW_US // 1_000_000} "
+            "SECONDS"
+        ),
+    ).selectExpr(
+        "purchase_event_id", "user_id", "view_event_id",
+        "unix_micros(buy_ts) - unix_micros(view_ts) AS lag_us",
+    )
