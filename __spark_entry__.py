@@ -1322,6 +1322,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
             )
         ),
+        # gdalmove (osgeo_utils/gdalmove.py): re-express each image's
+        # geotransform in sinusoidal via exact 3-corner affine refit
+        "gdalmove_gt": lambda spark, sf_dir: reproject.gdalmove_gt(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # cumulative viewshed: observers-that-see-each-cell counts
+        "viewshed_cumulative": lambda spark, sf_dir: (
+            viewshed.viewshed_cumulative_rows(spark, _VS_W, _VS_W)
+        ),
+        # deterministic Pile/Dolma-style source mixture sampling
+        "source_mix_sample": lambda spark, sf_dir: (
+            textops.source_mix_sample(_docs(spark, sf_dir))
+        ),
+        # zonal statistics: gdal_rasterize coverage + per-zone pixel
+        # aggregates (the classic raster-x-vector composition)
+        "zonal_stats": lambda spark, sf_dir: rastop.zonal_stats(
+            spark,
+            synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+                F.col("kind").isin("box", "hot_box", "triangle")
+            ),
+            _RAST_GRID,
+        ),
         "compare_reencode": lambda spark, sf_dir: compare.compare_rows(
             _pixel_images(spark, sf_dir, _MM_MAX_I),
             compare.reencode(
@@ -1726,6 +1748,12 @@ def oracle_sql() -> dict[str, str]:
         "lineref_points": lineref.oracle_lineref_points(m),
         "dissolve_area": dissolve.oracle_dissolve_area(m),
         "events_attribution": streaming.ORACLE_ATTRIBUTION,
+        "gdalmove_gt": reproject.oracle_gdalmove_gt(n),
+        "viewshed_cumulative": viewshed.oracle_viewshed_cumulative(
+            _VS_W, _VS_W
+        ),
+        "source_mix_sample": textops.oracle_source_mix_sample(),
+        "zonal_stats": rastop.oracle_zonal_stats(m, _RAST_GRID),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

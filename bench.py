@@ -51,6 +51,9 @@ HEADLINE = [
     "warp_reproject_sinu",
     "compare_reencode",
     "repetition_profile",
+    "exact_substring_spans",
+    "dissolve_area",
+    "enhance_equalize",
 ]
 
 

@@ -225,3 +225,130 @@ def oracle_rasterize_rows(m: int, grid_def: GridDef) -> str:
         f"px AS (SELECT y, x, sum(v) AS v FROM hits GROUP BY 1, 2) "
         f"SELECT y, count(*) AS nnz, sum(v) AS sum_v FROM px GROUP BY y"
     )
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics: per-polygon aggregates of the raster values under
+# its footprint — the gdal_rasterize + band-stats composition every
+# GDAL pipeline runs (burn zone ids, then aggregate pixels per id).
+# The coverage convention is the same pixel-center scanline fill the
+# rasterize gate already proves equal to the oracle's PIP.
+
+# deterministic integer "terrain" over the global grid (dialect-neutral)
+ZONAL_VAL_SQL = "((x * 131 + y * 241) % 1009)"
+
+
+def zonal_stats(spark, polys: DataFrame, grid_def: GridDef) -> DataFrame:
+    """(poly_id, n_px, sum_v, min_v, max_v) over the zone's covered
+    pixels. Tiles x zones envelope-join (broadcast zones), per-tile
+    mask + partial aggregate, final merge per zone — two narrow
+    shuffles, never a pixel-level join."""
+    g = grid_def
+    tiles = spark.range(g.ntx * g.nty).selectExpr(
+        f"cast(id % {g.ntx} as int) AS tx", f"cast(id div {g.ntx} as int) AS ty"
+    )
+    env = polys.select("poly_id", "geom_wkb").mapInPandas(
+        _zone_envelope_iter,
+        schema="poly_id string, geom_wkb binary, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    t = g.tile_px * g.res
+    cond = (
+        (F.col("minx") < g.x0 + (F.col("tx") + 1) * t)
+        & (F.col("maxx") > g.x0 + F.col("tx") * t)
+        & (F.col("miny") < g.y_top - F.col("ty") * t)
+        & (F.col("maxy") > g.y_top - (F.col("ty") + 1) * t)
+    )
+    joined = tiles.join(F.broadcast(env), cond)
+    cfg = {
+        "x0": g.x0, "y_top": g.y_top, "res": g.res,
+        "width": g.width, "height": g.height, "tile_px": g.tile_px,
+    }
+
+    def tile_stats(key, pdf):
+        tx, ty = key
+        px0, py0 = tx * cfg["tile_px"], ty * cfg["tile_px"]
+        w = min(cfg["tile_px"], cfg["width"] - px0)
+        h = min(cfg["tile_px"], cfg["height"] - py0)
+        gy, gx = np.mgrid[py0 : py0 + h, px0 : px0 + w]
+        val = (gx * 131 + gy * 241) % 1009
+        out = []
+        for pid, geom in zip(pdf["poly_id"], pdf["geom_wkb"]):
+            arr = np.zeros((h, w), dtype=np.float64)
+            rings = []
+            for ring in wkb.polygon_rings(bytes(geom)):
+                r = np.asarray(ring, dtype=np.float64).copy()
+                r[:, 0] = (r[:, 0] - cfg["x0"]) / cfg["res"] - px0
+                r[:, 1] = (cfg["y_top"] - r[:, 1]) / cfg["res"] - py0
+                rings.append(r)
+            scanline.fill_polygon(arr, rings, 1.0, "replace")
+            m = arr > 0
+            if m.any():
+                v = val[m]
+                out.append(
+                    (pid, int(v.size), int(v.sum()), int(v.min()), int(v.max()))
+                )
+        return pd.DataFrame(
+            out, columns=["poly_id", "n_px", "sum_v", "min_v", "max_v"]
+        )
+
+    part = joined.groupby("tx", "ty").applyInPandas(
+        tile_stats,
+        schema="poly_id string, n_px bigint, sum_v bigint, "
+        "min_v bigint, max_v bigint",
+    )
+    return part.groupBy("poly_id").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def _zone_envelope_iter(batches):
+    from .. import wkb as _wkb
+
+    for pdf in batches:
+        mins_x, mins_y, maxs_x, maxs_y = [], [], [], []
+        for geom in pdf["geom_wkb"]:
+            pts = np.vstack(
+                [np.asarray(r, dtype=np.float64)
+                 for r in _wkb.polygon_rings(bytes(geom))]
+            )
+            mins_x.append(pts[:, 0].min())
+            maxs_x.append(pts[:, 0].max())
+            mins_y.append(pts[:, 1].min())
+            maxs_y.append(pts[:, 1].max())
+        yield pdf.assign(minx=mins_x, miny=mins_y, maxx=maxs_x, maxy=maxs_y)
+
+
+def oracle_zonal_stats(m: int, grid_def: GridDef) -> str:
+    from .. import synth
+
+    g = grid_def
+    px = f"({synth.flit(g.x0)} + (x + 0.5E0) * {synth.flit(g.res)})"
+    py = f"({synth.flit(g.y_top)} - (y + 0.5E0) * {synth.flit(g.res)})"
+    pip = f"""
+        p.kind IN ('box', 'hot_box', 'triangle')
+        AND {px} >= p.cx - p.hw AND {px} <= p.cx + p.hw
+        AND {py} >= p.cy - p.hh AND {py} <= p.cy + p.hh
+        AND (
+          p.kind <> 'triangle' OR (
+            ((p.cx + p.hw) - (p.cx - p.hw)) * ({py} - (p.cy - p.hh)) >= 0
+            AND (p.cx - (p.cx + p.hw)) * ({py} - (p.cy - p.hh))
+                - ((p.cy + p.hh) - (p.cy - p.hh)) * ({px} - (p.cx + p.hw)) >= 0
+            AND ((p.cx - p.hw) - p.cx) * ({py} - (p.cy + p.hh))
+                - ((p.cy - p.hh) - (p.cy + p.hh)) * ({px} - p.cx) >= 0
+          )
+        )
+    """
+    return (
+        f"WITH polys AS ({synth.polygons_sql_cte(m, 'duckdb')}), "
+        f"hits AS (SELECT p.j, y, x, {ZONAL_VAL_SQL} AS v "
+        f"FROM range(0, {g.width}) tx(x), range(0, {g.height}) ty(y), polys p "
+        f"WHERE {pip}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"cast(count(*) as bigint) AS n_px, cast(sum(v) as bigint) AS sum_v, "
+        f"cast(min(v) as bigint) AS min_v, cast(max(v) as bigint) AS max_v "
+        f"FROM hits GROUP BY j"
+    )

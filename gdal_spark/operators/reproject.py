@@ -990,3 +990,65 @@ def oracle_osgb_corners(n: int, epsg: int = 27700) -> str:
         f"cast(floor(easting * 10.0E0) as bigint) AS e_dm, "
         f"cast(floor(northing * 10.0E0) as bigint) AS n_dm FROM {prev}"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalmove: rewrite the geotransform in a new CRS without warping
+# (osgeo_utils/gdalmove.py move() — transforms control points through
+# the coordinate operation and fits an affine GT to them; with the
+# three independent corners UL/UR/LL the least-squares fit is exact,
+# so this is the skew-free closed form of the same operation)
+
+
+def gdalmove_gt(images: DataFrame, epsg: int = 54008) -> DataFrame:
+    """Per-image 6-coefficient geotransform re-expressed in the
+    sinusoidal CRS: UL anchors the origin, (UR-UL)/w and (LL-UL)/h give
+    the pixel vectors. Pure Catalyst closed form (sin/cos bit-match
+    across engines) — map-only, zero Python, zero shuffle. Offsets in
+    mm, per-pixel terms in um/px."""
+    p = srs.SINU_REGISTRY[epsg]
+    xul, yul = srs.sinu_forward_sql("lon", "lat", p)
+    xur, yur = srs.sinu_forward_sql(LON2_SQL, "lat", p)
+    xll, yll = srs.sinu_forward_sql("lon", LAT2_SQL, p)
+    return images.selectExpr(
+        "image_id", "lon", "lat", "w", "h",
+        f"{xul} AS xul", f"{yul} AS yul",
+        f"{xur} AS xur", f"{yur} AS yur",
+        f"{xll} AS xll", f"{yll} AS yll",
+    ).selectExpr(
+        "image_id",
+        "cast(floor(xul * 1000.0E0) as bigint) AS gt0_mm",
+        "cast(floor((xur - xul) / cast(w as double) * 1000000.0E0) as bigint) "
+        "AS gt1_um",
+        "cast(floor((xll - xul) / cast(h as double) * 1000000.0E0) as bigint) "
+        "AS gt2_um",
+        "cast(floor(yul * 1000.0E0) as bigint) AS gt3_mm",
+        "cast(floor((yur - yul) / cast(w as double) * 1000000.0E0) as bigint) "
+        "AS gt4_um",
+        "cast(floor((yll - yul) / cast(h as double) * 1000000.0E0) as bigint) "
+        "AS gt5_um",
+    )
+
+
+def oracle_gdalmove_gt(n: int, epsg: int = 54008) -> str:
+    p = srs.SINU_REGISTRY[epsg]
+    xul, yul = srs.sinu_forward_sql("lon", "lat", p)
+    xur, yur = srs.sinu_forward_sql(LON2_SQL, "lat", p)
+    xll, yll = srs.sinu_forward_sql("lon", LAT2_SQL, p)
+    return (
+        f"WITH c AS (SELECT image_id, w, h, "
+        f"{xul} AS xul, {yul} AS yul, {xur} AS xur, {yur} AS yur, "
+        f"{xll} AS xll, {yll} AS yll "
+        f"FROM ({synth.images_cte(n, 'duckdb')})) "
+        f"SELECT image_id, "
+        f"cast(floor(xul * 1000.0E0) as bigint) AS gt0_mm, "
+        f"cast(floor((xur - xul) / cast(w as double) * 1000000.0E0) as bigint) "
+        f"AS gt1_um, "
+        f"cast(floor((xll - xul) / cast(h as double) * 1000000.0E0) as bigint) "
+        f"AS gt2_um, "
+        f"cast(floor(yul * 1000.0E0) as bigint) AS gt3_mm, "
+        f"cast(floor((yur - yul) / cast(w as double) * 1000000.0E0) as bigint) "
+        f"AS gt4_um, "
+        f"cast(floor((yll - yul) / cast(h as double) * 1000000.0E0) as bigint) "
+        f"AS gt5_um FROM c"
+    )

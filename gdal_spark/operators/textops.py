@@ -466,3 +466,51 @@ def oracle_unigram_perplexity() -> str:
         f"WHEN nll_sum_u // n_tokens > {PPL_TAIL} THEN 'tail' "
         f"ELSE 'middle' END AS ppl_bucket FROM d"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic source mixing (the Pile / Dolma-style corpus mixture:
+# each source gets a sampling rate; membership is a pure hash of the
+# document key, so the sample is reproducible across runs, engines and
+# partitionings — never rand())
+
+MIX_MOD = 1_000_000
+KNUTH = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+def _mix_rate_sql() -> str:
+    """Per-source keep rate in ppm from the source index (dialect-
+    neutral): 0-4 keep all, 5-9 half, 10-14 quarter, 15+ 10%."""
+    return (
+        "(CASE WHEN src_idx < 5 THEN 1000000 "
+        "WHEN src_idx < 10 THEN 500000 "
+        "WHEN src_idx < 15 THEN 250000 ELSE 100000 END)"
+    )
+
+
+def source_mix_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, rate_ppm, h, keep) — keep iff
+    hash(doc_id) mod 1e6 < rate_ppm, hash = Knuth multiplicative mod
+    2^32. Pure integer Catalyst scan: zero shuffle, zero Python; the
+    mixture is exact in expectation and deterministic in membership."""
+    return docs.selectExpr(
+        "doc_id", "source",
+        "cast(substring(source, 4) as int) AS src_idx",
+        f"(doc_id * {KNUTH}) % 4294967296 AS h",
+    ).selectExpr(
+        "doc_id", "source",
+        f"cast({_mix_rate_sql()} as bigint) AS rate_ppm",
+        "h",
+        f"cast((h % {MIX_MOD}) < {_mix_rate_sql()} as int) AS keep",
+    )
+
+
+def oracle_source_mix_sample() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, source, "
+        f"cast(substr(source, 4) as int) AS src_idx, "
+        f"(doc_id * {KNUTH}) % 4294967296 AS h FROM documents) "
+        f"SELECT doc_id, source, cast({_mix_rate_sql()} as bigint) AS rate_ppm, "
+        f"cast(h as bigint) AS h, "
+        f"cast((h % {MIX_MOD}) < {_mix_rate_sql()} as int) AS keep FROM t"
+    )

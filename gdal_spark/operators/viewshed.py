@@ -264,3 +264,136 @@ def oracle_viewshed_ground(width: int, height: int, ox: int, oy: int) -> str:
         f"cast(sum(mkey) as bigint) AS ground_mkey_sum "
         f"FROM ground GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative viewshed: how many of K observers see each cell (the
+# multi-observer composition of GDALViewshedGenerate — the reference
+# runs alg/viewshed.cpp once per observer and sums the 0/1 rasters;
+# newer GDAL ships this loop as gdal_viewshed's cumulative mode)
+
+CUM_OBSERVERS = ((31, 29), (8, 8), (55, 50))
+
+
+def viewshed_cumulative_rows(
+    spark, width: int, height: int,
+    observers: tuple = CUM_OBSERVERS, band_px: int = 16,
+) -> DataFrame:
+    """(y, n, vis_total) per scanline, vis_total = sum over the row's
+    cells of the number of observers that see the cell. Same banded
+    applyInPandas shape as the single-observer op — each band runs the
+    K observer sweeps locally, so the fan-out is K map tasks' worth of
+    compute with zero extra shuffles."""
+    nb = (height + band_px - 1) // band_px
+    bands = spark.range(nb).selectExpr("cast(id as int) AS band")
+    obs = tuple(observers)
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * band_px
+        hh = min(band_px, height - y0)
+        gy, gx = np.mgrid[0:height, 0:width]
+        dem = _dem_value(gx, gy).astype(np.float64)
+        out = []
+        for ty in range(y0, y0 + hh):
+            total = 0
+            for ox, oy in obs:
+                eye = dem[oy, ox] + OBS_HEIGHT
+                for tx in range(width):
+                    K = max(abs(tx - ox), abs(ty - oy))
+                    if K == 0:
+                        total += 1
+                        continue
+                    ks = np.arange(1, K, dtype=np.float64)
+                    f = ks / K
+                    px = ox + f * (tx - ox)
+                    py = oy + f * (ty - oy)
+                    x0 = np.floor(px).astype(np.int64)
+                    y0i = np.floor(py).astype(np.int64)
+                    fx = px - x0
+                    fy = py - y0i
+                    x1 = np.minimum(x0 + 1, width - 1)
+                    y1 = np.minimum(y0i + 1, height - 1)
+                    terr = (1.0 - fy) * (
+                        (1.0 - fx) * dem[y0i, x0] + fx * dem[y0i, x1]
+                    ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+                    los = eye + f * (dem[ty, tx] - eye)
+                    if (los > terr).all():
+                        total += 1
+            out.append((ty, width, total))
+        return pd.DataFrame(out, columns=["y", "n", "vis_total"])
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, vis_total bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("vis_total").alias("vis_total")
+    )
+
+
+def oracle_viewshed_cumulative(
+    width: int, height: int, observers: tuple = CUM_OBSERVERS
+) -> str:
+    val = DEM_VALUE_SQL
+
+    def dem_at(x, y):
+        return (
+            f"cast({val.replace('gx', f'({x})').replace('gy', f'({y})')} "
+            f"as double)"
+        )
+
+    terr = (
+        "((1.0E0 - fy) * ((1.0E0 - fx) * v00 + fx * v10) "
+        "+ fy * ((1.0E0 - fx) * v01 + fx * v11))"
+    )
+    ctes, unions = [], []
+    for i, (ox, oy) in enumerate(observers):
+        eye = f"({dem_at(str(ox), str(oy))} + {OBS_HEIGHT}E0)"
+        los = f"({eye} + f * ({dem_at('tx', 'ty')} - {eye}))"
+        ctes.append(
+            f"s{i} AS (SELECT t.tx, t.ty, k, "
+            f"greatest(abs(t.tx - {ox}), abs(t.ty - {oy})) AS kk "
+            f"FROM (SELECT gx AS tx, gy AS ty FROM range(0, {width}) a(gx), "
+            f"range(0, {height}) b(gy)) t, range(1, {max(width, height)}) s(k) "
+            f"WHERE k < greatest(abs(t.tx - {ox}), abs(t.ty - {oy})))"
+        )
+        ctes.append(
+            f"pos{i} AS (SELECT tx, ty, "
+            f"(cast(k as double) / cast(kk as double)) AS f, "
+            f"({ox} + (cast(k as double) / cast(kk as double)) * (tx - {ox})) "
+            f"AS px, "
+            f"({oy} + (cast(k as double) / cast(kk as double)) * (ty - {oy})) "
+            f"AS py FROM s{i})"
+        )
+        ctes.append(
+            f"cells{i} AS (SELECT tx, ty, f, "
+            f"cast(floor(px) as bigint) AS x0, "
+            f"cast(floor(py) as bigint) AS y0, "
+            f"(px - cast(floor(px) as bigint)) AS fx, "
+            f"(py - cast(floor(py) as bigint)) AS fy FROM pos{i})"
+        )
+        ctes.append(
+            f"vals{i} AS (SELECT tx, ty, f, fx, fy, "
+            f"{dem_at('x0', 'y0')} AS v00, "
+            f"{dem_at(f'least(x0 + 1, {width - 1})', 'y0')} AS v10, "
+            f"{dem_at('x0', f'least(y0 + 1, {height - 1})')} AS v01, "
+            f"{dem_at(f'least(x0 + 1, {width - 1})', f'least(y0 + 1, {height - 1})')} "
+            f"AS v11 FROM cells{i})"
+        )
+        unions.append(
+            f"SELECT DISTINCT tx, ty, {i} AS obs FROM vals{i} "
+            f"WHERE NOT ({los} > {terr})"
+        )
+    k = len(observers)
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"blocked AS ({' UNION ALL '.join(unions)}), "
+        f"bn AS (SELECT tx, ty, count(*) AS n_blocked FROM blocked "
+        f"GROUP BY tx, ty) "
+        f"SELECT t.gy AS y, count(*) AS n, "
+        f"cast(sum({k} - coalesce(bn.n_blocked, 0)) as bigint) AS vis_total "
+        f"FROM (SELECT gx, gy FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) c(gy)) t "
+        f"LEFT JOIN bn ON bn.tx = t.gx AND bn.ty = t.gy "
+        f"GROUP BY 1"
+    )

@@ -229,3 +229,61 @@ def test_rasterize_inverse_broadcasts_coverage(spark):
     s = plan(rastop.rasterize_inverse(spark, polys, g))
     assert "CartesianProduct" not in s
     assert "BroadcastExchange" in s or "BroadcastHashJoin" in s
+
+
+def test_laion_filter_is_scan_only(spark):
+    """Metadata curation must be a pure projection: no Exchange, no
+    Python, codegen throughout."""
+    from gdal_spark.operators import curation
+
+    out = curation.laion_filter(synth.images_df(spark, 512))
+    s = plan(out)
+    assert "Exchange" not in s
+    assert "Python" not in s and "ArrowEval" not in s
+    assert "*(1)" in s  # codegen span (the HOF caption filter sits above it)
+
+
+def test_exact_substring_spans_no_pairwise_join(spark):
+    """Span dedup must never build doc-pair candidates: no cartesian,
+    no BNLJ; the gram probe is an equi-join."""
+    from gdal_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.exact_substring_spans(docs)
+    s = plan(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_dissolve_has_no_range_join(spark):
+    """Slab coverage must come from equi-joins + explode, never a
+    cartesian/BNLJ range join."""
+    from gdal_spark.operators import dissolve
+
+    out = dissolve.dissolve_area(spark, 64)
+    s = plan(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_attribution_is_single_equijoin_plus_window(spark):
+    """The interval join equi-keys on user_id; the range condition is
+    a residual filter, not a BNLJ."""
+    from gdal_spark import streaming
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = streaming.attribute_purchases(ev)
+    s = plan(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Window" in s
+
+
+def test_gdalmove_is_pure_codegen(spark):
+    from gdal_spark.operators import reproject
+
+    out = reproject.gdalmove_gt(synth.images_df(spark, 512))
+    s = plan(out)
+    assert "Exchange" not in s
+    assert "Python" not in s and "ArrowEval" not in s
+    assert "*(1)" in s  # whole-stage codegen

@@ -260,3 +260,142 @@ def test_lineref_point_on_ring(spark):
             abs(y - (p.cy - p.hh)) < 2e-6 or abs(y - (p.cy + p.hh)) < 2e-6
         )
         assert on_x_edge or on_y_edge
+
+
+# ---------------------------------------------------------------------------
+# gdalmove
+
+
+def test_gdalmove_gt_roundtrip(spark):
+    """The refit GT must map pixel (0,0) to the UL corner and pixel
+    (w,0)/(0,h) to the UR/LL corners of the sinusoidal footprint."""
+    from gdal_spark import srs
+    from gdal_spark.operators import reproject
+
+    out = {r.image_id: r for r in reproject.gdalmove_gt(
+        synth.images_df(spark, 16)
+    ).collect()}
+    meta = synth.images_pdf(16)
+    p = srs.SINU_REGISTRY[54008]
+    for _, m in meta.iterrows():
+        r = out[m.image_id]
+        xul, yul = srs.sinu_forward(m.lon, m.lat, p)
+        lon2 = m.lon + 0.1
+        lat2 = m.lat - 0.1 * m.h / m.w
+        xur, _ = srs.sinu_forward(lon2, m.lat, p)
+        xll, yll = srs.sinu_forward(m.lon, lat2, p)
+        # mm/um tolerance: the test formula may differ by float
+        # association from the SQL, so allow 1 quantum
+        assert abs(r.gt0_mm - math.floor(xul * 1e3)) <= 1
+        assert abs(r.gt3_mm - math.floor(yul * 1e3)) <= 1
+        gt1 = (xur - xul) / m.w
+        gt5 = (yll - yul) / m.h
+        assert abs(r.gt1_um - math.floor(gt1 * 1e6)) <= 2
+        assert abs(r.gt5_um - math.floor(gt5 * 1e6)) <= 2
+        # north-up footprint: no rotation terms beyond quantization
+        # (gt2 = x-shear from latitude-dependent easting; nonzero in
+        # sinusoidal, but gt4 (northing vs lon) must be ~0)
+        assert abs(r.gt4_um) <= 1
+
+
+# ---------------------------------------------------------------------------
+# cumulative viewshed
+
+
+def test_viewshed_cumulative_matches_single(spark):
+    """Sum of the K single-observer viewsheds == the cumulative rows
+    (the reference semantics: run once per observer, add rasters)."""
+    from gdal_spark.operators import viewshed as vs
+
+    W = 32
+    obs = ((15, 14), (4, 4))
+    cum = {r.y: r.vis_total for r in vs.viewshed_cumulative_rows(
+        spark, W, W, observers=obs
+    ).collect()}
+    total = {y: 0 for y in range(W)}
+    for ox, oy in obs:
+        for r in vs.viewshed_rows(spark, W, W, ox, oy).collect():
+            total[r.y] += r.n_visible
+    assert cum == total
+
+
+def test_viewshed_cumulative_bounds(spark):
+    from gdal_spark.operators import viewshed as vs
+
+    W = 32
+    rows = vs.viewshed_cumulative_rows(
+        spark, W, W, observers=((15, 14), (4, 4), (28, 25))
+    ).collect()
+    assert len(rows) == W
+    for r in rows:
+        assert 0 <= r.vis_total <= 3 * W
+    # each observer sees itself: its row has vis_total >= 1
+    assert all(r.n == W for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# source mixing
+
+
+def test_source_mix_sample_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r.doc_id: (r.rate_ppm, r.h, r.keep)
+         for r in textops.source_mix_sample(docs).collect()}
+    b = {r.doc_id: (r.rate_ppm, r.h, r.keep)
+         for r in textops.source_mix_sample(docs.repartition(7)).collect()}
+    assert a == b  # membership survives repartitioning
+    for did, (rate, h, keep) in a.items():
+        assert h == (did * textops.KNUTH) % 4294967296
+        assert keep == int(h % textops.MIX_MOD < rate)
+    # the mixture discriminates: full-rate sources keep everything,
+    # low-rate sources keep strictly fewer
+    full = [k for _, (r, _, k) in a.items() if r == 1_000_000]
+    low = [k for _, (r, _, k) in a.items() if r == 100_000]
+    assert all(k == 1 for k in full)
+    assert sum(low) < len(low)
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics
+
+
+def test_zonal_stats_brute(spark):
+    """Independent numpy pixel-center PIP over the full grid."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from gdal_spark.operators import rasterize as rastop
+
+    g = rastop.GridDef(-180.0, 90.0, 1.0, 360, 180, tile_px=64)
+    m = 32
+    polys = synth.polygons_df(spark, m).filter(
+        F.col("kind").isin("box", "hot_box", "triangle")
+    )
+    got = {r.poly_id: (r.n_px, r.sum_v, r.min_v, r.max_v)
+           for r in rastop.zonal_stats(spark, polys, g).collect()}
+    pdf = duckdb.sql(synth.polygons_sql_cte(m, "duckdb")).df()
+    gy, gx = np.mgrid[0:g.height, 0:g.width]
+    pxc = g.x0 + (gx + 0.5) * g.res
+    pyc = g.y_top - (gy + 0.5) * g.res
+    val = (gx * 131 + gy * 241) % 1009
+    want = {}
+    for _, p in pdf.iterrows():
+        if p.kind not in ("box", "hot_box", "triangle"):
+            continue
+        inside = (
+            (pxc >= p.cx - p.hw) & (pxc <= p.cx + p.hw)
+            & (pyc >= p.cy - p.hh) & (pyc <= p.cy + p.hh)
+        )
+        if p.kind == "triangle":
+            ax, ay = p.cx - p.hw, p.cy - p.hh
+            bx, by = p.cx + p.hw, p.cy - p.hh
+            cx2, cy2 = p.cx, p.cy + p.hh
+            inside &= (bx - ax) * (pyc - ay) >= 0
+            inside &= (cx2 - bx) * (pyc - by) - (cy2 - by) * (pxc - bx) >= 0
+            inside &= (ax - cx2) * (pyc - cy2) - (ay - cy2) * (pxc - cx2) >= 0
+        if inside.any():
+            v = val[inside]
+            want[f"poly{int(p.j):04d}"] = (
+                int(v.size), int(v.sum()), int(v.min()), int(v.max())
+            )
+    assert got == want
+    assert len(got) > 0
