@@ -1335,6 +1335,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_sample": lambda spark, sf_dir: (
             textops.source_mix_sample(_docs(spark, sf_dir))
         ),
+        # gdaldem color-relief -nearest_color_entry
+        # (apps/gdaldem_lib.cpp:1663)
+        "color_relief_nearest": lambda spark, sf_dir: (
+            dem.color_relief_nearest(
+                _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
         "zonal_stats": lambda spark, sf_dir: rastop.zonal_stats(
@@ -1754,6 +1761,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_mix_sample": textops.oracle_source_mix_sample(),
         "zonal_stats": rastop.oracle_zonal_stats(m, _RAST_GRID),
+        "color_relief_nearest": dem.oracle_color_relief_nearest(
+            min(n, 4096), _DEM_MAX_I
+        ),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -728,3 +728,78 @@ def oracle_hillshade_variants(n: int, max_i: int) -> str:
         f"cast(sum(igor_key) as bigint) AS igor_sum "
         f"FROM keys GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdaldem color-relief -nearest_color_entry
+# (apps/gdaldem_lib.cpp:1663 COLOR_SELECTION_NEAREST_ENTRY: strictly
+# between two entries pick the closer one, ties to the upper entry;
+# exact matches take their entry; outside the ramp clamps)
+
+
+def color_relief_nearest_band(dem: np.ndarray, ramp=COLOR_RAMP) -> np.ndarray:
+    """(h, w) values -> (h, w, 3) uint8 via nearest ramp entry."""
+    v = dem.astype(np.int64)
+    vals = np.array([e[0] for e in ramp], dtype=np.int64)
+    cols = np.array([e[1] for e in ramp], dtype=np.int64)
+    # bracket: first entry >= v (like the reference's upper_bound walk)
+    hi = np.searchsorted(vals, v, side="left")
+    hi = np.clip(hi, 0, len(vals) - 1)
+    lo = np.clip(hi - 1, 0, len(vals) - 1)
+    exact = vals[hi] == v
+    below = v <= vals[0]
+    pick_lo = (v - vals[lo]) < (vals[hi] - v)
+    idx = np.where(below | exact, hi, np.where(pick_lo, lo, hi))
+    return cols[idx].astype(np.uint8)
+
+
+def color_relief_nearest(images: DataFrame, ramp=COLOR_RAMP) -> DataFrame:
+    """Per-image nearest-entry color relief of channel 0; per-output-
+    channel GDAL checksums (all-integer, bit-exact oracle)."""
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                rgb = color_relief_nearest_band(demb, ramp)
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(rgb[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_color_relief_nearest(n: int, max_i: int, ramp=COLOR_RAMP) -> str:
+    def chan(c):
+        first_v, first_c = ramp[0]
+        cases = [f"WHEN val <= {first_v} THEN {first_c[c]}"]
+        for (v0, c0), (v1, c1) in zip(ramp, ramp[1:]):
+            cases.append(
+                f"WHEN val = {v1} THEN {c1[c]} "
+                f"WHEN val < {v1} THEN "
+                f"(CASE WHEN 2 * val < {v0 + v1} THEN {c0[c]} "
+                f"ELSE {c1[c]} END)"
+            )
+        last_c = ramp[-1][1]
+        return f"(CASE {' '.join(cases)} ELSE {last_c[c]} END)"
+
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, val FROM "
+        f"({synth.pixels_cte(n, max_i, 'duckdb')}) WHERE ch = 0), "
+        f"o AS (SELECT image_id, w, x, y, c AS channel, "
+        f"CASE c WHEN 0 THEN {chan(0)} WHEN 1 THEN {chan(1)} "
+        f"ELSE {chan(2)} END AS oval FROM px, range(0, 3) t(c)) "
+        f"SELECT image_id, cast(channel as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM o GROUP BY 1, 2"
+    )

@@ -399,3 +399,47 @@ def test_zonal_stats_brute(spark):
             )
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# color-relief nearest entry
+
+
+def test_color_relief_nearest_matches_c_rule():
+    """Exhaustive 0..255 check against the literal reference rule
+    (apps/gdaldem_lib.cpp:1663)."""
+    from gdal_spark.operators import dem
+
+    ramp = dem.COLOR_RAMP
+    vals = [e[0] for e in ramp]
+    cols = [e[1] for e in ramp]
+
+    def ref(v):
+        if v <= vals[0]:
+            return cols[0]
+        for i in range(1, len(vals)):
+            if v == vals[i]:
+                return cols[i]
+            if v < vals[i]:
+                return cols[i - 1] if v - vals[i - 1] < vals[i] - v else cols[i]
+        return cols[-1]
+
+    v = np.arange(0, 256).reshape(16, 16).astype(np.uint8)
+    out = dem.color_relief_nearest_band(v).reshape(-1, 3)
+    for x in range(256):
+        assert tuple(out[x]) == tuple(ref(x)), x
+
+
+def test_color_relief_nearest_differs_from_interpolated():
+    """The two selection modes must disagree somewhere strictly
+    between ramp entries (otherwise the mode flag is dead code)."""
+    from gdal_spark.operators import dem
+
+    v = np.arange(0, 256).reshape(16, 16).astype(np.uint8)
+    near = dem.color_relief_nearest_band(v)
+    lin = dem.color_relief_band(v)
+    assert (near != lin).any()
+    # and they agree exactly at the ramp entries
+    for ev, ec in dem.COLOR_RAMP:
+        assert tuple(near.reshape(-1, 3)[ev]) == ec
+        assert tuple(lin.reshape(-1, 3)[ev]) == ec
