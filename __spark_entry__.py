@@ -1291,6 +1291,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", "cast(channel as bigint) AS channel",
             "cast(cks as bigint) AS cks",
         ),
+        # histogram matching to the corpus-wide band histogram (the
+        # mosaic radiometric normalization; exact integer quantile map)
+        "match_histogram": lambda spark, sf_dir: (
+            enhance.match_histogram_checksums(
+                _pixel_images(spark, sf_dir, _CKS_MAX_I)
+            ).selectExpr(
+                "image_id", "cast(channel as bigint) AS channel",
+                "cast(cks as bigint) AS cks",
+            )
+        ),
         # ExactSubstr dedup (Lee et al. 2021): maximal duplicated
         # token-L-gram spans per document
         "exact_substring_spans": lambda spark, sf_dir: (
@@ -1340,6 +1350,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief_nearest": lambda spark, sf_dir: (
             dem.color_relief_nearest(
                 _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
+        # GPT-style concat-and-chunk sequence packing (per-source)
+        "pack_sequences": lambda spark, sf_dir: (
+            textops.pack_sequences(_docs(spark, sf_dir))
+        ),
+        # TF-IDF top-k keyword extraction (exact-integer idf ranking)
+        "tfidf_topk": lambda spark, sf_dir: (
+            textops.tfidf_topk(_docs(spark, sf_dir))
+        ),
+        # deterministic hash-stratified train/val/test split
+        "dataset_split": lambda spark, sf_dir: (
+            textops.dataset_split(_docs(spark, sf_dir))
+        ),
+        # SDXL/NovelAI aspect-ratio bucketing + training batch ids
+        "ar_bucket_batches": lambda spark, sf_dir: (
+            multimodal.ar_bucket_batches(
+                synth.images_df(spark, synth.n_images(sf_dir))
+            )
+        ),
+        # gdalwarp -crop_to_cutline output window
+        # (apps/gdalwarp_lib.cpp CropToCutline)
+        "crop_to_cutline": lambda spark, sf_dir: (
+            reproject.crop_to_cutline_grid(
+                synth.images_df(spark, synth.n_images(sf_dir))
+            )
+        ),
+        # distributed augmented-Gram reduction (the PCA/whitening
+        # partial-sum; exact integer, one partial per Arrow batch)
+        "embedding_gram": lambda spark, sf_dir: (
+            ann.embedding_gram(_embs(spark, sf_dir))
+        ),
+        # gdalwarp -cblend cutline blend-distance density ramp
+        # (alg/gdalwarper.cpp GDALWarpCutlineMasker + CUTLINE_BLEND_DIST)
+        "cutline_blend": lambda spark, sf_dir: (
+            warp.cutline_blend_keys(
+                _pixel_images(spark, sf_dir, _CKS_MAX_I)
             )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
@@ -1746,6 +1793,9 @@ def oracle_sql() -> dict[str, str]:
         "point_probe": rastertable.oracle_point_probe(n),
         "rasterize_rows": rastop.oracle_rasterize_rows(m, _RAST_GRID),
         "rasterize_inverse": rastop.oracle_rasterize_inverse(m, _RAST_GRID),
+        "match_histogram": enhance.oracle_match_histogram(
+            min(n, 4096), _CKS_MAX_I, _CKS_PRIME_CASE
+        ),
         "enhance_equalize": enhance.oracle_equalize(
             min(n, 4096), _CKS_MAX_I, _CKS_PRIME_CASE
         ),
@@ -1763,6 +1813,15 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": rastop.oracle_zonal_stats(m, _RAST_GRID),
         "color_relief_nearest": dem.oracle_color_relief_nearest(
             min(n, 4096), _DEM_MAX_I
+        ),
+        "pack_sequences": textops.oracle_pack_sequences(),
+        "tfidf_topk": textops.oracle_tfidf_topk(),
+        "dataset_split": textops.oracle_dataset_split(),
+        "ar_bucket_batches": multimodal.oracle_ar_bucket_batches(n),
+        "crop_to_cutline": reproject.oracle_crop_to_cutline_grid(n),
+        "embedding_gram": ann.oracle_embedding_gram(),
+        "cutline_blend": warp.oracle_cutline_blend(
+            min(n, 4096), _CKS_MAX_I
         ),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD

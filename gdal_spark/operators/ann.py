@@ -944,3 +944,70 @@ def oracle_ivfpq_topk(
         f"PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) "
         f"WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# augmented Gram matrix — the one reduction PCA / whitening / linear
+# probing needs at corpus scale: G = AᵀA where A is the vector matrix
+# with a constant-1 column prepended, so G packs [[n, Σvᵀ], [Σv, VᵀV]]
+# (count, component sums and second moments) in ONE pass. Classic
+# distributed-ML partial-sum shape (the same map-side normal-equation
+# pattern as gcp.py): each Arrow batch emits one 65x65 partial, the
+# final agg merges d²/2-sized partials — NEVER a vector-level shuffle.
+# Vectors are floor-scaled to integers (GRAM_SCALE) so the reduction
+# is exact and engine-independent: at 1e4 scale a component product is
+# <= 1e8, leaving room for ~1e10 vectors in int64.
+
+GRAM_SCALE = 10_000
+
+
+def embedding_gram(emb: DataFrame) -> DataFrame:
+    """(j, k, gram) for j <= k over the 1-augmented scaled vectors.
+
+    Scale: mapInPandas emits ONE (d+1)²-row partial per Arrow batch;
+    the shuffle moves only partials (thousands of rows regardless of
+    corpus size); the final groupBy is map-side combined."""
+    import numpy as np
+    import pandas as pd
+
+    d_plus = DIM + 1
+    iu = np.triu_indices(d_plus)
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.stack(pdf["embedding"].values).astype(np.float64)
+                * float(GRAM_SCALE)
+            ).astype(np.int64)
+            A = np.concatenate(
+                [np.full((V.shape[0], 1), GRAM_SCALE, dtype=np.int64), V],
+                axis=1,
+            )
+            G = A.T @ A
+            yield pd.DataFrame(
+                {"j": iu[0], "k": iu[1], "g": G[iu]}
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        partial, schema="j long, k long, g long"
+    )
+    return partials.groupBy("j", "k").agg(
+        F.sum("g").cast("bigint").alias("gram")
+    )
+
+
+def oracle_embedding_gram() -> str:
+    lam = f"x -> cast(floor(cast(x as double) * {GRAM_SCALE}.0E0) as bigint)"
+    return (
+        f"WITH v AS (SELECT vec_id, list_prepend(cast({GRAM_SCALE} as "
+        f"bigint), list_transform(embedding, {lam})) AS vs "
+        f"FROM embeddings), "
+        f"e AS (SELECT vec_id, unnest(vs) AS val, "
+        f"unnest(range(0, {DIM + 1})) AS j FROM v) "
+        f"SELECT a.j AS j, b.j AS k, "
+        f"cast(sum(a.val * b.val) as bigint) AS gram "
+        f"FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.j <= b.j "
+        f"GROUP BY 1, 2"
+    )

@@ -422,3 +422,120 @@ SELECT image_id, cast(ch as bigint) AS channel,
        cast(sum({synth.pixel_val_sql()} % {prime}) % 65536 as bigint) AS cks
 FROM src GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (the SDXL / NovelAI training-batch scheme:
+# images are grouped into a fixed ladder of (bw, bh) buckets of
+# roughly constant pixel budget, then batched WITHIN a bucket so every
+# training batch shares one resize target; incomplete trailing batches
+# are dropped). Metadata-only: planning never touches pixels.
+
+AR_PIXEL_BUDGET = 16_384  # 128x128 at step 16
+AR_STEP = 16
+AR_MAX_SIDE = 256
+AR_BATCH = 8
+AR_SHARDS = 8
+
+
+def ar_buckets(budget: int = AR_PIXEL_BUDGET, step: int = AR_STEP,
+               max_side: int = AR_MAX_SIDE) -> list[tuple[int, int]]:
+    """The bucket ladder: for each width multiple of ``step`` take the
+    tallest height multiple of ``step`` within the pixel budget."""
+    out = []
+    for bw in range(step, max_side + 1, step):
+        bh = min(max_side, (budget // bw) // step * step)
+        if bh >= step:
+            out.append((bw, bh))
+    return out
+
+
+def _bucket_values_sql(buckets) -> str:
+    return ", ".join(f"({bw}, {bh})" for bw, bh in buckets)
+
+
+def ar_bucket_batches(
+    images: DataFrame,
+    batch: int = AR_BATCH,
+    shards: int = AR_SHARDS,
+) -> DataFrame:
+    """(image_id, bw, bh, shard, batch_id, kept) — nearest-aspect
+    bucket (|w/h - bw/bh| as IEEE doubles, identical in both engines
+    since division/subtraction are correctly rounded; ties to the
+    narrower bucket), then deterministic batch ids per (bucket, shard)
+    with incomplete trailing batches marked kept=0.
+
+    Scale: the bucket ladder is a generator-exploded literal (never a
+    broadcast nested-loop join); the argmin is a bounded-width window
+    over image_id; batching windows partition by (bucket, shard) so no
+    single task sees a whole bucket — shards is the same knob a real
+    pipeline uses for per-worker batch streams."""
+    from pyspark.sql import Window
+
+    buckets = ar_buckets()
+    cand = images.selectExpr(
+        "i", "image_id", "w", "h", f"i % {shards} AS shard"
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"named_struct('bw', {bw}, 'bh', {bh})"
+                    for bw, bh in buckets
+                )
+                + ")"
+            )
+        ).alias("b"),
+    ).selectExpr(
+        "i", "image_id", "w", "h", "shard", "b.bw AS bw", "b.bh AS bh",
+        "abs(cast(w as double) / cast(h as double) "
+        "- cast(b.bw as double) / cast(b.bh as double)) AS dist",
+    )
+    pick = Window.partitionBy("image_id").orderBy("dist", "bw")
+    best = (
+        cand.withColumn("pick", F.row_number().over(pick))
+        .filter("pick = 1")
+        .drop("pick", "dist", "w", "h")
+    )
+    seq = Window.partitionBy("bw", "bh", "shard").orderBy("i")
+    n_in = Window.partitionBy("bw", "bh", "shard")
+    return (
+        best.withColumn("rn", F.row_number().over(seq))
+        .withColumn("n_grp", F.count("*").over(n_in))
+        .selectExpr(
+            "image_id",
+            "cast(bw as bigint) AS bw", "cast(bh as bigint) AS bh",
+            "cast(shard as bigint) AS shard",
+            f"(rn - 1) div {batch} AS batch_id",
+            f"cast((rn - 1) div {batch} < n_grp div {batch} as int) AS kept",
+        )
+    )
+
+
+def oracle_ar_bucket_batches(
+    n: int,
+    batch: int = AR_BATCH,
+    shards: int = AR_SHARDS,
+) -> str:
+    buckets = ar_buckets()
+    return (
+        f"WITH img AS (SELECT i, image_id, w, h, i % {shards} AS shard "
+        f"FROM ({synth.images_cte(n, 'duckdb')})), "
+        f"bk(bw, bh) AS (VALUES {_bucket_values_sql(buckets)}), "
+        f"cand AS (SELECT img.*, bw, bh, "
+        f"abs(cast(w as double) / cast(h as double) "
+        f"- cast(bw as double) / cast(bh as double)) AS dist, "
+        f"row_number() OVER (PARTITION BY image_id ORDER BY dist, bw) "
+        f"AS pick FROM img, bk), "
+        f"best AS (SELECT i, image_id, shard, bw, bh FROM cand "
+        f"WHERE pick = 1), "
+        f"seq AS (SELECT image_id, bw, bh, shard, "
+        f"row_number() OVER (PARTITION BY bw, bh, shard ORDER BY i) AS rn, "
+        f"count(*) OVER (PARTITION BY bw, bh, shard) AS n_grp FROM best) "
+        f"SELECT image_id, cast(bw as bigint) AS bw, "
+        f"cast(bh as bigint) AS bh, cast(shard as bigint) AS shard, "
+        f"(rn - 1) // {batch} AS batch_id, "
+        f"cast((rn - 1) // {batch} < n_grp // {batch} as int) AS kept "
+        f"FROM seq"
+    )

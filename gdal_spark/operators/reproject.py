@@ -1052,3 +1052,70 @@ def oracle_gdalmove_gt(n: int, epsg: int = 54008) -> str:
         f"cast(floor((yll - yul) / cast(h as double) * 1000000.0E0) as bigint) "
         f"AS gt5_um FROM c"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp -crop_to_cutline (apps/gdalwarp_lib.cpp CropToCutline):
+# the output extent is the cutline's envelope intersected with the
+# source footprint, SNAPPED TO THE SOURCE PIXEL GRID (no -tr given ->
+# the source geotransform's grid is kept, only the window shrinks).
+# Pure Catalyst: per-image window arithmetic over the metadata scan —
+# planning never decodes a pixel, exactly like the reference, which
+# computes the window before the warper ever runs.
+
+CROP_CUT_BOX = (11.3, 48.2, 11.5, 48.4)  # lon/lat cutline envelope
+
+
+def crop_to_cutline_grid(
+    images: DataFrame, box: tuple = CROP_CUT_BOX
+) -> DataFrame:
+    """(image_id, px0, py0, out_w, out_h) — the source-grid-aligned
+    output window of each image whose footprint intersects the cutline
+    envelope. gt = (lon, res, 0, lat, 0, -res), res = 0.1/w (the synth
+    geotransform): px snapped with floor/ceil so the cutline is fully
+    covered, then clamped to the image.
+
+    Scale: metadata-only scan, zero shuffle; the filter prunes
+    non-intersecting images before any pixel stage runs."""
+    cx0, cy0, cx1, cy1 = box
+    fl = synth.flit
+    base = images.selectExpr(
+        "image_id", "lon", "lat", "w", "h",
+        "0.1E0 / cast(w as double) AS res",
+    ).selectExpr(
+        "image_id", "w", "h",
+        f"greatest(0, least(cast(w as bigint), "
+        f"cast(floor(({fl(cx0)} - lon) / res) as bigint))) AS px0",
+        f"greatest(0, least(cast(w as bigint), "
+        f"cast(ceil(({fl(cx1)} - lon) / res) as bigint))) AS px1",
+        f"greatest(0, least(cast(h as bigint), "
+        f"cast(floor((lat - {fl(cy1)}) / res) as bigint))) AS py0",
+        f"greatest(0, least(cast(h as bigint), "
+        f"cast(ceil((lat - {fl(cy0)}) / res) as bigint))) AS py1",
+    )
+    return base.selectExpr(
+        "image_id", "px0", "py0",
+        "px1 - px0 AS out_w", "py1 - py0 AS out_h",
+    ).filter("out_w > 0 AND out_h > 0")
+
+
+def oracle_crop_to_cutline_grid(n: int, box: tuple = CROP_CUT_BOX) -> str:
+    cx0, cy0, cx1, cy1 = box
+    fl = synth.flit
+    return (
+        f"WITH img AS ({synth.images_cte(n, 'duckdb')}), "
+        f"r AS (SELECT image_id, lon, lat, w, h, "
+        f"0.1E0 / cast(w as double) AS res FROM img), "
+        f"c AS (SELECT image_id, "
+        f"greatest(0, least(cast(w as bigint), "
+        f"cast(floor(({fl(cx0)} - lon) / res) as bigint))) AS px0, "
+        f"greatest(0, least(cast(w as bigint), "
+        f"cast(ceil(({fl(cx1)} - lon) / res) as bigint))) AS px1, "
+        f"greatest(0, least(cast(h as bigint), "
+        f"cast(floor((lat - {fl(cy1)}) / res) as bigint))) AS py0, "
+        f"greatest(0, least(cast(h as bigint), "
+        f"cast(ceil((lat - {fl(cy0)}) / res) as bigint))) AS py1 FROM r) "
+        f"SELECT image_id, px0, py0, px1 - px0 AS out_w, "
+        f"py1 - py0 AS out_h FROM c "
+        f"WHERE px1 - px0 > 0 AND py1 - py0 > 0"
+    )

@@ -514,3 +514,170 @@ def oracle_source_mix_sample() -> str:
         f"cast(h as bigint) AS h, "
         f"cast((h % {MIX_MOD}) < {_mix_rate_sql()} as int) AS keep FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (GPT-style concat-and-chunk: documents are
+# concatenated in key order within a shard and split at fixed
+# max-sequence-length boundaries; each document reports which packed
+# sequences it lands in and at what offset. Reference practice:
+# Brown et al. 2020 §2.3 "documents are packed into sequences of
+# 2048 tokens"; here L is a parameter. Packing is inherently a
+# prefix-sum per stream, so it is done PER SOURCE (the shard unit a
+# real pipeline packs within) — the window never spans the corpus.)
+
+PACK_LEN = 64  # max sequence length in tokens
+
+
+def pack_sequences(docs: DataFrame, max_len: int = PACK_LEN) -> DataFrame:
+    """(source, doc_id, pack_id, start_in_pack, n_tok_here) — one row
+    per (document, packed-sequence) span.
+
+    Scale: one shuffle on ``source`` (the shard key) for the running
+    token prefix sum; the span explode is map-side. Sources are the
+    packing shards, so window width is bounded by shard size, never
+    corpus size."""
+    from pyspark.sql import Window
+
+    t = _with_tokens(docs).selectExpr(
+        "source", "doc_id", "cast(size(toks) as bigint) AS n_tok"
+    ).filter("n_tok > 0")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = t.withColumn("cum", F.sum("n_tok").over(w))
+    t = t.selectExpr(
+        "source", "doc_id", "n_tok", "cum", "cum - n_tok AS start",
+        f"(cum - n_tok) div {max_len} AS pack_first",
+        f"(cum - 1) div {max_len} AS pack_last",
+    )
+    return t.select(
+        "source", "doc_id", "n_tok", "start",
+        F.explode(F.expr("sequence(pack_first, pack_last)")).alias("pack_id"),
+    ).selectExpr(
+        "source", "doc_id", "pack_id",
+        f"greatest(start, pack_id * {max_len}) - pack_id * {max_len} "
+        f"AS start_in_pack",
+        f"least(start + n_tok, (pack_id + 1) * {max_len}) "
+        f"- greatest(start, pack_id * {max_len}) AS n_tok_here",
+    )
+
+
+def oracle_pack_sequences(max_len: int = PACK_LEN) -> str:
+    return (
+        f"WITH t AS (SELECT source, doc_id, "
+        f"cast(len({tokens_sql('duckdb')}) as bigint) AS n_tok "
+        f"FROM documents), "
+        f"c AS (SELECT source, doc_id, n_tok, "
+        f"cast(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) "
+        f"as bigint) AS cum "
+        f"FROM t WHERE n_tok > 0), "
+        f"s AS (SELECT source, doc_id, n_tok, cum, cum - n_tok AS start, "
+        f"(cum - n_tok) // {max_len} AS pack_first, "
+        f"(cum - 1) // {max_len} AS pack_last FROM c) "
+        f"SELECT source, doc_id, "
+        f"cast(unnest(range(pack_first, pack_last + 1)) as bigint) AS pack_id, "
+        f"cast(greatest(start, unnest(range(pack_first, pack_last + 1)) "
+        f"* {max_len}) - unnest(range(pack_first, pack_last + 1)) "
+        f"* {max_len} as bigint) AS start_in_pack, "
+        f"cast(least(start + n_tok, (unnest(range(pack_first, pack_last + 1)) "
+        f"+ 1) * {max_len}) - greatest(start, "
+        f"unnest(range(pack_first, pack_last + 1)) * {max_len}) as bigint) "
+        f"AS n_tok_here FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-k terms per document). The idf is
+# kept in exact integer arithmetic — score_key = (tf * 1e6 * N) // df
+# is monotone in tf * N/df — so the ranking needs no float log and is
+# bit-identical across engines. Ties break lexicographically.
+
+TFIDF_K = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """(doc_id, token, tf, df, score_key, rnk) — top-k tokens per
+    document by tf * N/df (exact integer surrogate).
+
+    Scale: tf agg shuffles on (doc_id, token); df agg shuffles on
+    token with map-side combine; N rides a 1-row broadcast; the
+    df-lookup join broadcasts while the vocab is small and degrades to
+    a shuffle hash join at real vocab sizes; final top-k is a window
+    over doc_id (bounded per-doc width)."""
+    from pyspark.sql import Window
+
+    toks = _with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    toks = toks.localCheckpoint(eager=True)  # feeds tf AND df
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = toks.select("doc_id").distinct().agg(
+        F.count("*").cast("bigint").alias("N")
+    )
+    scored = tf.join(df, "token").crossJoin(F.broadcast(n)).selectExpr(
+        "doc_id", "token", "tf", "df",
+        f"(tf * {TFIDF_SCALE} * N) div df AS score_key",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_key"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def oracle_tfidf_topk(k: int = TFIDF_K) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({tokens_sql('duckdb')}) AS token "
+        f"FROM documents), "
+        f"tf AS MATERIALIZED (SELECT doc_id, token, "
+        f"cast(count(*) as bigint) AS tf FROM t GROUP BY 1, 2), "
+        f"df AS (SELECT token, cast(count(DISTINCT doc_id) as bigint) AS df "
+        f"FROM t GROUP BY 1), "
+        f"n AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS N FROM t), "
+        f"s AS (SELECT doc_id, token, tf, df, "
+        f"(tf * {TFIDF_SCALE} * N) // df AS score_key "
+        f"FROM tf JOIN df USING (token), n), "
+        f"r AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id "
+        f"ORDER BY score_key DESC, token) as bigint) AS rnk FROM s) "
+        f"SELECT doc_id, token, tf, df, score_key, rnk FROM r "
+        f"WHERE rnk <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified dataset split (train/val/test by a pure
+# hash of the document key — reproducible across runs, engines and
+# partitionings, and orthogonal to the source-mixing hash above by a
+# different multiplier)
+
+SPLIT_KNUTH = 2_246_822_519  # xxhash PRIME32_2 — independent of KNUTH
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h, split) — 80/10/10 by hash bucket; pure
+    integer Catalyst scan, zero shuffle, zero Python."""
+    return docs.selectExpr(
+        "doc_id", "source",
+        f"(doc_id * {SPLIT_KNUTH}) % 4294967296 AS h",
+    ).selectExpr(
+        "doc_id", "source", "h",
+        "CASE WHEN h % 100 < 80 THEN 'train' "
+        "WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split",
+    )
+
+
+def oracle_dataset_split() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, source, "
+        f"(doc_id * {SPLIT_KNUTH}) % 4294967296 AS h FROM documents) "
+        f"SELECT doc_id, source, cast(h as bigint) AS h, "
+        f"CASE WHEN h % 100 < 80 THEN 'train' "
+        f"WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM t"
+    )

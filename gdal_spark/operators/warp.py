@@ -575,3 +575,80 @@ def oracle_warp_area_family_down2(n: int, max_i: int) -> str:
         f"cast(sum(val % {_cks_prime('yd * (w // 2) + xd')}) % 65536 as bigint) "
         f"AS cks FROM px GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# cutline blend distance (gdalwarp -cblend; alg/gdalwarper.cpp
+# GDALWarpCutlineMasker with CUTLINE_BLEND_DIST): instead of the hard
+# 0/1 cutline mask, pixel density ramps linearly across the cutline
+# edge over ±blend pixels — density 1 deeper than blend inside, 0
+# deeper than blend outside, 0.5 on the edge. For the box cutline the
+# signed edge distance is closed-form (min over the four edges), so
+# the whole ramp is value-checked exactly: density is quantized to
+# integer thousandths with the SAME IEEE double arithmetic in numpy
+# and both SQL dialects, and the gate key is sum(val * dens_m).
+
+CBLEND_PX = 2.0
+
+
+def cutline_blend_keys(
+    images: DataFrame, box: tuple = CUTLINE_BOX, blend: float = CBLEND_PX
+) -> DataFrame:
+    """(image_id, channel, blend_key) — blend_key = sum over pixels of
+    val * dens_m, dens_m = clamp(floor(500 + 500*d/blend), 0, 1000),
+    d = signed pixel-center distance to the cutline box edge.
+
+    Scale: embarrassingly parallel map-only pass (each image's mask is
+    local); zero shuffles beyond the final per-image agg."""
+    fx0, fy0, fx1, fy1 = box
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                xs = np.arange(w, dtype=np.float64) + 0.5
+                ys = np.arange(h, dtype=np.float64) + 0.5
+                dx = np.minimum(xs - fx0 * w, fx1 * w - xs)
+                dy = np.minimum(ys - fy0 * h, fy1 * h - ys)
+                d = np.minimum(dx[None, :], dy[:, None])
+                dens = np.floor(500.0 + 500.0 * d / blend)
+                dens = np.clip(dens, 0.0, 1000.0).astype(np.int64)
+                for c in range(arr.shape[2]):
+                    rows.append(
+                        (image_id, c, int((arr[:, :, c] * dens).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "channel", "blend_key"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, blend_key bigint"
+    )
+
+
+def oracle_cutline_blend(
+    n: int, max_i: int, box: tuple = CUTLINE_BOX, blend: float = CBLEND_PX
+) -> str:
+    from .. import synth
+
+    fl = synth.flit
+    fx0, fy0, fx1, fy1 = box
+    d = (
+        f"least(cast(x as double) + 0.5E0 - {fl(fx0)} * w, "
+        f"{fl(fx1)} * w - (cast(x as double) + 0.5E0), "
+        f"cast(y as double) + 0.5E0 - {fl(fy0)} * h, "
+        f"{fl(fy1)} * h - (cast(y as double) + 0.5E0))"
+    )
+    dens = (
+        f"cast(greatest(0.0E0, least(1000.0E0, "
+        f"floor(500.0E0 + 500.0E0 * {d} / {fl(blend)}))) as bigint)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, h, x, y, ch, val FROM "
+        f"({synth.pixels_cte(n, max_i, 'duckdb')})) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(val * {dens}) as bigint) AS blend_key "
+        f"FROM px GROUP BY 1, 2"
+    )

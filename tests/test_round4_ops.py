@@ -443,3 +443,255 @@ def test_color_relief_nearest_differs_from_interpolated():
     for ev, ec in dem.COLOR_RAMP:
         assert tuple(near.reshape(-1, 3)[ev]) == ec
         assert tuple(lin.reshape(-1, 3)[ev]) == ec
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 ops: packing, tfidf, split, AR buckets, cutline
+# crop, histogram matching
+
+
+def _docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_pack_sequences_brute(spark):
+    """Greedy concat-and-chunk replay in plain Python per source."""
+    from gdal_spark.operators.textops import pack_sequences, PACK_LEN
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["source"], r["doc_id"], r["pack_id"]): (
+            r["start_in_pack"], r["n_tok_here"]
+        )
+        for r in pack_sequences(docs).collect()
+    }
+    want = {}
+    pdf = _docs_pdf().sort_values("doc_id")
+    for source, grp in pdf.groupby("source"):
+        pos = 0
+        for _, row in grp.iterrows():
+            n_tok = len([t for t in row["text"].split(" ") if t])
+            if n_tok == 0:
+                continue
+            start = pos
+            while start < pos + n_tok:
+                p = start // PACK_LEN
+                end = min(pos + n_tok, (p + 1) * PACK_LEN)
+                want[(source, row["doc_id"], p)] = (
+                    start - p * PACK_LEN, end - start
+                )
+                start = end
+            pos += n_tok
+    assert got == want and len(got) > 0
+
+
+def test_pack_sequences_tiles_stream(spark):
+    """Spans cover every token exactly once per source."""
+    from gdal_spark.operators.textops import pack_sequences, PACK_LEN
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs)
+    per_pack = (
+        out.groupBy("source", "pack_id")
+        .agg(F.sum("n_tok_here").alias("filled"))
+        .collect()
+    )
+    by_src = {}
+    for r in per_pack:
+        by_src.setdefault(r["source"], []).append((r["pack_id"], r["filled"]))
+    for src, packs in by_src.items():
+        packs.sort()
+        # every pack except the last is exactly full
+        for pid, filled in packs[:-1]:
+            assert filled == PACK_LEN, (src, pid, filled)
+        assert 0 < packs[-1][1] <= PACK_LEN
+
+
+def test_tfidf_topk_brute(spark):
+    from collections import Counter
+
+    from gdal_spark.operators.textops import tfidf_topk, TFIDF_SCALE, TFIDF_K
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["doc_id"], r["rnk"]): (r["token"], r["score_key"])
+        for r in tfidf_topk(docs).collect()
+    }
+    pdf = _docs_pdf()
+    df_count = Counter()
+    toks_by_doc = {}
+    for _, row in pdf.iterrows():
+        toks = [t for t in row["text"].split(" ") if t]
+        toks_by_doc[row["doc_id"]] = toks
+        df_count.update(set(toks))
+    n_docs = sum(1 for t in toks_by_doc.values() if t)
+    want = {}
+    for doc_id, toks in toks_by_doc.items():
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (-(tf[t] * TFIDF_SCALE * n_docs // df_count[t]), t)
+                for t in tf
+            ),
+        )
+        for rnk, (negkey, t) in enumerate(scored[:TFIDF_K], start=1):
+            want[(doc_id, rnk)] = (t, -negkey)
+    assert got == want and len(got) > 0
+
+
+def test_dataset_split_brute(spark):
+    from gdal_spark.operators.textops import dataset_split, SPLIT_KNUTH
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    pdf = _docs_pdf()
+    for _, row in pdf.iterrows():
+        h = (row["doc_id"] * SPLIT_KNUTH) % 4294967296 % 100
+        want = "train" if h < 80 else ("val" if h < 90 else "test")
+        assert got[row["doc_id"]] == want
+    # all three splits materialize and are roughly 80/10/10
+    from collections import Counter
+
+    frac = Counter(got.values())
+    assert frac["train"] > frac["val"] > 0 and frac["test"] > 0
+
+
+def test_ar_bucket_batches_brute(spark):
+    from gdal_spark.operators.multimodal import (
+        ar_bucket_batches, ar_buckets, AR_BATCH, AR_SHARDS,
+    )
+
+    n = 512
+    imgs = synth.images_df(spark, n)
+    got = {
+        r["image_id"]: (r["bw"], r["bh"], r["shard"], r["batch_id"], r["kept"])
+        for r in ar_bucket_batches(imgs).collect()
+    }
+    buckets = ar_buckets()
+    W = {0: 16, 1: 20, 2: 64, 3: 100, 4: 256}
+    assign = {}
+    for i in range(n):
+        w, h = W[i % 5], W[(i + 1) % 5]
+        best = min(buckets, key=lambda b: (abs(w / h - b[0] / b[1]), b[0]))
+        assign.setdefault((best, i % AR_SHARDS), []).append(i)
+    want = {}
+    for (bucket, shard), members in assign.items():
+        members.sort()
+        n_full = len(members) // AR_BATCH
+        for rn, i in enumerate(members):
+            want[f"img{i:08d}"] = (
+                bucket[0], bucket[1], shard, rn // AR_BATCH,
+                int(rn // AR_BATCH < n_full),
+            )
+    assert got == want and len(got) == n
+
+
+def test_crop_to_cutline_brute(spark):
+    import math
+
+    from gdal_spark.operators.reproject import (
+        crop_to_cutline_grid, CROP_CUT_BOX,
+    )
+
+    n = 1024
+    imgs = synth.images_df(spark, n)
+    got = {
+        r["image_id"]: (r["px0"], r["py0"], r["out_w"], r["out_h"])
+        for r in crop_to_cutline_grid(imgs).collect()
+    }
+    pdf = imgs.select("image_id", "lon", "lat", "w", "h").toPandas()
+    cx0, cy0, cx1, cy1 = CROP_CUT_BOX
+    want = {}
+    for _, r in pdf.iterrows():
+        res = 0.1 / r["w"]
+        px0 = max(0, min(int(r["w"]), math.floor((cx0 - r["lon"]) / res)))
+        px1 = max(0, min(int(r["w"]), math.ceil((cx1 - r["lon"]) / res)))
+        py0 = max(0, min(int(r["h"]), math.floor((r["lat"] - cy1) / res)))
+        py1 = max(0, min(int(r["h"]), math.ceil((r["lat"] - cy0) / res)))
+        if px1 - px0 > 0 and py1 - py0 > 0:
+            want[r["image_id"]] = (px0, py0, px1 - px0, py1 - py0)
+    assert got == want and len(got) > 0
+
+
+def test_match_histogram_brute():
+    """Numpy replay of the exact integer quantile map on synthetic
+    bands: matched CDF dominates the scaled global CDF minimally."""
+    rng = np.random.RandomState(7)
+    bands = [
+        rng.randint(0, 256, (32, 32)).astype(np.uint8),
+        (rng.randint(0, 64, (16, 16)) + 100).astype(np.uint8),
+    ]
+    g_hist = np.zeros(256, dtype=np.int64)
+    for b in bands:
+        g_hist += np.bincount(b.reshape(-1).astype(np.int64), minlength=256)
+    g_cdf = np.cumsum(g_hist)
+    n_g = int(g_cdf[-1])
+    for b in bands:
+        out = enhance._match_band(b, g_cdf, n_g)
+        hist = np.bincount(b.reshape(-1).astype(np.int64), minlength=256)
+        l_cdf = np.cumsum(hist)
+        n_l = int(l_cdf[-1])
+        for v in np.nonzero(hist)[0]:
+            u = int(out[b == v][0])
+            # all pixels of one value map to one value
+            assert (out[b == v] == u).all()
+            # u is the minimal quantile-dominating target
+            assert g_cdf[u] * n_l >= l_cdf[v] * n_g
+            if u > 0:
+                assert g_cdf[u - 1] * n_l < l_cdf[v] * n_g
+
+
+def test_match_histogram_identity_on_global():
+    """A band whose histogram IS the global histogram maps to itself."""
+    v = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    g_cdf = np.cumsum(np.bincount(v.reshape(-1).astype(np.int64),
+                                  minlength=256))
+    out = enhance._match_band(v, g_cdf, int(g_cdf[-1]))
+    assert (out == v).all()
+
+
+def test_embedding_gram_brute(spark):
+    """Gram reduction equals the direct numpy AᵀA on the same scaled
+    vectors, including the augmented count/sum row."""
+    from gdal_spark.operators.ann import embedding_gram, GRAM_SCALE, DIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {(r["j"], r["k"]): r["gram"] for r in embedding_gram(emb).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.floor(
+        np.stack(pdf["embedding"].values).astype(np.float64) * GRAM_SCALE
+    ).astype(np.int64)
+    A = np.concatenate(
+        [np.full((V.shape[0], 1), GRAM_SCALE, dtype=np.int64), V], axis=1
+    )
+    G = A.T @ A
+    assert len(got) == (DIM + 1) * (DIM + 2) // 2
+    for (j, k), g in got.items():
+        assert G[j, k] == g
+    # the augmented corner is the row count
+    assert got[(0, 0)] == len(pdf) * GRAM_SCALE * GRAM_SCALE
+
+
+def test_cutline_blend_ramp_properties():
+    """The density ramp: 1000 deep inside, 0 deep outside, monotone
+    across the edge, 500 exactly on it."""
+    from gdal_spark.operators.warp import CUTLINE_BOX, CBLEND_PX
+
+    fx0, fy0, fx1, fy1 = CUTLINE_BOX
+    w = h = 64
+    xs = np.arange(w, dtype=np.float64) + 0.5
+    ys = np.arange(h, dtype=np.float64) + 0.5
+    dx = np.minimum(xs - fx0 * w, fx1 * w - xs)
+    dy = np.minimum(ys - fy0 * h, fy1 * h - ys)
+    d = np.minimum(dx[None, :], dy[:, None])
+    dens = np.clip(np.floor(500.0 + 500.0 * d / CBLEND_PX), 0, 1000)
+    # deep interior / exterior saturate
+    assert dens[int(h * (fy0 + fy1) / 2), int(w * (fx0 + fx1) / 2)] == 1000
+    assert dens[0, 0] == 0
+    # monotone along a row crossing the left edge
+    row = dens[int(h * (fy0 + fy1) / 2)]
+    left = int(fx0 * w)
+    assert (np.diff(row[: left + 3]) >= 0).all()
+    # intermediate ramp values exist (the blend is not a 0/1 mask)
+    assert ((dens > 0) & (dens < 1000)).any()
