@@ -1389,6 +1389,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _pixel_images(spark, sf_dir, _CKS_MAX_I)
             )
         ),
+        # gdaldem slope -p percent mode (GDALSlopeHornAlg slopeFormat=0)
+        "slope_percent": lambda spark, sf_dir: (
+            dem.slope_percent_rows(
+                _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
+        # gdal_merge.py -n nodata-skipping pixel composite
+        "merge_nodata": lambda spark, sf_dir: (
+            rastertable.merge_nodata_composite(
+                _pixel_images(spark, sf_dir, _CKS_MAX_I)
+            )
+        ),
+        # gdal_viewshed -cc curvature coefficient (alg/viewshed.cpp
+        # CalcHeightAdjFactor: z' = z - (1-cc)/diameter * d^2)
+        "viewshed_curved": lambda spark, sf_dir: (
+            viewshed.viewshed_curved_rows(
+                spark, _VS_W, _VS_W, _VS_OX, _VS_OY
+            )
+        ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
         "zonal_stats": lambda spark, sf_dir: rastop.zonal_stats(
@@ -1484,6 +1503,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
             spark.read.parquet(f"{sf_dir}/events.parquet")
+        ),
+        # sliding 1h/15min windows (Structured Streaming window(ts,
+        # len, slide) semantics via the explicit window explode)
+        "events_sliding_window": lambda spark, sf_dir: (
+            streaming.sliding_event_stats(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            )
         ),
         "contour_crossings": _q_contour_crossings,
         "proximity_tiled": _q_proximity_tiled,
@@ -1668,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_avg_down2": warp.oracle_warp_avg_down2(min(n, 4096), _WARP_MAX_I),
         "warp_cutline": warp.oracle_warp_cutline(min(n, 4096), _WARP_MAX_I),
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
+        "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
         # simplify_dp intentionally has no oracle (recursive DP)
@@ -1822,6 +1849,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": ann.oracle_embedding_gram(),
         "cutline_blend": warp.oracle_cutline_blend(
             min(n, 4096), _CKS_MAX_I
+        ),
+        "slope_percent": dem.oracle_slope_percent(
+            min(n, 4096), _DEM_MAX_I
+        ),
+        "merge_nodata": rastertable.oracle_merge_nodata_composite(
+            min(n, 4096), _CKS_MAX_I
+        ),
+        "viewshed_curved": viewshed.oracle_viewshed_curved(
+            _VS_W, _VS_W, _VS_OX, _VS_OY
         ),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD

@@ -803,3 +803,76 @@ def oracle_color_relief_nearest(n: int, max_i: int, ramp=COLOR_RAMP) -> str:
         f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
         f"FROM o GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdaldem slope -p (apps/gdaldem_lib.cpp GDALSlopeHornAlg with
+# psData->slopeFormat == 0: percent slope = 100 * sqrt(dx^2+dy^2) /
+# (8*scale) — the same Horn sums WITHOUT the atan, so the key needs
+# only sqrt, which bit-matches libm on this platform: the floor keys
+# are exact, no coarse quantization required).
+
+
+def slope_percent_rows(images: DataFrame) -> DataFrame:
+    """(image_id, y, n, pct_sum) — per-interior-scanline sums of
+    floor(percent_slope * 1e4). Map-only (per-image focal window)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                dem = codecs.decode_image(bytes(payload))[:, :, 0]
+                if dem.shape[0] < 3 or dem.shape[1] < 3:
+                    continue
+                d = dem.astype(np.float64)
+                w = {
+                    (dx, dy): d[1 + dy : d.shape[0] - 1 + dy,
+                                1 + dx : d.shape[1] - 1 + dx]
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                }
+                hx = (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)]) - (
+                    w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)]
+                )
+                hy = (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)]) - (
+                    w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)]
+                )
+                pct = np.sqrt(hx * hx + hy * hy) * 12.5  # 100/8
+                key = np.floor(pct * SCALE_KEY).astype(np.int64)
+                for y in range(key.shape[0]):
+                    rows.append(
+                        (image_id, y + 1, key.shape[1],
+                         int(key[y].sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "y", "n", "pct_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, pct_sum bigint",
+    )
+
+
+def oracle_slope_percent(n: int, max_i: int) -> str:
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    k = flit(SCALE_KEY)
+    return (
+        f"WITH g AS ({grid}), "
+        f"nb AS (SELECT image_id, x0, y0, ddx, ddy, {nbr_val} AS v "
+        f"FROM (SELECT g.*, ddx, ddy, x0 + ddx AS x, y0 + ddy AS y, "
+        f"0 AS ch FROM g, {_NBR})), "
+        f"agg AS (SELECT image_id, x0, y0, "
+        f"sum(v * {_WX}) AS dxh, sum(v * {_WY}) AS dyh "
+        f"FROM nb GROUP BY 1, 2, 3) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(cast(floor(sqrt(dxh * dxh + dyh * dyh) * 12.5E0 "
+        f"* {k}) as bigint)) as bigint) AS pct_sum "
+        f"FROM agg GROUP BY 1, 2"
+    )

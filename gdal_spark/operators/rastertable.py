@@ -365,3 +365,81 @@ FROM des WHERE NOT EXISTS (
     SELECT 1 FROM lv WHERE lv.image_id = des.image_id AND lv.d = des.d
     AND lv.res < lv.desired * {os_})
 """
+
+
+# ---------------------------------------------------------------------------
+# gdal_merge.py -n <nodata>: during compositing, source pixels equal
+# to the nodata value are SKIPPED instead of overwriting — the winner
+# at each output pixel is the LAST input (highest i) whose pixel is
+# valid (osgeo_utils/gdal_merge.py, the `-n` / nodata branch of
+# copy_into). Pixel-level last-wins-with-holes is THE mosaic composite
+# at scale; here the inputs share an origin-anchored pixel grid so the
+# semantics are gated without a resample in the way.
+
+MERGE_NODATA = 0
+
+
+def merge_nodata_composite(
+    images: DataFrame, nodata: int = MERGE_NODATA
+) -> DataFrame:
+    """(y, channel, n, val_sum, winner_sum) — per output scanline of
+    the composite: count of composited pixels, sum of winning values,
+    sum of winning image indices.
+
+    Scale shape: decode explodes to (x, y, ch, i, val) long rows
+    (Arrow-batched), invalid pixels filtered BEFORE the shuffle, then
+    ONE max_by aggregation on the output cell key — the same
+    partial-agg composite a 10^12-pixel mosaic runs; no image-pairwise
+    joins anywhere."""
+
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for i, payload in zip(pdf["i"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                w = arr.shape[1]
+                for c in range(arr.shape[2]):
+                    v = arr[:, :, c].reshape(-1)
+                    keep = v != nodata
+                    if not keep.any():
+                        continue
+                    yy, xx = np.divmod(np.nonzero(keep)[0], w)
+                    outs.append(pd.DataFrame({
+                        "x": xx, "y": yy,
+                        "ch": np.full(keep.sum(), c, dtype=np.int64),
+                        "i": np.full(keep.sum(), int(i), dtype=np.int64),
+                        "val": v[keep],
+                    }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["x", "y", "ch", "i", "val"]
+            )
+
+    longf = images.select("i", "bytes").mapInPandas(
+        explode, schema="x long, y long, ch long, i long, val long"
+    )
+    comp = longf.groupBy("x", "y", "ch").agg(
+        F.expr("max_by(val, i)").alias("val"),
+        F.max("i").alias("winner"),
+    )
+    return comp.groupBy("y", "ch").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("val_sum"),
+        F.sum("winner").cast("bigint").alias("winner_sum"),
+    ).selectExpr("y", "ch AS channel", "n", "val_sum", "winner_sum")
+
+
+def oracle_merge_nodata_composite(
+    n: int, max_i: int, nodata: int = MERGE_NODATA
+) -> str:
+    return (
+        f"WITH px AS (SELECT x, y, ch, i, val "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) "
+        f"WHERE val <> {nodata}), "
+        f"comp AS (SELECT x, y, ch, arg_max(val, i) AS val, "
+        f"max(i) AS winner FROM px GROUP BY 1, 2, 3) "
+        f"SELECT y, cast(ch as bigint) AS channel, "
+        f"cast(count(*) as bigint) AS n, "
+        f"cast(sum(val) as bigint) AS val_sum, "
+        f"cast(sum(winner) as bigint) AS winner_sum "
+        f"FROM comp GROUP BY 1, 2"
+    )

@@ -397,3 +397,141 @@ def oracle_viewshed_cumulative(
         f"LEFT JOIN bn ON bn.tx = t.gx AND bn.ty = t.gy "
         f"GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# -cc curvature coefficient (gdal_viewshed; alg/viewshed.cpp
+# CalcHeightAdjFactor: m_dfHeightAdjFactor = (1 - dfCurvCoeff) /
+# dfEarthDiameter, every height lowered by adj * dist² before the LOS
+# test — the earth-curvature + atmospheric-refraction correction;
+# default coefficient 0.85714 ≈ 6/7). The synthetic DEM is a stylized
+# EXTREME-relief surface (std 74 height units over a 64-px tile), so a
+# realistic earth diameter cannot flip a single cell; the pixel-unit
+# diameter default is deliberately small so the correction is actually
+# exercised and the gate discriminates the mode (cc=1 reproduces the
+# uncorrected viewshed bit-for-bit — pytest-asserted). The arithmetic
+# is the reference's, applied to intermediate samples AND the target.
+
+CURV_CC = 0.0
+CURV_DIAMETER = 1.0  # stylized pixel-unit earth diameter (see above)
+
+
+def viewshed_curved_rows(
+    spark, width: int, height: int, ox: int, oy: int,
+    cc: float = CURV_CC, diameter: float = CURV_DIAMETER,
+    band_px: int = 16,
+) -> DataFrame:
+    """(y, n, n_visible) per scanline with the curvature-corrected
+    heights z' = z - (1-cc)/diameter * d² (d = pixel distance from the
+    observer)."""
+    adj = (1.0 - cc) / diameter
+    nb = (height + band_px - 1) // band_px
+    bands = spark.range(nb).selectExpr("cast(id as int) AS band")
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * band_px
+        h = min(band_px, height - y0)
+        gy, gx = np.mgrid[0:height, 0:width]
+        dem = _dem_value(gx, gy).astype(np.float64)
+        out = []
+        eye = dem[oy, ox] + OBS_HEIGHT
+        for ty in range(y0, y0 + h):
+            nvis = 0
+            for tx in range(width):
+                K = max(abs(tx - ox), abs(ty - oy))
+                if K == 0:
+                    nvis += 1
+                    continue
+                ks = np.arange(1, K, dtype=np.float64)
+                f = ks / K
+                px = ox + f * (tx - ox)
+                py = oy + f * (ty - oy)
+                x0 = np.floor(px).astype(np.int64)
+                y0i = np.floor(py).astype(np.int64)
+                fx = px - x0
+                fy = py - y0i
+                x1 = np.minimum(x0 + 1, width - 1)
+                y1 = np.minimum(y0i + 1, height - 1)
+                terr = (1.0 - fy) * (
+                    (1.0 - fx) * dem[y0i, x0] + fx * dem[y0i, x1]
+                ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+                terr = terr - adj * (
+                    (px - ox) * (px - ox) + (py - oy) * (py - oy)
+                )
+                tz = dem[ty, tx] - adj * (
+                    float((tx - ox) * (tx - ox) + (ty - oy) * (ty - oy))
+                )
+                los = eye + f * (tz - eye)
+                if (los > terr).all():
+                    nvis += 1
+            out.append((ty, width, nvis))
+        return pd.DataFrame(out, columns=["y", "n", "n_visible"])
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, n_visible bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"), F.sum("n_visible").alias("n_visible")
+    )
+
+
+def oracle_viewshed_curved(
+    width: int, height: int, ox: int, oy: int,
+    cc: float = CURV_CC, diameter: float = CURV_DIAMETER,
+) -> str:
+    from .. import synth
+
+    adj = synth.flit((1.0 - cc) / diameter)
+    val = DEM_VALUE_SQL
+
+    def dem_at(x, y):
+        return (
+            f"cast({val.replace('gx', f'({x})').replace('gy', f'({y})')} "
+            f"as double)"
+        )
+
+    eye = f"({dem_at(str(ox), str(oy))} + {OBS_HEIGHT}E0)"
+    steps = (
+        f"SELECT t.tx, t.ty, k, "
+        f"greatest(abs(t.tx - {ox}), abs(t.ty - {oy})) AS kk "
+        f"FROM (SELECT gx AS tx, gy AS ty FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) b(gy)) t, range(1, {max(width, height)}) s(k) "
+        f"WHERE k < greatest(abs(t.tx - {ox}), abs(t.ty - {oy}))"
+    )
+    terr = (
+        "((1.0E0 - fy) * ((1.0E0 - fx) * v00 + fx * v10) "
+        "+ fy * ((1.0E0 - fx) * v01 + fx * v11) "
+        f"- {adj} * ((px - {ox}) * (px - {ox}) + (py - {oy}) * (py - {oy})))"
+    )
+    tz = (
+        f"({dem_at('tx', 'ty')} - {adj} * cast((tx - {ox}) * (tx - {ox}) "
+        f"+ (ty - {oy}) * (ty - {oy}) as double))"
+    )
+    los = f"({eye} + f * ({tz} - {eye}))"
+    return (
+        f"WITH s AS ({steps}), "
+        f"pos AS (SELECT tx, ty, "
+        f"(cast(k as double) / cast(kk as double)) AS f, "
+        f"({ox} + (cast(k as double) / cast(kk as double)) * (tx - {ox})) AS px, "
+        f"({oy} + (cast(k as double) / cast(kk as double)) * (ty - {oy})) AS py "
+        f"FROM s), "
+        f"cells AS (SELECT tx, ty, f, px, py, "
+        f"cast(floor(px) as bigint) AS x0, cast(floor(py) as bigint) AS y0, "
+        f"(px - cast(floor(px) as bigint)) AS fx, "
+        f"(py - cast(floor(py) as bigint)) AS fy FROM pos), "
+        f"vals AS (SELECT tx, ty, f, px, py, fx, fy, "
+        f"{dem_at('x0', 'y0')} AS v00, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', 'y0')} AS v10, "
+        f"{dem_at('x0', f'least(y0 + 1, {height - 1})')} AS v01, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', f'least(y0 + 1, {height - 1})')} "
+        f"AS v11 FROM cells), "
+        f"blocked AS (SELECT DISTINCT tx, ty FROM vals "
+        f"WHERE NOT ({los} > {terr})) "
+        f"SELECT t.gy AS y, count(*) AS n, "
+        f"count(*) - count(b.tx) AS n_visible "
+        f"FROM (SELECT gx, gy FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) c(gy)) t "
+        f"LEFT JOIN blocked b ON b.tx = t.gx AND b.ty = t.gy "
+        f"GROUP BY 1"
+    )

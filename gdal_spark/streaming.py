@@ -358,3 +358,56 @@ def stream_attribute_pairs(spark: SparkSession, src_dir: str, schema):
         "purchase_event_id", "user_id", "view_event_id",
         "unix_micros(buy_ts) - unix_micros(view_ts) AS lag_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (Structured Streaming window(ts, "1 hour",
+# "15 minutes") semantics): each event belongs to length/slide
+# overlapping windows. Expressed as the explicit window explode in
+# BOTH engines (identical integer arithmetic), which is exactly what
+# Spark's window() lowers to; the x(L/S) row fan-out ahead of the
+# shuffle is the documented cost of sliding windows at any scale.
+
+SLIDE_US = 900_000_000  # 15 min slide; WINDOW_US / SLIDE_US = 4 windows
+
+
+def sliding_event_stats(events: DataFrame) -> DataFrame:
+    """Sliding 1h/15min window per event_type: count, distinct users,
+    integer-cent value sum. Same output shape as the tumbling stats
+    with win_start_us stepping by the slide."""
+    k_max = WINDOW_US // SLIDE_US
+    base = events.selectExpr(
+        "event_type",
+        "user_id",
+        f"unix_micros(cast(ts as timestamp)) - "
+        f"pmod(unix_micros(cast(ts as timestamp)), {SLIDE_US}) "
+        "AS slide_start_us",
+        "cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents",
+    ).selectExpr(
+        "event_type", "user_id", "value_cents",
+        f"explode(sequence(cast(0 as bigint), {k_max - 1})) AS k",
+        "slide_start_us",
+    ).selectExpr(
+        "event_type", "user_id", "value_cents",
+        f"slide_start_us - k * cast({SLIDE_US} as bigint) AS win_start_us",
+    )
+    return base.groupBy("win_start_us", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("value_cents_sum"),
+    )
+
+
+ORACLE_SLIDING = (
+    f"WITH e AS (SELECT event_type, user_id, "
+    f"(epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} AS slide_start_us, "
+    f"cast(floor(value * 100.0E0 + 0.5E0) as bigint) AS value_cents "
+    f"FROM events), "
+    f"x AS (SELECT event_type, user_id, value_cents, "
+    f"slide_start_us - unnest(range(0, {WINDOW_US // SLIDE_US})) "
+    f"* {SLIDE_US} AS win_start_us FROM e) "
+    f"SELECT win_start_us, event_type, count(*) AS n_events, "
+    f"count(DISTINCT user_id) AS n_users, "
+    f"cast(sum(value_cents) as bigint) AS value_cents_sum "
+    f"FROM x GROUP BY 1, 2"
+)

@@ -287,3 +287,50 @@ def test_gdalmove_is_pure_codegen(spark):
     assert "Exchange" not in s
     assert "Python" not in s and "ArrowEval" not in s
     assert "*(1)" in s  # whole-stage codegen
+
+
+def test_ar_bucket_batches_no_nested_loop(spark):
+    """The bucket ladder is a generator explode, never a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    from gdal_spark.operators.multimodal import ar_bucket_batches
+
+    out = ar_bucket_batches(synth.images_df(spark, 256))
+    s = plan(out)
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "Generate" in s  # the exploded ladder
+
+
+def test_embedding_gram_partial_agg(spark):
+    """The Gram reduction must shuffle partials only: a partial
+    (map-side) HashAggregate below the exchange, and the Python stage
+    is mapInPandas (ArrowEvalPython never appears per-row)."""
+    from gdal_spark.operators.ann import embedding_gram
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan(embedding_gram(emb))
+    assert "HashAggregate" in s
+    assert s.index("HashAggregate") < s.index("Exchange") or \
+        s.count("HashAggregate") >= 2  # partial + final pair
+    assert "MapInPandas" in s
+
+
+def test_tfidf_broadcasts_corpus_total(spark):
+    """N rides a broadcast, never a shuffled cross join."""
+    from gdal_spark.operators.textops import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan(tfidf_topk(docs))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+
+
+def test_merge_nodata_single_shuffle_composite(spark):
+    """The composite is ONE aggregation chain on the cell key — no
+    join operators anywhere in the plan."""
+    from gdal_spark.operators.rastertable import merge_nodata_composite
+
+    imgs = synth.images_df(spark, 16, with_pixels=True)
+    s = plan(merge_nodata_composite(imgs))
+    assert "Join" not in s
+    assert "HashAggregate" in s

@@ -695,3 +695,121 @@ def test_cutline_blend_ramp_properties():
     assert (np.diff(row[: left + 3]) >= 0).all()
     # intermediate ramp values exist (the blend is not a 0/1 mask)
     assert ((dens > 0) & (dens < 1000)).any()
+
+
+def test_slope_percent_vs_degrees():
+    """percent = 100*tan(radians(degrees)) on every interior pixel of
+    a synthetic DEM (cross-checks the -p mode against the gated
+    degree-mode Horn machinery)."""
+    from gdal_spark import codecs
+    from gdal_spark.operators import dem as demod
+
+    arr = codecs.decode_image(
+        codecs.encode_image(codecs.make_pixels(3, 64, 64), "png")
+    )[:, :, 0]
+    feats = demod.window_features(arr)
+    deg = feats["slope"]
+    d = arr.astype(np.float64)
+    w = {
+        (dx, dy): d[1 + dy : d.shape[0] - 1 + dy, 1 + dx : d.shape[1] - 1 + dx]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    hx = (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)]) - (
+        w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)]
+    )
+    hy = (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)]) - (
+        w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)]
+    )
+    pct = np.sqrt(hx * hx + hy * hy) * 12.5
+    assert np.allclose(pct, 100.0 * np.tan(np.radians(deg)), rtol=1e-9)
+    assert (pct >= 0).all() and (pct > 0).any()
+
+
+def test_merge_nodata_composite_brute():
+    """Numpy composite replay: last valid image wins per pixel."""
+    from gdal_spark import codecs
+    from gdal_spark.operators.rastertable import MERGE_NODATA
+
+    W = {0: 16, 1: 20, 2: 64, 3: 100, 4: 256}
+    comp = np.full((256, 256, 3), -1, dtype=np.int64)
+    win = np.full((256, 256, 3), -1, dtype=np.int64)
+    for i in range(16):
+        w, h = W[i % 5], W[(i + 1) % 5]
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        arr = codecs.decode_image(
+            codecs.encode_image(codecs.make_pixels(i, w, h), fmt)
+        ).astype(np.int64)
+        valid = arr != MERGE_NODATA
+        comp[:h, :w][valid] = arr[valid]
+        for c in range(3):
+            win[:h, :w, c][valid[:, :, c]] = i
+    import duckdb
+
+    from gdal_spark.operators import rastertable as rt
+
+    got = {
+        (y, ch): (n_, vs, ws)
+        for y, ch, n_, vs, ws in duckdb.sql(
+            rt.oracle_merge_nodata_composite(4096, 16)
+        ).fetchall()
+    }
+    for ch in range(3):
+        for y in range(256):
+            row_v = comp[y, :, ch]
+            mask = row_v >= 0
+            if not mask.any():
+                assert (y, ch) not in got
+                continue
+            n_, vs, ws = got[(y, ch)]
+            assert n_ == int(mask.sum())
+            assert vs == int(row_v[mask].sum())
+            assert ws == int(win[y, :, ch][mask].sum())
+
+
+def test_viewshed_curved_cc1_is_flat():
+    """cc=1 zeroes the correction: the curved oracle reproduces the
+    uncorrected viewshed bit-for-bit, and the default correction
+    actually changes the result (the flag is not dead code)."""
+    import duckdb
+
+    from gdal_spark.operators import viewshed as vs
+
+    flat = sorted(duckdb.sql(vs.oracle_viewshed(64, 64, 31, 29)).fetchall())
+    nocorr = sorted(
+        duckdb.sql(
+            vs.oracle_viewshed_curved(64, 64, 31, 29, cc=1.0)
+        ).fetchall()
+    )
+    assert nocorr == flat
+    curved = sorted(
+        duckdb.sql(vs.oracle_viewshed_curved(64, 64, 31, 29)).fetchall()
+    )
+    assert curved != flat
+    # curvature can only REMOVE visibility (both samples and targets
+    # drop, targets by more)
+    assert sum(r[2] for r in curved) < sum(r[2] for r in flat)
+
+
+def test_sliding_window_contains_tumbling(spark):
+    """An hour-aligned sliding window covers exactly the tumbling
+    window's events, and each event lands in length/slide windows."""
+    from gdal_spark import streaming
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    slid = {
+        (r["win_start_us"], r["event_type"]): (
+            r["n_events"], r["n_users"], r["value_cents_sum"]
+        )
+        for r in streaming.sliding_event_stats(events).collect()
+    }
+    tumb = {
+        (r["win_start_us"], r["event_type"]): (
+            r["n_events"], r["n_users"], r["value_cents_sum"]
+        )
+        for r in streaming.windowed_event_stats(events).collect()
+    }
+    for key, v in tumb.items():
+        assert slid[key] == v
+    fan = streaming.WINDOW_US // streaming.SLIDE_US
+    assert sum(v[0] for v in slid.values()) == fan * events.count()
