@@ -1408,6 +1408,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, _VS_W, _VS_W, _VS_OX, _VS_OY
             )
         ),
+        # gdaldem -alg ZevenbergenThorne (2-point central differences)
+        "slope_zt_percent": lambda spark, sf_dir: (
+            dem.slope_zt_percent_rows(
+                _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
+        # gdal_contour -e (exponential levels base^k: 3,9,27,81,243
+        # within the Byte range; apps/gdal_contour_bin.cpp -e)
+        "contour_exp_levels": lambda spark, sf_dir: (
+            contour.contour_crossings(
+                spark, 96, 96, levels=(3, 9, 27, 81, 243)
+            )
+        ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
         "zonal_stats": lambda spark, sf_dir: rastop.zonal_stats(
@@ -1858,6 +1871,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "viewshed_curved": viewshed.oracle_viewshed_curved(
             _VS_W, _VS_W, _VS_OX, _VS_OY
+        ),
+        "slope_zt_percent": dem.oracle_slope_zt_percent(
+            min(n, 4096), _DEM_MAX_I
+        ),
+        "contour_exp_levels": contour.oracle_contour(
+            96, 96, (3, 9, 27, 81, 243)
         ),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD

@@ -876,3 +876,73 @@ def oracle_slope_percent(n: int, max_i: int) -> str:
         f"* {k}) as bigint)) as bigint) AS pct_sum "
         f"FROM agg GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdaldem -alg ZevenbergenThorne (apps/gdaldem_lib.cpp
+# GDALSlopeZevenbergenThorneAlg: 2-point central differences
+# dx = west - east, dy = south - north over 2*res — vs Horn's 6-point
+# weighted sums over 8*res). Gated in percent mode so the key needs
+# only sqrt (bit-exact): pct = 100 * sqrt(dx^2+dy^2) / 2.
+
+
+def slope_zt_percent_rows(images: DataFrame) -> DataFrame:
+    """(image_id, y, n, pct_sum) — per-interior-scanline sums of
+    floor(ZT percent slope * 1e4)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                dem = codecs.decode_image(bytes(payload))[:, :, 0]
+                if dem.shape[0] < 3 or dem.shape[1] < 3:
+                    continue
+                d = dem.astype(np.float64)
+                west = d[1:-1, :-2]
+                east = d[1:-1, 2:]
+                north = d[:-2, 1:-1]
+                south = d[2:, 1:-1]
+                dx = west - east
+                dy = south - north
+                pct = np.sqrt(dx * dx + dy * dy) * 50.0  # 100/2
+                key = np.floor(pct * SCALE_KEY).astype(np.int64)
+                for y in range(key.shape[0]):
+                    rows.append(
+                        (image_id, y + 1, key.shape[1], int(key[y].sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "y", "n", "pct_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, pct_sum bigint",
+    )
+
+
+def oracle_slope_zt_percent(n: int, max_i: int) -> str:
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    k = flit(SCALE_KEY)
+
+    def at(dx, dy):
+        return (
+            f"(SELECT {nbr_val} FROM (SELECT g.i AS i, g.w AS w, "
+            f"g.fmt AS fmt, g.x0 + {dx} AS x, g.y0 + {dy} AS y, 0 AS ch))"
+        )
+
+    return (
+        f"WITH g AS ({grid}), "
+        f"d AS (SELECT image_id, x0, y0, "
+        f"cast({at(-1, 0)} - {at(1, 0)} as double) AS dx, "
+        f"cast({at(0, 1)} - {at(0, -1)} as double) AS dy FROM g) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(cast(floor(sqrt(dx * dx + dy * dy) * 50.0E0 * {k}) "
+        f"as bigint)) as bigint) AS pct_sum "
+        f"FROM d GROUP BY 1, 2"
+    )

@@ -813,3 +813,42 @@ def test_sliding_window_contains_tumbling(spark):
         assert slid[key] == v
     fan = streaming.WINDOW_US // streaming.SLIDE_US
     assert sum(v[0] for v in slid.values()) == fan * events.count()
+
+
+def test_slope_zt_differs_from_horn():
+    """ZevenbergenThorne and Horn must disagree on a non-planar
+    surface but agree exactly on an inclined plane (both derivative
+    stencils are exact for linear surfaces)."""
+    from gdal_spark import codecs
+
+    # non-planar: the synthetic DEM
+    d = codecs.decode_image(
+        codecs.encode_image(codecs.make_pixels(3, 32, 32), "png")
+    )[:, :, 0].astype(np.float64)
+
+    def horn_pct(d):
+        w = {
+            (dx, dy): d[1 + dy : d.shape[0] - 1 + dy,
+                        1 + dx : d.shape[1] - 1 + dx]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        }
+        hx = (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)]) - (
+            w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)]
+        )
+        hy = (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)]) - (
+            w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)]
+        )
+        return np.sqrt(hx * hx + hy * hy) * 12.5
+
+    def zt_pct(d):
+        dx = d[1:-1, :-2] - d[1:-1, 2:]
+        dy = d[2:, 1:-1] - d[:-2, 1:-1]
+        return np.sqrt(dx * dx + dy * dy) * 50.0
+
+    assert (np.abs(horn_pct(d) - zt_pct(d)) > 1e-9).any()
+    # inclined plane z = 3x + 4y -> slope 500% under both algorithms
+    gy, gx = np.mgrid[0:16, 0:16]
+    plane = (3.0 * gx + 4.0 * gy).astype(np.float64)
+    assert np.allclose(horn_pct(plane), 500.0)
+    assert np.allclose(zt_pct(plane), 500.0)
