@@ -1109,7 +1109,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   crop_to_cutline, embedding_gram, cutline_blend, slope_percent,
 #   merge_nodata, viewshed_curved, slope_zt_percent,
 #   contour_exp_levels, zonal_stats, match_histogram,
-#   events_sliding_window, lineref_points, + every operator added
+#   events_sliding_window, lineref_points, hillshade_zt,
+#   contour_offset_levels, grid_average_ellipse, paragraph_dedup,
+#   epoch_shuffle, point_probe_bilinear, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1414,6 +1416,42 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_exp_levels": lambda spark, sf_dir: (
             contour.contour_crossings(
                 spark, 96, 96, levels=(3, 9, 27, 81, 243)
+            )
+        ),
+        # gdaldem hillshade -alg ZevenbergenThorne (z_scaled = 1/2,
+        # 2-point gradients; shade chain is sqrt+div only -> exact)
+        "hillshade_zt": lambda spark, sf_dir: (
+            dem.hillshade_zt_rows(
+                _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
+        # gdal_contour -off (level list = off + k*interval:
+        # apps/gdal_contour_bin.cpp -off/-i)
+        "contour_offset_levels": lambda spark, sf_dir: (
+            contour.contour_crossings(
+                spark, 96, 96, levels=(17, 65, 113, 161, 209)
+            )
+        ),
+        # GDALGridMovingAverage with rotated elliptical search +
+        # nMinPoints (alg/gdalgrid.cpp radius1/radius2/angle options)
+        "grid_average_ellipse": lambda spark, sf_dir: (
+            raster_misc.grid_average_ellipse(spark, _grid_pts(), 64, 64)
+        ),
+        # paragraph-level exact dedup (RefinedWeb/MassiveText):
+        # corpus-wide first-occurrence chunk dedup + doc reassembly
+        "paragraph_dedup": lambda spark, sf_dir: (
+            dedup.paragraph_dedup(_docs(spark, sf_dir))
+        ),
+        # deterministic epoch shuffle + webdataset shard layout
+        "epoch_shuffle": lambda spark, sf_dir: (
+            textops.epoch_shuffle(_docs(spark, sf_dir))
+        ),
+        # gdallocationinfo -r bilinear (GDALRasterInterpolateAtPoint)
+        "point_probe_bilinear": lambda spark, sf_dir: (
+            rastertable.point_probe_bilinear(
+                spark,
+                synth.images_df(spark, synth.n_images(sf_dir)),
+                synth.sites_df(spark),
             )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
@@ -1873,6 +1911,16 @@ def oracle_sql() -> dict[str, str]:
         "contour_exp_levels": contour.oracle_contour(
             96, 96, (3, 9, 27, 81, 243)
         ),
+        "hillshade_zt": dem.oracle_hillshade_zt(min(n, 4096), _DEM_MAX_I),
+        "contour_offset_levels": contour.oracle_contour(
+            96, 96, (17, 65, 113, 161, 209)
+        ),
+        "grid_average_ellipse": raster_misc.oracle_grid_average_ellipse(
+            64, 64
+        ),
+        "paragraph_dedup": dedup.oracle_paragraph_dedup(),
+        "epoch_shuffle": textops.oracle_epoch_shuffle(),
+        "point_probe_bilinear": rastertable.oracle_point_probe_bilinear(n),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -701,3 +701,84 @@ def oracle_exact_substring_spans(L: int = ES_L) -> str:
         f"cast(count(*) as bigint) AS n_grams "
         f"FROM isl GROUP BY doc_id, island"
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (MassiveText / RefinedWeb style): split
+# every document into paragraphs, drop every paragraph that already
+# occurred anywhere in the corpus (first occurrence in (doc_id,
+# position) order wins), and reassemble the cleaned documents. The
+# synthetic corpus has no newlines, so the paragraph boundary is
+# parameterized as fixed ``chunk_words``-word windows (3 at test
+# scale so duplicates actually exist; real corpora pass the
+# delimiter-split tokenization instead — the plan is identical).
+#
+# Scale shape: one shuffle on the chunk text for the global
+# first-occurrence window (hot boilerplate chunks aggregate onto one
+# key but the window only needs rank 1 — Spark's partial top-1 per
+# partition bounds skew), one shuffle on doc_id to reassemble. No
+# pairwise join anywhere, so the plan is linear in corpus size.
+
+PARA_CHUNK_WORDS = 3
+
+
+def _chunks_sql(dialect: str, k: int = PARA_CHUNK_WORDS) -> str:
+    toks = tokens_sql(dialect)
+    if dialect == "spark":
+        n = f"cast(ceil(size({toks}) / {k}.0E0) as int)"
+        return (
+            f"transform(sequence(0, {n} - 1), "
+            f"i -> concat_ws(' ', slice({toks}, i * {k} + 1, {k})))"
+        )
+    n = f"cast(ceil(len({toks}) / {k}.0E0) as int)"
+    return (
+        f"list_transform(range(0, {n}), i -> array_to_string("
+        f"list_slice({toks}, i * {k} + 1, i * {k} + {k}), ' '))"
+    )
+
+
+def paragraph_dedup(docs: DataFrame, k: int = PARA_CHUNK_WORDS) -> DataFrame:
+    """(doc_id, kept_n, dropped_n, clean_md5) — corpus-wide exact
+    paragraph dedup; clean_md5 fingerprints the reassembled document
+    (kept chunks joined in position order)."""
+    t = docs.filter(F.expr("size(" + tokens_sql("spark") + ") >= 1"))
+    ch = t.select(
+        "doc_id",
+        F.posexplode(F.expr(_chunks_sql("spark", k))).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    flagged = ch.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("boolean")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.col("kept").cast("bigint")).alias("kept_n"),
+        F.sum((~F.col("kept")).cast("bigint")).alias("dropped_n"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(array_sort(collect_list("
+                    "struct(pos, chunk, kept))), x -> x.kept), "
+                    "x -> x.chunk)"
+                ),
+            )
+        ).alias("clean_md5"),
+    ).select("doc_id", "kept_n", "dropped_n", "clean_md5")
+
+
+def oracle_paragraph_dedup(k: int = PARA_CHUNK_WORDS) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({_chunks_sql('duckdb', k)}) "
+        f"AS chunk, unnest(range(0, cast(ceil("
+        f"len({tokens_sql('duckdb')}) / {k}.0E0) as int))) AS pos "
+        f"FROM documents WHERE len({tokens_sql('duckdb')}) >= 1), "
+        f"f AS (SELECT doc_id, pos, chunk, row_number() OVER "
+        f"(PARTITION BY chunk ORDER BY doc_id, pos) = 1 AS kept FROM t) "
+        f"SELECT doc_id, "
+        f"cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS kept_n, "
+        f"cast(sum(CASE WHEN kept THEN 0 ELSE 1 END) as bigint) "
+        f"AS dropped_n, "
+        f"md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' "
+        f"ORDER BY pos), '')) AS clean_md5 "
+        f"FROM f GROUP BY doc_id"
+    )

@@ -946,3 +946,91 @@ def oracle_slope_zt_percent(n: int, max_i: int) -> str:
         f"as bigint)) as bigint) AS pct_sum "
         f"FROM d GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdaldem hillshade -alg ZevenbergenThorne (apps/gdaldem_lib.cpp
+# Gradient<ZEVENBERGEN_THORNE>::calc :720 — x = west - east,
+# y = (south - north) * inv_nsres — and GDALCreateHillshadeData :1126:
+# z_scaled = z / (2 * scale) for ZT vs z / (8 * scale) for Horn. The
+# shade chain itself is the standard GDALHillshadeAlg 254-scaled
+# cosine-of-incidence: only one product per term, one sqrt and one
+# division — all correctly rounded IEEE ops, so floor keys are exact
+# (same argument as the Horn `shade` column of focal_stats).
+
+ZT_Z_SCALED = 1.0 / 2.0
+ZT_SQUARE_Z = ZT_Z_SCALED * ZT_Z_SCALED
+ZT_COS_AZ_COS_ALT_Z_254 = 254.0 * (
+    np.cos(315.0 * DEG) * (np.cos(45.0 * DEG) * ZT_Z_SCALED)
+)
+ZT_SIN_AZ_COS_ALT_Z_254 = 254.0 * (
+    np.sin(315.0 * DEG) * (np.cos(45.0 * DEG) * ZT_Z_SCALED)
+)
+
+
+def hillshade_zt_rows(images: DataFrame) -> DataFrame:
+    """(image_id, y, n, shade_sum) — per-interior-scanline sums of
+    floor(ZT hillshade * 1e4)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                if demb.shape[0] < 3 or demb.shape[1] < 3:
+                    continue
+                d = demb.astype(np.float64)
+                gx = d[1:-1, :-2] - d[1:-1, 2:]          # west - east
+                gy = -(d[2:, 1:-1] - d[:-2, 1:-1])       # (s - n) * -1
+                c254 = (
+                    SIN_ALT_254
+                    - (gy * ZT_COS_AZ_COS_ALT_Z_254
+                       - gx * ZT_SIN_AZ_COS_ALT_Z_254)
+                ) / np.sqrt(1.0 + ZT_SQUARE_Z * (gx * gx + gy * gy))
+                shade = np.where(c254 <= 0.0, 1.0, 1.0 + c254)
+                key = np.floor(shade * SCALE_KEY).astype(np.int64)
+                for y in range(key.shape[0]):
+                    rows.append(
+                        (image_id, y + 1, key.shape[1], int(key[y].sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "y", "n", "shade_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, shade_sum bigint",
+    )
+
+
+def oracle_hillshade_zt(n: int, max_i: int) -> str:
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    k = flit(SCALE_KEY)
+
+    def at(dx, dy):
+        return (
+            f"(SELECT {nbr_val} FROM (SELECT g.i AS i, g.w AS w, "
+            f"g.fmt AS fmt, g.x0 + {dx} AS x, g.y0 + {dy} AS y, 0 AS ch))"
+        )
+
+    c254 = (
+        f"(({flit(SIN_ALT_254)} - (gy * {flit(ZT_COS_AZ_COS_ALT_Z_254)} "
+        f"- gx * {flit(ZT_SIN_AZ_COS_ALT_Z_254)})) "
+        f"/ sqrt(1.0E0 + {flit(ZT_SQUARE_Z)} * (gx * gx + gy * gy)))"
+    )
+    shade = f"(CASE WHEN {c254} <= 0.0E0 THEN 1.0E0 ELSE 1.0E0 + {c254} END)"
+    return (
+        f"WITH g AS ({grid}), "
+        f"d AS (SELECT image_id, x0, y0, "
+        f"cast({at(-1, 0)} - {at(1, 0)} as double) AS gx, "
+        f"-cast({at(0, 1)} - {at(0, -1)} as double) AS gy FROM g) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(cast(floor({shade} * {k}) as bigint)) as bigint) "
+        f"AS shade_sum FROM d GROUP BY 1, 2"
+    )

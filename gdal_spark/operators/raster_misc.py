@@ -525,6 +525,95 @@ def grid_average(
     )
 
 
+def grid_average_ellipse(
+    spark, points_pdf: pd.DataFrame, width: int, height: int,
+    radius1: float = 25.0, radius2: float = 10.0,
+    angle_deg: float = 30.0, min_points: int = 2, tile_px: int = 32,
+) -> DataFrame:
+    """GDALGridMovingAverage with an anisotropic rotated search
+    ellipse (alg/gdalgrid.cpp GDALGridMovingAverage: radius1/radius2/
+    angle options + nMinPoints). Membership: rotate the node->point
+    offset by ``angle`` (rxr = rx*cosA + ry*sinA, ryr = ry*cosA -
+    rx*sinA), then r2^2*rxr^2 + r1^2*ryr^2 <= r1^2*r2^2. Nodes with
+    fewer than ``min_points`` matches emit the nodata convention
+    (0, excluded from sums via n_covered). Integer point values keep
+    the per-node sum exact; the mean is floor-keyed with the repo's
+    half-grid epsilon before the scanline rollup."""
+    px = points_pdf["px"].to_numpy(dtype=np.float64)
+    py = points_pdf["py"].to_numpy(dtype=np.float64)
+    pv = points_pdf["v"].to_numpy(dtype=np.float64)
+    bpx = spark.sparkContext.broadcast((px, py, pv))
+    nty = (height + tile_px - 1) // tile_px
+    bands = spark.range(nty).selectExpr("cast(id as int) AS band")
+    a = np.deg2rad(angle_deg)
+    cos_a, sin_a = float(np.cos(a)), float(np.sin(a))
+    r1s, r2s = radius1 * radius1, radius2 * radius2
+    r12s = r1s * r2s
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * tile_px
+        h = min(tile_px, height - y0)
+        qx, qy, qv = bpx.value
+        gy, gx = np.mgrid[y0: y0 + h, 0:width]
+        rx = qx - gx[..., None]
+        ry = qy - gy[..., None]
+        rxr = rx * cos_a + ry * sin_a
+        ryr = ry * cos_a - rx * sin_a
+        inside = r2s * rxr * rxr + r1s * ryr * ryr <= r12s
+        cnt = inside.sum(axis=2)
+        s = (inside * qv).sum(axis=2)
+        ok = cnt >= max(min_points, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(ok, s / np.maximum(cnt, 1), 0.0)
+        key_v = np.floor(mean * 1e6 + 5e-4).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "y": np.arange(y0, y0 + h, dtype=np.int64),
+                "n_covered": ok.sum(axis=1).astype(np.int64),
+                "val_sum_key": key_v.sum(axis=1),
+            }
+        )
+
+    return bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n_covered bigint, val_sum_key bigint"
+    )
+
+
+def oracle_grid_average_ellipse(
+    width: int, height: int, radius1: float = 25.0, radius2: float = 10.0,
+    angle_deg: float = 30.0, min_points: int = 2,
+) -> str:
+    from .. import synth
+
+    a = np.deg2rad(angle_deg)
+    cos_a, sin_a = synth.flit(float(np.cos(a))), synth.flit(float(np.sin(a)))
+    r1s, r2s = radius1 * radius1, radius2 * radius2
+    c_r1s, c_r2s = synth.flit(r1s), synth.flit(r2s)
+    c_r12s = synth.flit(r1s * r2s)
+    return f"""
+WITH g AS (SELECT gx, gy FROM range(0, {width}) a(gx), range(0, {height}) b(gy)),
+d AS (SELECT gx, gy, v,
+      (px - gx) * {cos_a} + (py - gy) * {sin_a} AS rxr,
+      (py - gy) * {cos_a} - (px - gx) * {sin_a} AS ryr
+      FROM g, {_grid_points_sql()}),
+agg AS (SELECT gx, gy,
+        sum(CASE WHEN {c_r2s} * rxr * rxr + {c_r1s} * ryr * ryr <= {c_r12s}
+            THEN v ELSE 0.0E0 END) AS s,
+        sum(CASE WHEN {c_r2s} * rxr * rxr + {c_r1s} * ryr * ryr <= {c_r12s}
+            THEN 1 ELSE 0 END) AS cnt FROM d
+        GROUP BY 1, 2),
+pv AS (SELECT gx, gy, cnt >= {max(min_points, 1)} AS ok,
+       CASE WHEN cnt >= {max(min_points, 1)} THEN s / cnt ELSE 0.0E0 END
+       AS mean FROM agg)
+SELECT gy AS y,
+       cast(sum(CASE WHEN ok THEN 1 ELSE 0 END) as bigint) AS n_covered,
+       cast(sum(cast(floor(mean * 1000000.0E0 + 5.0E-4) as bigint)) as bigint)
+       AS val_sum_key
+FROM pv GROUP BY 1
+"""
+
+
 def grid_metrics(
     spark, points_pdf: pd.DataFrame, width: int, height: int,
     radius: float = GRID_AVG_RADIUS, tile_px: int = 32,

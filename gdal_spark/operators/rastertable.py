@@ -443,3 +443,114 @@ def oracle_merge_nodata_composite(
         f"cast(sum(winner) as bigint) AS winner_sum "
         f"FROM comp GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdallocationinfo -r bilinear (GDALRasterInterpolateAtPoint,
+# gcore/rasterinterpolate.cpp): probe the raster at the exact geo
+# point with bilinear interpolation between the 4 surrounding PIXEL
+# CENTERS (continuous pixel coord minus 0.5), window clamped inside
+# the raster. Keys use the repo's rational-input floor epsilon
+# (floor(v * 1e6 + 5e-4)) because the interpolation weights are
+# rationals that can land on exact floor boundaries.
+
+
+def point_probe_bilinear(
+    spark: SparkSession, images_meta: DataFrame, sites: DataFrame
+) -> DataFrame:
+    """(site_id, image_id, ch, val_key) — bilinear-probed value per
+    channel, integer-keyed. Same metadata-first join shape as
+    point_probe: pixels decode only for footprint matches."""
+    cond = (
+        (F.col("slon") >= F.col("lon"))
+        & (F.col("slon") < F.col("lon") + 0.1)
+        & (F.col("slat") <= F.col("lat"))
+        & (F.col("slat") > F.col("lat") - F.expr(SPAN_Y))
+    )
+    matched = images_meta.join(F.broadcast(sites), cond).selectExpr(
+        "site_id", "image_id", "i", "w", "h", "fmt",
+        f"((slon - lon) / {RES}) - 0.5E0 AS dfx",
+        f"((lat - slat) / {RES}) - 0.5E0 AS dfy",
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            rows = {"site_id": [], "image_id": [], "ch": [], "val_key": []}
+            for site_id, image_id, i, w, h, fmt, dfx, dfy in zip(
+                pdf["site_id"], pdf["image_id"], pdf["i"], pdf["w"],
+                pdf["h"], pdf["fmt"], pdf["dfx"], pdf["dfy"],
+            ):
+                arr = codecs.decode_image(
+                    codecs.encode_image(
+                        codecs.make_pixels(int(i), int(w), int(h)), fmt
+                    )
+                ).astype(np.float64)
+                w_i, h_i = int(w), int(h)
+                xl = min(max(int(np.floor(dfx)), 0), w_i - 2)
+                yl = min(max(int(np.floor(dfy)), 0), h_i - 2)
+                fx = min(max(dfx - xl, 0.0), 1.0)
+                fy = min(max(dfy - yl, 0.0), 1.0)
+                for c in range(3):
+                    v00 = arr[yl, xl, c]
+                    v10 = arr[yl, xl + 1, c]
+                    v01 = arr[yl + 1, xl, c]
+                    v11 = arr[yl + 1, xl + 1, c]
+                    interp = (
+                        v00 * (1.0 - fx) * (1.0 - fy)
+                        + v10 * fx * (1.0 - fy)
+                        + v01 * (1.0 - fx) * fy
+                        + v11 * fx * fy
+                    )
+                    rows["site_id"].append(site_id)
+                    rows["image_id"].append(image_id)
+                    rows["ch"].append(c)
+                    rows["val_key"].append(
+                        int(np.floor(interp * 1e6 + 5e-4))
+                    )
+            yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(
+        probe,
+        schema="site_id string, image_id string, ch bigint, val_key bigint",
+    )
+
+
+def oracle_point_probe_bilinear(
+    n: int, n_sites: int = synth.N_SITES
+) -> str:
+    nbr_val = synth.pixel_val_sql()
+
+    def at(dx, dy):
+        return (
+            f"cast((SELECT {nbr_val} FROM (SELECT px.i AS i, px.w AS w, "
+            f"px.fmt AS fmt, px.xl + {dx} AS x, px.yl + {dy} AS y, "
+            f"px.ch AS ch)) as double)"
+        )
+
+    interp = (
+        f"({at(0, 0)} * (1.0E0 - fx) * (1.0E0 - fy) "
+        f"+ {at(1, 0)} * fx * (1.0E0 - fy) "
+        f"+ {at(0, 1)} * (1.0E0 - fx) * fy "
+        f"+ {at(1, 1)} * fx * fy)"
+    )
+    return (
+        f"WITH images AS ({synth.images_cte(n, 'duckdb')}), "
+        f"sites AS ({synth.sites_cte(n_sites, 'duckdb')}), "
+        f"d AS (SELECT site_id, image_id, i, w, h, fmt, "
+        f"((slon - lon) / {RES}) - 0.5E0 AS dfx, "
+        f"((lat - slat) / {RES}) - 0.5E0 AS dfy "
+        f"FROM images JOIN sites ON slon >= lon AND slon < lon + 0.1E0 "
+        f"AND slat <= lat AND slat > lat - {SPAN_Y}), "
+        f"m AS (SELECT *, "
+        f"least(greatest(cast(floor(dfx) as int), 0), w - 2) AS xl, "
+        f"least(greatest(cast(floor(dfy) as int), 0), h - 2) AS yl "
+        f"FROM d), "
+        f"f AS (SELECT *, "
+        f"least(greatest(dfx - xl, 0.0E0), 1.0E0) AS fx, "
+        f"least(greatest(dfy - yl, 0.0E0), 1.0E0) AS fy FROM m), "
+        f"px AS (SELECT site_id, image_id, i, w, fmt, xl, yl, fx, fy, "
+        f"tc.ch AS ch FROM f, range(0, 3) tc(ch)) "
+        f"SELECT site_id, image_id, ch, "
+        f"cast(floor({interp} * 1000000.0E0 + 5.0E-4) as bigint) "
+        f"AS val_key FROM px"
+    )

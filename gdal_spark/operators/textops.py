@@ -681,3 +681,67 @@ def oracle_dataset_split() -> str:
         f"CASE WHEN h % 100 < 80 THEN 'train' "
         f"WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle + shard assignment (the training-loader
+# contract: every epoch visits the whole corpus in a different
+# pseudorandom order, split into shards a loader can stream). Shard =
+# hash bucket (balanced in expectation), intra-shard order = sort by
+# the per-epoch hash key. Scale shape: ONE shuffle on (epoch, shard)
+# + a per-shard sort — task granularity is the shard (thousands at
+# 100 TB), never a global single-task window; this is exactly the
+# webdataset sharding layout.
+
+SHUFFLE_MULT = 2654435761
+SHUFFLE_EPOCH_MIX = 1000003
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epochs: int = SHUFFLE_EPOCHS,
+    n_shards: int = SHUFFLE_SHARDS,
+) -> DataFrame:
+    """(epoch, shard, pos, doc_id, key) — deterministic shuffle order
+    per epoch; pos is the 0-based stream position within the shard."""
+    keyed = docs.selectExpr(
+        "doc_id",
+        f"explode(sequence(0, {epochs - 1})) AS epoch",
+    ).selectExpr(
+        "doc_id", "epoch",
+        f"((doc_id + epoch * {SHUFFLE_EPOCH_MIX}) * {SHUFFLE_MULT}) "
+        f"% 4294967296 AS key",
+    ).selectExpr(
+        "doc_id", "epoch", "key", f"key % {n_shards} AS shard"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return keyed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        "doc_id",
+        F.col("key").cast("bigint").alias("key"),
+    )
+
+
+def oracle_epoch_shuffle(
+    epochs: int = SHUFFLE_EPOCHS, n_shards: int = SHUFFLE_SHARDS
+) -> str:
+    return (
+        f"WITH e AS (SELECT doc_id, unnest(range(0, {epochs})) AS epoch "
+        f"FROM documents), "
+        f"k AS (SELECT doc_id, epoch, "
+        f"((doc_id + epoch * {SHUFFLE_EPOCH_MIX}) * {SHUFFLE_MULT}) "
+        f"% 4294967296 AS key FROM e), "
+        f"s AS (SELECT doc_id, epoch, key, key % {n_shards} AS shard "
+        f"FROM k) "
+        f"SELECT cast(epoch as bigint) AS epoch, "
+        f"cast(shard as bigint) AS shard, "
+        f"cast(row_number() OVER (PARTITION BY epoch, shard "
+        f"ORDER BY key, doc_id) - 1 as bigint) AS pos, doc_id, "
+        f"cast(key as bigint) AS key FROM s"
+    )

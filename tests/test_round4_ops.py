@@ -852,3 +852,164 @@ def test_slope_zt_differs_from_horn():
     plane = (3.0 * gx + 4.0 * gy).astype(np.float64)
     assert np.allclose(horn_pct(plane), 500.0)
     assert np.allclose(zt_pct(plane), 500.0)
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch: hillshade ZT, elliptical moving average,
+# paragraph dedup, epoch shuffle, bilinear location probe
+
+
+def test_hillshade_zt_equals_horn_on_plane_differs_on_curvature():
+    """Both gradient stencils are exact on a linear surface AND their
+    z-normalizations (1/2 vs 1/8) cancel identically — so ZT shade ==
+    Horn shade on a plane, while any curvature separates them."""
+    from gdal_spark import codecs
+    from gdal_spark.operators import dem
+
+    def zt_shade(d):
+        d = d.astype(np.float64)
+        gx = d[1:-1, :-2] - d[1:-1, 2:]
+        gy = -(d[2:, 1:-1] - d[:-2, 1:-1])
+        c254 = (
+            dem.SIN_ALT_254
+            - (gy * dem.ZT_COS_AZ_COS_ALT_Z_254
+               - gx * dem.ZT_SIN_AZ_COS_ALT_Z_254)
+        ) / np.sqrt(1.0 + dem.ZT_SQUARE_Z * (gx * gx + gy * gy))
+        return np.where(c254 <= 0.0, 1.0, 1.0 + c254)
+
+    gy_, gx_ = np.mgrid[0:16, 0:16]
+    plane = (3.0 * gx_ + 4.0 * gy_).astype(np.float64)
+    horn = dem.window_features(plane)["shade"]
+    assert np.allclose(horn, zt_shade(plane), atol=1e-12)
+
+    curved = codecs.decode_image(
+        codecs.encode_image(codecs.make_pixels(5, 32, 32), "png")
+    )[:, :, 0]
+    horn_c = dem.window_features(curved)["shade"]
+    assert (np.abs(horn_c - zt_shade(curved)) > 1e-6).any()
+
+
+def test_grid_average_ellipse_brute_force(spark):
+    """Distributed elliptical moving average vs a naive loop,
+    including the min_points nodata gate."""
+    from gdal_spark.operators import raster_misc
+
+    pts = pd.DataFrame(raster_misc.GRID_POINTS)
+    r1, r2, ang, mp = 25.0, 10.0, 30.0, 2
+    got = (
+        raster_misc.grid_average_ellipse(
+            spark, pts, 32, 32, r1, r2, ang, mp
+        )
+        .toPandas().sort_values("y").reset_index(drop=True)
+    )
+    a = np.deg2rad(ang)
+    ca, sa = np.cos(a), np.sin(a)
+    exp_cov = np.zeros(32, np.int64)
+    exp_sum = np.zeros(32, np.int64)
+    for gy in range(32):
+        for gx in range(32):
+            s = cnt = 0
+            for px, py, v in zip(pts.px, pts.py, pts.v):
+                rx, ry = px - gx, py - gy
+                rxr = rx * ca + ry * sa
+                ryr = ry * ca - rx * sa
+                if r2 * r2 * rxr * rxr + r1 * r1 * ryr * ryr <= (
+                    r1 * r1 * r2 * r2
+                ):
+                    s += v
+                    cnt += 1
+            if cnt >= mp:
+                exp_cov[gy] += 1
+                exp_sum[gy] += int(np.floor(s / cnt * 1e6 + 5e-4))
+    assert (got["n_covered"].to_numpy() == exp_cov).all()
+    assert (got["val_sum_key"].to_numpy() == exp_sum).all()
+    # the gate must actually bite somewhere at these radii
+    single = 0
+    for gy in range(32):
+        for gx in range(32):
+            cnt = 0
+            for px, py in zip(pts.px, pts.py):
+                rx, ry = px - gx, py - gy
+                rxr = rx * ca + ry * sa
+                ryr = ry * ca - rx * sa
+                if r2 * r2 * rxr * rxr + r1 * r1 * ryr * ryr <= (
+                    r1 * r1 * r2 * r2
+                ):
+                    cnt += 1
+            single += cnt == 1
+    assert single > 0
+
+
+def test_paragraph_dedup_tiny_corpus(spark):
+    """First-occurrence-wins semantics + doc reassembly fingerprint
+    on a hand-built corpus."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e f",      # chunks: "a b c", "d e f"
+                    "a b c x y z",      # "a b c" is a dup of doc 1
+                    "x y z",            # dup of doc 2's 2nd chunk
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(docs, k=3).collect()
+    }
+    assert got[1]["kept_n"] == 2 and got[1]["dropped_n"] == 0
+    assert got[2]["kept_n"] == 1 and got[2]["dropped_n"] == 1
+    assert got[3]["kept_n"] == 0 and got[3]["dropped_n"] == 1
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1]["clean_md5"] == md5("a b c d e f")
+    assert got[2]["clean_md5"] == md5("x y z")
+    assert got[3]["clean_md5"] == md5("")
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(100)), "text": "t"})
+    )
+    out = textops.epoch_shuffle(docs, epochs=2, n_shards=4).toPandas()
+    for e in (0, 1):
+        ep = out[out.epoch == e]
+        assert sorted(ep.doc_id) == list(range(100))
+        for sh, grp in ep.groupby("shard"):
+            assert sorted(grp.pos) == list(range(len(grp)))
+    o0 = out[out.epoch == 0].sort_values(["shard", "pos"]).doc_id.tolist()
+    o1 = out[out.epoch == 1].sort_values(["shard", "pos"]).doc_id.tolist()
+    assert o0 != o1
+    again = textops.epoch_shuffle(docs, epochs=2, n_shards=4).toPandas()
+    assert (
+        out.sort_values(["epoch", "shard", "pos"]).doc_id.tolist()
+        == again.sort_values(["epoch", "shard", "pos"]).doc_id.tolist()
+    )
+
+
+def test_bilinear_probe_at_pixel_centers_equals_nearest(spark):
+    """Sites placed exactly at pixel centers make every bilinear
+    weight 0/1, so the probe must reproduce the nearest-neighbor
+    probe bit-for-bit."""
+    from gdal_spark.operators import rastertable
+
+    imgs = synth.images_df(spark, 64)
+    meta = imgs.limit(4).toPandas()
+    res = 0.1 / meta.w.to_numpy()
+    sites = pd.DataFrame(
+        {
+            "site_id": [f"c{i}" for i in range(len(meta))],
+            "slon": meta.lon.to_numpy() + (5 + 0.5) * res,
+            "slat": meta.lat.to_numpy() - (7 + 0.5) * res,
+        }
+    )
+    sdf = spark.createDataFrame(sites)
+    bil = rastertable.point_probe_bilinear(spark, imgs, sdf).toPandas()
+    near = rastertable.point_probe(spark, imgs, sdf).toPandas()
+    m = bil.merge(near, on=["site_id", "image_id", "ch"])
+    assert len(m) >= 3 * len(meta)
+    assert (m.px == 5).all() and (m.py == 7).all()
+    assert (m.val_key == m.val * 10**6).all()
