@@ -1111,7 +1111,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   contour_exp_levels, zonal_stats, match_histogram,
 #   events_sliding_window, lineref_points, hillshade_zt,
 #   contour_offset_levels, grid_average_ellipse, paragraph_dedup,
-#   epoch_shuffle, point_probe_bilinear, + every operator added
+#   epoch_shuffle, point_probe_bilinear, aspect_zt, patchify,
+#   channel_norm_stats, tile_xyz_quadkey, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1452,6 +1453,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark,
                 synth.images_df(spark, synth.n_images(sf_dir)),
                 synth.sites_df(spark),
+            )
+        ),
+        # gdaldem aspect -alg ZevenbergenThorne + -trigonometric +
+        # -zero_for_flat conventions (GDALAspectZevenbergenThorneAlg)
+        "aspect_zt": lambda spark, sf_dir: (
+            dem.aspect_zt_rows(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+        ),
+        # ViT patchify (P x P patches, raster-order positional index,
+        # exact per-patch/channel pixel-sum witness; map-only)
+        "patchify": lambda spark, sf_dir: (
+            multimodal.patchify(_pixel_images(spark, sf_dir, _MM_MAX_I))
+        ),
+        # corpus-wide channel normalization constants (integer
+        # count/sum/sum-of-squares partials, 3-row global reduce)
+        "channel_norm_stats": lambda spark, sf_dir: (
+            multimodal.channel_norm_stats(
+                _pixel_images(spark, sf_dir, _STATS_MAX_I)
+            )
+        ),
+        # gdal2tiles --xyz convention: TMS tile row, the y-flipped
+        # XYZ/google row, and the quadkey built on the flipped row
+        "tile_xyz_quadkey": lambda spark, sf_dir: (
+            cells.assign_cells(
+                synth.images_df(spark, synth.n_images(sf_dir)),
+                TILE_ZOOM, "mercator", engine="pandas",
+                with_quadkey=True,
+            ).selectExpr(
+                "image_id", "tile_x", "tile_y",
+                f"cast({2 ** TILE_ZOOM - 1} - tile_y as bigint) AS y_xyz",
+                "quadkey",
             )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
@@ -1921,6 +1952,12 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": dedup.oracle_paragraph_dedup(),
         "epoch_shuffle": textops.oracle_epoch_shuffle(),
         "point_probe_bilinear": rastertable.oracle_point_probe_bilinear(n),
+        "aspect_zt": dem.oracle_aspect_zt(min(n, 4096), _DEM_MAX_I),
+        "patchify": multimodal.oracle_patchify(min(n, 4096), _MM_MAX_I),
+        "channel_norm_stats": multimodal.oracle_channel_norm_stats(
+            min(n, 4096), _STATS_MAX_I
+        ),
+        "tile_xyz_quadkey": cells.oracle_tile_xyz_quadkey(n, TILE_ZOOM),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -126,3 +126,27 @@ def assign_cells(
 
         df = df.withColumn(f"{prefix}quadkey", qk(F.col(cx), F.col(cy)))
     return df
+
+
+def oracle_tile_xyz_quadkey(n: int, zoom: int) -> str:
+    """DuckDB twin of the gdal2tiles --xyz flip + quadkey build: the
+    quadkey digit at depth k is bit (zoom-k) of tx plus twice that bit
+    of the y-flipped (google) row."""
+    from .. import synth
+
+    digits = " || ".join(
+        f"cast(((tile_x >> {zoom - k}) & 1) + "
+        f"2 * ((y_xyz >> {zoom - k}) & 1) as varchar)"
+        for k in range(1, zoom + 1)
+    )
+    flip = 2**zoom - 1
+    return (
+        f"WITH t AS (SELECT image_id, "
+        f"{merc_tile_sql('lon', 'lat', zoom, 'x')} AS tile_x, "
+        f"{merc_tile_sql('lon', 'lat', zoom, 'y')} AS tile_y "
+        f"FROM ({synth.images_cte(n, 'duckdb')})), "
+        f"f AS (SELECT image_id, tile_x, tile_y, "
+        f"cast({flip} - tile_y as bigint) AS y_xyz FROM t) "
+        f"SELECT image_id, tile_x, tile_y, y_xyz, {digits} AS quadkey "
+        f"FROM f"
+    )

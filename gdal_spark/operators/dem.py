@@ -1034,3 +1034,96 @@ def oracle_hillshade_zt(n: int, max_i: int) -> str:
         f"cast(sum(cast(floor({shade} * {k}) as bigint)) as bigint) "
         f"AS shade_sum FROM d GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdaldem aspect -alg ZevenbergenThorne, plus the -trigonometric and
+# -zero_for_flat output conventions (apps/gdaldem_lib.cpp
+# GDALAspectZevenbergenThorneAlg: dx = east - west, dy = south -
+# north, aspect = atan2(dy, -dx) in degrees; bAngleAsAzimuth default
+# true -> the 450/90 azimuth fold; -trigonometric keeps the math
+# angle with negatives wrapped +360; -zero_for_flat emits 0 instead
+# of the -9999 nodata on dx = dy = 0). Emitted as two key columns so
+# one query gates all three flags. atan2 floor keys follow the same
+# integer-gradient argument as the (green) Horn aspect gate.
+
+
+def aspect_zt_rows(images: DataFrame) -> DataFrame:
+    """(image_id, y, n, az_sum, trig_sum) — per-interior-scanline sums
+    of floor(aspect * 1e4) under both output conventions."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                if demb.shape[0] < 3 or demb.shape[1] < 3:
+                    continue
+                d = demb.astype(np.float64)
+                dx = d[1:-1, 2:] - d[1:-1, :-2]      # east - west
+                dy = d[2:, 1:-1] - d[:-2, 1:-1]      # south - north
+                raw = np.arctan2(dy, -dx) / DEG
+                flat = (dx == 0) & (dy == 0)
+                az = np.where(raw > 90.0, 450.0 - raw, 90.0 - raw)
+                az = np.where(az == 360.0, 0.0, az)
+                az = np.where(flat, -9999.0, az)
+                tr = np.where(raw < 0.0, raw + 360.0, raw)
+                tr = np.where(tr == 360.0, 0.0, tr)
+                tr = np.where(flat, 0.0, tr)
+                kaz = np.floor(az * SCALE_KEY).astype(np.int64)
+                ktr = np.floor(tr * SCALE_KEY).astype(np.int64)
+                for y in range(kaz.shape[0]):
+                    rows.append(
+                        (image_id, y + 1, kaz.shape[1],
+                         int(kaz[y].sum()), int(ktr[y].sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "y", "n", "az_sum", "trig_sum"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, y bigint, n bigint, az_sum bigint, "
+        "trig_sum bigint",
+    )
+
+
+def oracle_aspect_zt(n: int, max_i: int) -> str:
+    grid = (
+        f"SELECT image_id, i.i AS i, w, h, fmt, x0, y0 "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(1, 255) a(x0), range(1, 255) b(y0) "
+        f"WHERE i.i < {max_i} AND x0 < i.w - 1 AND y0 < i.h - 1"
+    )
+    nbr_val = synth.pixel_val_sql()
+    k = flit(SCALE_KEY)
+
+    def at(dx, dy):
+        return (
+            f"(SELECT {nbr_val} FROM (SELECT g.i AS i, g.w AS w, "
+            f"g.fmt AS fmt, g.x0 + {dx} AS x, g.y0 + {dy} AS y, 0 AS ch))"
+        )
+
+    raw = f"(atan2(cast(dy as double), -cast(dx as double)) / {flit(DEG)})"
+    az1 = (
+        f"(CASE WHEN {raw} > 90.0E0 THEN 450.0E0 - {raw} "
+        f"ELSE 90.0E0 - {raw} END)"
+    )
+    az2 = f"(CASE WHEN {az1} = 360.0E0 THEN 0.0E0 ELSE {az1} END)"
+    az = f"(CASE WHEN dx = 0 AND dy = 0 THEN -9999.0E0 ELSE {az2} END)"
+    tr1 = f"(CASE WHEN {raw} < 0.0E0 THEN {raw} + 360.0E0 ELSE {raw} END)"
+    tr2 = f"(CASE WHEN {tr1} = 360.0E0 THEN 0.0E0 ELSE {tr1} END)"
+    tr = f"(CASE WHEN dx = 0 AND dy = 0 THEN 0.0E0 ELSE {tr2} END)"
+    return (
+        f"WITH g AS ({grid}), "
+        f"d AS (SELECT image_id, x0, y0, "
+        f"{at(1, 0)} - {at(-1, 0)} AS dx, "
+        f"{at(0, 1)} - {at(0, -1)} AS dy FROM g) "
+        f"SELECT image_id, y0 AS y, count(*) AS n, "
+        f"cast(sum(cast(floor({az} * {k}) as bigint)) as bigint) "
+        f"AS az_sum, "
+        f"cast(sum(cast(floor({tr} * {k}) as bigint)) as bigint) "
+        f"AS trig_sum "
+        f"FROM d GROUP BY 1, 2"
+    )

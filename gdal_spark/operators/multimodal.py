@@ -539,3 +539,117 @@ def oracle_ar_bucket_batches(
         f"cast((rn - 1) // {batch} < n_grp // {batch} as int) AS kept "
         f"FROM seq"
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patchify (Dosovitskiy et al. 2020: split each image into
+# non-overlapping P x P patches in raster order; patch_idx = row *
+# (w // P) + col is the positional-embedding index). The gate key is
+# the exact integer pixel sum per (patch, channel) — a bijective
+# witness of patch membership. Map-only (no shuffle): the 10^12-image
+# run is embarrassingly parallel; trailing partial patches are
+# dropped, matching the ViT crop-to-multiple convention.
+
+PATCH_P = 8
+
+
+def patchify(images: DataFrame, p: int = PATCH_P) -> DataFrame:
+    """(image_id, patch_idx, prow, pcol, ch, px_sum) — one row per
+    patch x channel with the exact pixel sum."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                h, w, c = arr.shape
+                nr, nc = h // p, w // p
+                if nr == 0 or nc == 0:
+                    continue
+                core = arr[: nr * p, : nc * p, :]
+                sums = core.reshape(nr, p, nc, p, c).sum(axis=(1, 3))
+                rr, cc, ch = np.mgrid[0:nr, 0:nc, 0:c]
+                outs.append(pd.DataFrame({
+                    "image_id": image_id,
+                    "patch_idx": (rr * nc + cc).ravel(),
+                    "prow": rr.ravel(),
+                    "pcol": cc.ravel(),
+                    "ch": ch.ravel(),
+                    "px_sum": sums.ravel(),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["image_id", "patch_idx", "prow", "pcol", "ch",
+                         "px_sum"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run,
+        schema="image_id string, patch_idx bigint, prow bigint, "
+        "pcol bigint, ch bigint, px_sum bigint",
+    )
+
+
+def oracle_patchify(n: int, max_i: int, p: int = PATCH_P) -> str:
+    return (
+        f"WITH px AS (SELECT image_id, i.w AS w, x, y, ch, "
+        f"{synth.pixel_val_sql()} AS v "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 256) a(x), range(0, 256) b(y), range(0, 3) tc(ch) "
+        f"WHERE i.i < {max_i} AND x < (i.w // {p}) * {p} "
+        f"AND y < (i.h // {p}) * {p}) "
+        f"SELECT image_id, "
+        f"cast((y // {p}) * (w // {p}) + (x // {p}) as bigint) "
+        f"AS patch_idx, "
+        f"cast(y // {p} as bigint) AS prow, "
+        f"cast(x // {p} as bigint) AS pcol, ch, "
+        f"cast(sum(v) as bigint) AS px_sum "
+        f"FROM px GROUP BY 1, 2, 3, 4, 5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide channel normalization constants (the ImageNet
+# mean/std contract every vision training run starts with): exact
+# integer partials (count, sum v, sum v^2) per channel — map-side
+# combined, a 3-row global reduce at any corpus size; mean/std derive
+# downstream from the partials without another pass.
+
+
+def channel_norm_stats(images: DataFrame) -> DataFrame:
+    """(ch, n_px, v_sum, v2_sum) — exact integer partials."""
+
+    def run(batches):
+        for pdf in batches:
+            acc = np.zeros((3, 3), dtype=np.int64)  # n, s1, s2 per ch
+            for payload in pdf["bytes"]:
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                for c in range(arr.shape[2]):
+                    v = arr[:, :, c].ravel()
+                    acc[c, 0] += v.size
+                    acc[c, 1] += int(v.sum())
+                    acc[c, 2] += int((v * v).sum())
+            yield pd.DataFrame({
+                "ch": np.arange(3, dtype=np.int64),
+                "n_px": acc[:, 0], "v_sum": acc[:, 1], "v2_sum": acc[:, 2],
+            })
+
+    part = images.select("bytes").mapInPandas(
+        run, schema="ch bigint, n_px bigint, v_sum bigint, v2_sum bigint"
+    )
+    return part.groupBy("ch").agg(
+        F.sum("n_px").cast("bigint").alias("n_px"),
+        F.sum("v_sum").cast("bigint").alias("v_sum"),
+        F.sum("v2_sum").cast("bigint").alias("v2_sum"),
+    )
+
+
+def oracle_channel_norm_stats(n: int, max_i: int) -> str:
+    return (
+        f"SELECT ch, cast(count(*) as bigint) AS n_px, "
+        f"cast(sum(v) as bigint) AS v_sum, "
+        f"cast(sum(v * v) as bigint) AS v2_sum FROM ("
+        f"SELECT ch, {synth.pixel_val_sql()} AS v "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) i, "
+        f"range(0, 256) a(x), range(0, 256) b(y), range(0, 3) tc(ch) "
+        f"WHERE i.i < {max_i} AND x < i.w AND y < i.h) GROUP BY 1"
+    )

@@ -1013,3 +1013,97 @@ def test_bilinear_probe_at_pixel_centers_equals_nearest(spark):
     assert len(m) >= 3 * len(meta)
     assert (m.px == 5).all() and (m.py == 7).all()
     assert (m.val_key == m.val * 10**6).all()
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 2: ZT aspect, patchify, channel norm stats
+
+
+def test_aspect_zt_plane_azimuth_and_conventions():
+    """On z = 3x + 4y the downslope bearing is atan2(-3, 4) ~ 323.13
+    deg; the trigonometric convention must be the 90-minus companion
+    of the azimuth; a constant raster is flat everywhere (-9999 az,
+    0 trig)."""
+    from gdal_spark.operators import dem
+
+    def zt_aspect(d):
+        d = d.astype(np.float64)
+        dx = d[1:-1, 2:] - d[1:-1, :-2]
+        dy = d[2:, 1:-1] - d[:-2, 1:-1]
+        raw = np.arctan2(dy, -dx) / dem.DEG
+        flat = (dx == 0) & (dy == 0)
+        az = np.where(raw > 90.0, 450.0 - raw, 90.0 - raw)
+        az = np.where(az == 360.0, 0.0, az)
+        az = np.where(flat, -9999.0, az)
+        tr = np.where(raw < 0.0, raw + 360.0, raw)
+        tr = np.where(tr == 360.0, 0.0, tr)
+        tr = np.where(flat, 0.0, tr)
+        return az, tr, flat
+
+    gy, gx = np.mgrid[0:12, 0:12]
+    plane = 3.0 * gx + 4.0 * gy
+    az, tr, flat = zt_aspect(plane)
+    expect = (np.degrees(np.arctan2(-3.0, 4.0)) + 360.0) % 360.0
+    assert not flat.any()
+    assert np.allclose(az, expect)
+    assert np.allclose((90.0 - tr) % 360.0, az % 360.0)
+
+    az_c, tr_c, flat_c = zt_aspect(np.full((8, 8), 7.0))
+    assert flat_c.all() and (az_c == -9999.0).all() and (tr_c == 0.0).all()
+
+
+def test_patchify_brute_force(spark):
+    from gdal_spark import codecs
+    from gdal_spark.operators import multimodal
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 3"))
+    meta = synth.images_df(spark, 64).filter("i < 3").toPandas()
+    got = (
+        multimodal.patchify(imgs, p=8)
+        .toPandas()
+        .set_index(["image_id", "patch_idx", "ch"])
+        .sort_index()
+    )
+    p = 8
+    for _, row in meta.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(row.i), int(row.w), int(row.h)),
+                row.fmt,
+            )
+        ).astype(np.int64)
+        h, w, c = arr.shape
+        for pr in range(h // p):
+            for pc in range(w // p):
+                for ch in range(c):
+                    exp = arr[pr * p:(pr + 1) * p, pc * p:(pc + 1) * p, ch].sum()
+                    r = got.loc[(row.image_id, pr * (w // p) + pc, ch)]
+                    assert r["px_sum"] == exp
+                    assert r["prow"] == pr and r["pcol"] == pc
+
+
+def test_channel_norm_stats_matches_decode(spark):
+    from gdal_spark import codecs
+    from gdal_spark.operators import multimodal
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 5"))
+    meta = synth.images_df(spark, 64).filter("i < 5").toPandas()
+    got = (
+        multimodal.channel_norm_stats(imgs)
+        .toPandas().set_index("ch").sort_index()
+    )
+    exp = np.zeros((3, 3), dtype=np.int64)
+    for _, row in meta.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(row.i), int(row.w), int(row.h)),
+                row.fmt,
+            )
+        ).astype(np.int64)
+        for c in range(3):
+            v = arr[:, :, c].ravel()
+            exp[c] += (v.size, v.sum(), (v * v).sum())
+    for c in range(3):
+        assert got.loc[c, "n_px"] == exp[c, 0]
+        assert got.loc[c, "v_sum"] == exp[c, 1]
+        assert got.loc[c, "v2_sum"] == exp[c, 2]
