@@ -1112,7 +1112,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   events_sliding_window, lineref_points, hillshade_zt,
 #   contour_offset_levels, grid_average_ellipse, paragraph_dedup,
 #   epoch_shuffle, point_probe_bilinear, aspect_zt, patchify,
-#   channel_norm_stats, tile_xyz_quadkey, + every operator added
+#   channel_norm_stats, tile_xyz_quadkey, buildvrt_separate,
+#   viewshed_maxdist, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1483,6 +1484,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "image_id", "tile_x", "tile_y",
                 f"cast({2 ** TILE_ZOOM - 1} - tile_y as bigint) AS y_xyz",
                 "quadkey",
+            )
+        ),
+        # gdalbuildvrt -separate: every input its own band at its
+        # placement window (apps/gdalbuildvrt_lib.cpp:1886)
+        "buildvrt_separate": lambda spark, sf_dir: (
+            rastertable.buildvrt_separate(
+                _pixel_images(spark, sf_dir, 8), max_i=8
+            )
+        ),
+        # gdal_viewshed -md max observable distance (range circle
+        # value-checked; md=5 excludes 3 otherwise-visible cells)
+        "viewshed_maxdist": lambda spark, sf_dir: (
+            viewshed.viewshed_maxdist_rows(
+                spark, _VS_W, _VS_W, _VS_OX, _VS_OY, 5
             )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
@@ -1958,6 +1973,12 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _STATS_MAX_I
         ),
         "tile_xyz_quadkey": cells.oracle_tile_xyz_quadkey(n, TILE_ZOOM),
+        "buildvrt_separate": rastertable.oracle_buildvrt_separate(
+            min(n, 4096), 8
+        ),
+        "viewshed_maxdist": viewshed.oracle_viewshed_maxdist(
+            _VS_W, _VS_W, _VS_OX, _VS_OY, 5
+        ),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -54,6 +54,8 @@ HEADLINE = [
     "exact_substring_spans",
     "dissolve_area",
     "enhance_equalize",
+    "paragraph_dedup",
+    "patchify",
 ]
 
 

@@ -554,3 +554,63 @@ def oracle_point_probe_bilinear(
         f"cast(floor({interp} * 1000000.0E0 + 5.0E-4) as bigint) "
         f"AS val_key FROM px"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalbuildvrt -separate (apps/gdalbuildvrt_lib.cpp:1886-2048): every
+# input becomes its OWN band of the virtual mosaic, placed at its
+# source/dest window inside the union extent, nodata elsewhere — vs
+# the default mode that composites inputs into one band. The gate
+# stacks each image i as band i at a deterministic per-band placement
+# offset (i*3, i*2) on the shared canvas and keys each band-scanline
+# with the exact (count, value-sum, x-weighted-sum) triple — the
+# x-weighted sum pins the horizontal placement the VRT SimpleSource
+# dst window encodes. Map-only decode + one tiny aggregation.
+
+
+def buildvrt_separate(images: DataFrame, max_i: int = 8) -> DataFrame:
+    """(band, y, n, val_sum, xw_sum) — per band = per input image."""
+
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for i, payload in zip(pdf["i"], pdf["bytes"]):
+                i = int(i)
+                if i >= max_i:
+                    continue
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                v = arr[:, :, 0]
+                h, w = v.shape
+                xs = np.arange(w, dtype=np.int64) + i * 3
+                ys = np.arange(h, dtype=np.int64) + i * 2
+                outs.append(pd.DataFrame({
+                    "band": np.int64(i),
+                    "y": ys.repeat(w),
+                    "n": np.int64(1),
+                    "val": v.ravel(),
+                    "xw": (v * xs[None, :]).ravel(),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["band", "y", "n", "val", "xw"]
+            )
+
+    longf = images.select("i", "bytes").mapInPandas(
+        explode, schema="band long, y long, n long, val long, xw long"
+    )
+    return longf.groupBy("band", "y").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("val_sum"),
+        F.sum("xw").cast("bigint").alias("xw_sum"),
+    )
+
+
+def oracle_buildvrt_separate(n: int, max_i: int = 8) -> str:
+    return (
+        f"SELECT cast(i as bigint) AS band, "
+        f"cast(y + i * 2 as bigint) AS y, "
+        f"cast(count(*) as bigint) AS n, "
+        f"cast(sum(val) as bigint) AS val_sum, "
+        f"cast(sum(val * (x + i * 3)) as bigint) AS xw_sum "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) "
+        f"WHERE ch = 0 GROUP BY 1, 2"
+    )

@@ -535,3 +535,126 @@ def oracle_viewshed_curved(
         f"LEFT JOIN blocked b ON b.tx = t.gx AND b.ty = t.gy "
         f"GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_viewshed -md (maximum observable distance, alg/viewshed.cpp
+# oOpts.maxDistance): targets farther than ``md`` from the observer
+# (Euclidean, georeferenced units = pixels here) are OUT OF RANGE and
+# take the out-of-range value instead of being tested; in-range cells
+# run the normal LOS test. The gate emits per scanline the in-range
+# count alongside the visible count so the -md circle itself is
+# value-checked (integer dx^2+dy^2 <= md^2 — exact).
+
+
+def viewshed_maxdist_rows(
+    spark, width: int, height: int, ox: int, oy: int, md: int,
+    band_px: int = 16,
+) -> DataFrame:
+    """(y, n, n_inrange, n_visible) per scanline."""
+    nb = (height + band_px - 1) // band_px
+    bands = spark.range(nb).selectExpr("cast(id as int) AS band")
+    md2 = md * md
+
+    def run(key, pdf):
+        band = int(key[0])
+        y0 = band * band_px
+        h = min(band_px, height - y0)
+        gy, gx = np.mgrid[0:height, 0:width]
+        dem = _dem_value(gx, gy).astype(np.float64)
+        out = []
+        eye = dem[oy, ox] + OBS_HEIGHT
+        for ty in range(y0, y0 + h):
+            nvis = ninr = 0
+            for tx in range(width):
+                if (tx - ox) ** 2 + (ty - oy) ** 2 > md2:
+                    continue
+                ninr += 1
+                K = max(abs(tx - ox), abs(ty - oy))
+                if K == 0:
+                    nvis += 1
+                    continue
+                ks = np.arange(1, K, dtype=np.float64)
+                f = ks / K
+                px = ox + f * (tx - ox)
+                py = oy + f * (ty - oy)
+                x0 = np.floor(px).astype(np.int64)
+                y0i = np.floor(py).astype(np.int64)
+                fx = px - x0
+                fy = py - y0i
+                x1 = np.minimum(x0 + 1, width - 1)
+                y1 = np.minimum(y0i + 1, height - 1)
+                terr = (1.0 - fy) * (
+                    (1.0 - fx) * dem[y0i, x0] + fx * dem[y0i, x1]
+                ) + fy * ((1.0 - fx) * dem[y1, x0] + fx * dem[y1, x1])
+                los = eye + f * (dem[ty, tx] - eye)
+                if (los > terr).all():
+                    nvis += 1
+            out.append((ty, width, ninr, nvis))
+        return pd.DataFrame(
+            out, columns=["y", "n", "n_inrange", "n_visible"]
+        )
+
+    part = bands.groupby("band").applyInPandas(
+        run, schema="y bigint, n bigint, n_inrange bigint, n_visible bigint"
+    )
+    return part.groupBy("y").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_inrange").alias("n_inrange"),
+        F.sum("n_visible").alias("n_visible"),
+    )
+
+
+def oracle_viewshed_maxdist(
+    width: int, height: int, ox: int, oy: int, md: int
+) -> str:
+    val = DEM_VALUE_SQL
+    md2 = md * md
+
+    def dem_at(x, y):
+        return f"cast({val.replace('gx', f'({x})').replace('gy', f'({y})')} as double)"
+
+    eye = f"({dem_at(str(ox), str(oy))} + {OBS_HEIGHT}E0)"
+    inr = f"((tx - {ox}) * (tx - {ox}) + (ty - {oy}) * (ty - {oy}) <= {md2})"
+    steps = (
+        f"SELECT t.tx, t.ty, k, greatest(abs(t.tx - {ox}), abs(t.ty - {oy})) AS kk "
+        f"FROM (SELECT gx AS tx, gy AS ty FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) b(gy) "
+        f"WHERE (gx - {ox}) * (gx - {ox}) + (gy - {oy}) * (gy - {oy}) <= {md2}) t, "
+        f"range(1, {max(width, height)}) s(k) "
+        f"WHERE k < greatest(abs(t.tx - {ox}), abs(t.ty - {oy}))"
+    )
+    terr = (
+        "((1.0E0 - fy) * ((1.0E0 - fx) * v00 + fx * v10) "
+        "+ fy * ((1.0E0 - fx) * v01 + fx * v11))"
+    )
+    los = f"({eye} + f * ({dem_at('tx', 'ty')} - {eye}))"
+    return (
+        f"WITH s AS ({steps}), "
+        f"pos AS (SELECT tx, ty, "
+        f"(cast(k as double) / cast(kk as double)) AS f, "
+        f"({ox} + (cast(k as double) / cast(kk as double)) * (tx - {ox})) AS px, "
+        f"({oy} + (cast(k as double) / cast(kk as double)) * (ty - {oy})) AS py "
+        f"FROM s), "
+        f"cells AS (SELECT tx, ty, f, "
+        f"cast(floor(px) as bigint) AS x0, cast(floor(py) as bigint) AS y0, "
+        f"(px - cast(floor(px) as bigint)) AS fx, "
+        f"(py - cast(floor(py) as bigint)) AS fy FROM pos), "
+        f"vals AS (SELECT tx, ty, f, fx, fy, "
+        f"{dem_at('x0', 'y0')} AS v00, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', 'y0')} AS v10, "
+        f"{dem_at('x0', f'least(y0 + 1, {height - 1})')} AS v01, "
+        f"{dem_at(f'least(x0 + 1, {width - 1})', f'least(y0 + 1, {height - 1})')} "
+        f"AS v11 FROM cells), "
+        f"blocked AS (SELECT DISTINCT tx, ty FROM vals "
+        f"WHERE NOT ({los} > {terr})) "
+        f"SELECT t.gy AS y, count(*) AS n, "
+        f"cast(sum(CASE WHEN {inr.replace('tx', 't.gx').replace('ty', 't.gy')} "
+        f"THEN 1 ELSE 0 END) as bigint) AS n_inrange, "
+        f"cast(sum(CASE WHEN {inr.replace('tx', 't.gx').replace('ty', 't.gy')} "
+        f"AND b.tx IS NULL THEN 1 ELSE 0 END) as bigint) AS n_visible "
+        f"FROM (SELECT gx, gy FROM range(0, {width}) a(gx), "
+        f"range(0, {height}) c(gy)) t "
+        f"LEFT JOIN blocked b ON b.tx = t.gx AND b.ty = t.gy "
+        f"GROUP BY 1"
+    )

@@ -1107,3 +1107,61 @@ def test_channel_norm_stats_matches_decode(spark):
         assert got.loc[c, "n_px"] == exp[c, 0]
         assert got.loc[c, "v_sum"] == exp[c, 1]
         assert got.loc[c, "v2_sum"] == exp[c, 2]
+
+
+def test_buildvrt_separate_places_bands(spark):
+    """Band = input image, placed at its (i*3, i*2) dst window: the
+    per-band pixel count must equal that image's w*h, and the
+    x-weighted sum must shift by exactly 3*i*val_sum vs the unshifted
+    frame (placement witness)."""
+    from gdal_spark import codecs
+    from gdal_spark.operators import rastertable
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 4"))
+    meta = synth.images_df(spark, 64).filter("i < 4").toPandas()
+    got = rastertable.buildvrt_separate(imgs, max_i=4).toPandas()
+    for _, row in meta.iterrows():
+        band = got[got.band == row.i]
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(row.i), int(row.w), int(row.h)),
+                row.fmt,
+            )
+        ).astype(np.int64)[:, :, 0]
+        assert band.n.sum() == row.w * row.h
+        assert band.val_sum.sum() == arr.sum()
+        xw0 = (arr * np.arange(row.w)[None, :]).sum()
+        assert band.xw_sum.sum() == xw0 + 3 * row.i * arr.sum()
+        assert set(band.y) == set(range(row.i * 2, row.i * 2 + row.h))
+
+
+def test_viewshed_maxdist_restricts_full_viewshed(spark):
+    """-md must reproduce the unrestricted viewshed intersected with
+    the range circle — nothing more, nothing less."""
+    from gdal_spark.operators import viewshed as vs
+
+    full = vs.viewshed_rows(spark, 32, 32, 15, 14).toPandas()
+    md = vs.viewshed_maxdist_rows(spark, 32, 32, 15, 14, 6).toPandas()
+    # per-row: in-range counts are the circle row widths
+    ex_inr = [
+        sum((tx - 15) ** 2 + (ty - 14) ** 2 <= 36 for tx in range(32))
+        for ty in range(32)
+    ]
+    m = md.sort_values("y").reset_index(drop=True)
+    assert (m.n_inrange == ex_inr).all()
+    # visible-with-md <= visible-full everywhere, equal where the
+    # whole visible set of the row is inside the circle
+    f = full.sort_values("y").reset_index(drop=True)
+    assert (m.n_visible <= f.n_visible).all()
+    assert m.n_visible.sum() <= f.n_visible.sum()
+    # and the kernel agrees with the scalar LOS reference inside range
+    gy, gx = np.mgrid[0:32, 0:32]
+    dem = vs._dem_value(gx, gy).astype(np.float64)
+    for ty in (10, 14, 20):
+        nvis = sum(
+            1
+            for tx in range(32)
+            if (tx - 15) ** 2 + (ty - 14) ** 2 <= 36
+            and vs.los_visible(dem, 15, 14, tx, ty)
+        )
+        assert int(m.loc[m.y == ty, "n_visible"].iloc[0]) == nvis
