@@ -1113,7 +1113,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   contour_offset_levels, grid_average_ellipse, paragraph_dedup,
 #   epoch_shuffle, point_probe_bilinear, aspect_zt, patchify,
 #   channel_norm_stats, tile_xyz_quadkey, buildvrt_separate,
-#   viewshed_maxdist, + every operator added
+#   viewshed_maxdist, sliding_chunks, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1499,6 +1499,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             viewshed.viewshed_maxdist_rows(
                 spark, _VS_W, _VS_W, _VS_OX, _VS_OY, 5
             )
+        ),
+        # sliding context-window chunking (RAG/embedding ingest:
+        # L-token windows at stride S, overlap L-S; map-only Catalyst)
+        "sliding_chunks": lambda spark, sf_dir: (
+            textops.sliding_chunks(_docs(spark, sf_dir))
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
@@ -1979,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_maxdist": viewshed.oracle_viewshed_maxdist(
             _VS_W, _VS_W, _VS_OX, _VS_OY, 5
         ),
+        "sliding_chunks": textops.oracle_sliding_chunks(),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -745,3 +745,65 @@ def oracle_epoch_shuffle(
         f"ORDER BY key, doc_id) - 1 as bigint) AS pos, doc_id, "
         f"cast(key as bigint) AS key FROM s"
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding context-window chunking (the RAG / embedding-ingestion
+# contract: fixed L-token windows at stride S < L so consecutive
+# chunks overlap by L-S tokens; the final window is the last start
+# position < ntok). Pure Catalyst (split + slice higher-order
+# expressions) — map-only, no shuffle; at 10^12 docs the op is
+# embarrassingly parallel. n_chunks = 1 + floor(max(ntok-1,0)/S)
+# start positions thinned to those < ntok guards Spark's descending
+# sequence(1, 0) trap via the >=1-token filter.
+
+CHUNK_L = 32
+CHUNK_S = 24
+
+
+def sliding_chunks(
+    docs: DataFrame, L: int = CHUNK_L, S: int = CHUNK_S
+) -> DataFrame:
+    """(doc_id, chunk_idx, start, chunk_len, chunk_md5) — one row per
+    overlapping window."""
+    toks = tokens_sql("spark")
+    n = f"size({toks})"
+    starts = (
+        f"filter(transform(sequence(0, cast(({n} - 1) / {S} as int)), "
+        f"i -> i * {S}), st -> st < {n})"
+    )
+    t = docs.filter(F.expr(f"{n} >= 1")).selectExpr(
+        "doc_id", f"{toks} AS toks", f"{starts} AS starts"
+    )
+    ch = t.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "start"),
+        F.col("toks"),
+    )
+    return ch.selectExpr(
+        "doc_id",
+        "cast(chunk_idx as bigint) AS chunk_idx",
+        "cast(start as bigint) AS start",
+        f"cast(size(slice(toks, start + 1, {L})) as bigint) AS chunk_len",
+        f"md5(concat_ws(' ', slice(toks, start + 1, {L}))) AS chunk_md5",
+    )
+
+
+def oracle_sliding_chunks(L: int = CHUNK_L, S: int = CHUNK_S) -> str:
+    toks = tokens_sql("duckdb")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents "
+        f"WHERE len({toks}) >= 1), "
+        f"st AS (SELECT doc_id, toks, unnest(range(0, "
+        f"cast((len(toks) - 1) / {S} as int) + 1)) AS chunk_idx "
+        f"FROM t), "
+        f"f AS (SELECT doc_id, toks, chunk_idx, chunk_idx * {S} AS start "
+        f"FROM st WHERE chunk_idx * {S} < len(toks)) "
+        f"SELECT doc_id, cast(chunk_idx as bigint) AS chunk_idx, "
+        f"cast(start as bigint) AS start, "
+        f"cast(len(list_slice(toks, start + 1, start + {L})) as bigint) "
+        f"AS chunk_len, "
+        f"md5(array_to_string(list_slice(toks, start + 1, start + {L}), "
+        f"' ')) AS chunk_md5 "
+        f"FROM f"
+    )

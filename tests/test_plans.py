@@ -334,3 +334,40 @@ def test_merge_nodata_single_shuffle_composite(spark):
     s = plan(merge_nodata_composite(imgs))
     assert "Join" not in s
     assert "HashAggregate" in s
+
+
+def test_paragraph_dedup_is_jvm_only_two_shuffles(spark):
+    """paragraph_dedup claims pure Catalyst (no Python anywhere) and
+    exactly two shuffles: the chunk-key window + the doc_id rollup."""
+    from gdal_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = dedup.paragraph_dedup(docs)
+    s = plan(df)
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    n_exchanges = s.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, s
+
+
+def test_epoch_shuffle_is_jvm_only_single_shuffle(spark):
+    """epoch_shuffle: pure Catalyst, ONE shuffle on (epoch, shard) —
+    the shape that holds at 10^12 rows."""
+    from gdal_spark.operators import textops as t
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = t.epoch_shuffle(docs)
+    s = plan(df)
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    assert s.count("Exchange hashpartitioning") == 1, s
+
+
+def test_patchify_is_map_only(spark):
+    """patchify must not shuffle: decode -> patch sums is
+    embarrassingly parallel."""
+    from gdal_spark.operators import multimodal
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 4"))
+    s = plan(multimodal.patchify(imgs))
+    assert "Exchange hashpartitioning" not in s
+    assert "Exchange rangepartitioning" not in s

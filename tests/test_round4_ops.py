@@ -1165,3 +1165,38 @@ def test_viewshed_maxdist_restricts_full_viewshed(spark):
             and vs.los_visible(dem, 15, 14, tx, ty)
         )
         assert int(m.loc[m.y == ty, "n_visible"].iloc[0]) == nvis
+
+
+def test_sliding_chunks_brute_force(spark):
+    """Window starts, overlap, tail truncation, and fingerprints vs a
+    plain python replay."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    " ".join(f"t{i}" for i in range(50)),
+                    " ".join(f"u{i}" for i in range(32)),
+                    "one",
+                ],
+            }
+        )
+    )
+    got = textops.sliding_chunks(docs, L=32, S=24).toPandas()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for doc_id, text in ((1, [f"t{i}" for i in range(50)]),
+                         (2, [f"u{i}" for i in range(32)]),
+                         (3, ["one"])):
+        toks = text
+        starts = [s for s in range(0, len(toks), 24)]
+        rows = got[got.doc_id == doc_id].sort_values("chunk_idx")
+        assert list(rows.start) == starts
+        for _, r in rows.iterrows():
+            window = toks[int(r.start): int(r.start) + 32]
+            assert r.chunk_len == len(window)
+            assert r.chunk_md5 == md5(" ".join(window))
+    # doc 1: 3 windows (0, 24, 48), last is a 2-token tail; doc 2: 2
+    # windows (0, 24) with 8-token tail; doc 3: one 1-token window
+    assert got.groupby("doc_id").size().to_dict() == {1: 3, 2: 2, 3: 1}
