@@ -19,6 +19,7 @@ from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
+from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
@@ -1113,7 +1114,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   contour_offset_levels, grid_average_ellipse, paragraph_dedup,
 #   epoch_shuffle, point_probe_bilinear, aspect_zt, patchify,
 #   channel_norm_stats, tile_xyz_quadkey, buildvrt_separate,
-#   viewshed_maxdist, sliding_chunks, + every operator added
+#   viewshed_maxdist, sliding_chunks, footprint, domain_cap,
+#   cms_topk_estimate, tar_shard_layout, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1504,6 +1506,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # L-token windows at stride S, overlap L-S; map-only Catalyst)
         "sliding_chunks": lambda spark, sf_dir: (
             textops.sliding_chunks(_docs(spark, sf_dir))
+        ),
+        # gdal_footprint (apps/gdal_footprint_lib.cpp): valid-data
+        # mask -> distributed polygonize -> -minRingArea filter ->
+        # geo envelopes via the dyadic geotransform
+        "footprint": lambda spark, sf_dir: fpop.footprint(spark),
+        # RefinedWeb-style per-domain document cap (hash-ordered top-K
+        # per source)
+        "domain_cap": lambda spark, sf_dir: (
+            textops.domain_cap(_docs(spark, sf_dir))
+        ),
+        # count-min sketch heavy hitters: exact top-k counts vs the
+        # D x W sketch's min-over-rows point estimates
+        "cms_topk_estimate": lambda spark, sf_dir: (
+            textops.cms_topk_estimate(_docs(spark, sf_dir))
+        ),
+        # WebDataset/ustar tar shard layout: every sample's (writer,
+        # shard, byte offset) computed before any bytes are written
+        "tar_shard_layout": lambda spark, sf_dir: (
+            multimodal.tar_shard_layout(
+                synth.images_df(spark, synth.n_images(sf_dir))
+            )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
@@ -1985,6 +2008,10 @@ def oracle_sql() -> dict[str, str]:
             _VS_W, _VS_W, _VS_OX, _VS_OY, 5
         ),
         "sliding_chunks": textops.oracle_sliding_chunks(),
+        "footprint": fpop.oracle_footprint(),
+        "domain_cap": textops.oracle_domain_cap(),
+        "cms_topk_estimate": textops.oracle_cms_topk_estimate(),
+        "tar_shard_layout": multimodal.oracle_tar_shard_layout(n),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

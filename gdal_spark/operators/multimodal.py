@@ -653,3 +653,86 @@ def oracle_channel_norm_stats(n: int, max_i: int) -> str:
         f"range(0, 256) a(x), range(0, 256) b(y), range(0, 3) tc(ch) "
         f"WHERE i.i < {max_i} AND x < i.w AND y < i.h) GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shard layout (the training-data writer path:
+# samples are packed whole into sequential POSIX-ustar tar shards —
+# each member occupies a 512-byte header plus its payload zero-padded
+# to 512-byte blocks; shards roll over every `maxcount` members, the
+# webdataset ShardWriter convention. The layout is pure arithmetic, so
+# a planner can compute every member's (shard, byte offset) BEFORE any
+# bytes are written — which is what makes massively parallel shard
+# writing and resumable uploads possible.)
+
+TAR_BLOCK = 512
+TAR_MAXCOUNT = 16
+TAR_WRITERS = 8
+
+
+def _member_bytes_sql(size: str) -> str:
+    """Tar footprint of a member with ``size`` payload bytes: header
+    block + payload rounded up to whole blocks."""
+    return (
+        f"cast({TAR_BLOCK} + (({size} + {TAR_BLOCK - 1}) div {TAR_BLOCK}) "
+        f"* {TAR_BLOCK} as bigint)"
+    )
+
+
+def tar_shard_layout(
+    imgs: DataFrame, maxcount: int = TAR_MAXCOUNT, n_writers: int = TAR_WRITERS
+) -> DataFrame:
+    """(image_id, writer, shard_id, idx_in_shard, offset_bytes,
+    member_bytes) — the exact byte position every sample will occupy
+    in its writer's shard stream. Payload size is the raw RGB buffer
+    (w*h*3), the size a tar member of the decoded sample occupies.
+
+    Scale: one shuffle on ``writer`` (the shard-stream key; streams
+    are independent, so writers scale horizontally); the per-(writer,
+    shard) offset window refines the same ordering, with window width
+    bounded by ``maxcount``, never the table."""
+    from pyspark.sql import Window
+
+    t = imgs.selectExpr(
+        "image_id", "i",
+        f"cast(i % {n_writers} as bigint) AS writer",
+        f"{_member_bytes_sql('cast(w as bigint) * h * 3')} AS member_bytes",
+    )
+    w_stream = Window.partitionBy("writer").orderBy("i")
+    t = t.withColumn("seq", F.row_number().over(w_stream) - 1).withColumn(
+        "shard_id", F.expr(f"cast(seq div {maxcount} as bigint)")
+    )
+    w_shard = Window.partitionBy("writer", "shard_id").orderBy("i")
+    t = t.withColumn("cum", F.sum("member_bytes").over(w_shard))
+    return t.selectExpr(
+        "image_id", "writer", "shard_id",
+        f"cast(seq % {maxcount} as bigint) AS idx_in_shard",
+        "cast(cum - member_bytes as bigint) AS offset_bytes",
+        "member_bytes",
+    )
+
+
+def oracle_tar_shard_layout(
+    n: int, maxcount: int = TAR_MAXCOUNT, n_writers: int = TAR_WRITERS
+) -> str:
+    from .. import synth
+
+    member = _member_bytes_sql("cast(w as bigint) * h * 3").replace(
+        " div ", " // "
+    )
+    return (
+        f"WITH imgs AS (SELECT i, image_id, w, h FROM "
+        f"({synth.images_cte(n, 'duckdb')})), "
+        f"t AS (SELECT image_id, i, cast(i % {n_writers} as bigint) AS writer, "
+        f"{member} AS member_bytes FROM imgs), "
+        f"s AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY writer ORDER BY i) - 1 AS seq FROM t), "
+        f"sh AS (SELECT *, cast(seq // {maxcount} as bigint) AS shard_id "
+        f"FROM s) "
+        f"SELECT image_id, writer, shard_id, "
+        f"cast(seq % {maxcount} as bigint) AS idx_in_shard, "
+        f"cast(cast(sum(member_bytes) OVER (PARTITION BY writer, shard_id "
+        f"ORDER BY i) as bigint) - member_bytes as bigint) AS offset_bytes, "
+        f"member_bytes "
+        f"FROM sh"
+    )

@@ -81,11 +81,14 @@ def polygonize_grid(
     tile_px: int = 32,
     connect8: bool = False,
     max_rounds: int = 16,
+    with_bbox: bool = False,
 ) -> DataFrame:
     """Polygonize a deterministic raster defined by ``value_sql`` (a
     Spark SQL expression over global pixel columns gx, gy -> bigint).
     Returns (comp_id, val, n_pixels): component id = min global
-    linearized pixel index.
+    linearized pixel index. With ``with_bbox`` the per-component pixel
+    envelope (minx, miny, maxx, maxy) is carried through the same
+    partial-aggregate path (used by the gdal_footprint analog).
 
     The raster is generated per tile executor-side (no driver data
     movement); a real raster table would substitute a tiles DataFrame
@@ -117,11 +120,17 @@ def polygonize_grid(
             {
                 "label": glob.ravel(),
                 "val": vals.ravel().astype(np.int64),
+                "pgx": gx.ravel().astype(np.int64),
+                "pgy": gy.ravel().astype(np.int64),
             }
         )
         comp = (
             flat.groupby("label")
-            .agg(val=("val", "first"), n=("val", "size"))
+            .agg(
+                val=("val", "first"), n=("val", "size"),
+                minx=("pgx", "min"), maxx=("pgx", "max"),
+                miny=("pgy", "min"), maxy=("pgy", "max"),
+            )
             .reset_index()
         )
 
@@ -154,12 +163,13 @@ def polygonize_grid(
         edf = pd.DataFrame(edges)
         comp["kind"] = "comp"
         edf["kind"] = "edge"
+        cols = ["kind", "label", "val", "n", "minx", "maxx", "miny", "maxy"]
         return pd.concat(
             [
-                comp.rename(columns={"n": "n"})[["kind", "label", "val", "n"]].assign(
-                    gx=-1, gy=-1, side=""
-                ),
-                edf.assign(n=0)[["kind", "label", "val", "n", "gx", "gy", "side"]],
+                comp[cols].assign(gx=-1, gy=-1, side=""),
+                edf.assign(n=0, minx=0, maxx=0, miny=0, maxy=0)[
+                    cols + ["gx", "gy", "side"]
+                ],
             ],
             ignore_index=True,
         )
@@ -167,10 +177,13 @@ def polygonize_grid(
     raw = tiles.groupby("tx", "ty").applyInPandas(
         tile_labels,
         schema="kind string, label bigint, val bigint, n bigint, "
+        "minx bigint, maxx bigint, miny bigint, maxy bigint, "
         "gx bigint, gy bigint, side string",
     ).cache()
 
-    comps = raw.filter("kind = 'comp'").select("label", "val", "n")
+    comps = raw.filter("kind = 'comp'").select(
+        "label", "val", "n", "minx", "maxx", "miny", "maxy"
+    )
     edges = raw.filter("kind = 'edge'")
 
     # adjacency: right-edge pixel (gx, gy) matches left-edge pixel
@@ -229,12 +242,15 @@ def polygonize_grid(
         if changed == 0:
             break
 
-    return (
-        comps.join(roots, "label")
-        .groupBy("root")
-        .agg(F.min("val").alias("val"), F.sum("n").alias("n_pixels"))
-        .selectExpr("root AS comp_id", "val", "n_pixels")
-    )
+    aggs = [F.min("val").alias("val"), F.sum("n").alias("n_pixels")]
+    cols = ["root AS comp_id", "val", "n_pixels"]
+    if with_bbox:
+        aggs += [
+            F.min("minx").alias("minx"), F.max("maxx").alias("maxx"),
+            F.min("miny").alias("miny"), F.max("maxy").alias("maxy"),
+        ]
+        cols += ["minx", "maxx", "miny", "maxy"]
+    return comps.join(roots, "label").groupBy("root").agg(*aggs).selectExpr(*cols)
 
 
 def _eval_value(value_sql: str, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
@@ -246,6 +262,11 @@ def _eval_value(value_sql: str, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
         _, bs, mod = value_sql.split(":")
         bs, mod = int(bs), int(mod)
         return ((gx // bs + gy // bs) % mod).astype(np.int64)
+    if value_sql.startswith("demvalid:"):
+        from .dem import _dem_value
+
+        thresh = int(value_sql.split(":")[1])
+        return (_dem_value(gx, gy) >= thresh).astype(np.int64)
     if value_sql.startswith("demband:"):
         from .dem import _dem_value
 
@@ -276,16 +297,19 @@ POLY_PJ_ROUNDS = 32  # oracle pointer-jump rounds (fixpoint-verified in tests)
 
 
 def oracle_polygonize_pj(
-    band_sql: str, width: int, height: int, connect8: bool = False
+    band_sql: str, width: int, height: int, connect8: bool = False,
+    final_select: str | None = None, rounds_n: int | None = None,
 ) -> str:
     """General connected-components oracle for ANY deterministic
     raster expressed as a DuckDB expression over (gx, gy): unrolled
     MATERIALIZED pointer-jump rounds (the contour-oracle pattern),
     comp id = min linearized pixel index — the same label convention
-    as the Spark polygonize. 4- or 8-connectivity."""
+    as the Spark polygonize. 4- or 8-connectivity. ``final_select``
+    replaces the trailing projection (it may reference the converged
+    roots relation as ``{prev}`` and the pixel table ``px``)."""
     rounds = []
     prev = "r0"
-    for k in range(POLY_PJ_ROUNDS):
+    for k in range(rounds_n if rounds_n is not None else POLY_PJ_ROUNDS):
         rounds.append(
             f"m{k} AS MATERIALIZED (SELECT l.a AS node, min(r.root) AS mn "
             f"FROM links l JOIN {prev} r ON r.node = l.b GROUP BY 1),\n"
@@ -306,6 +330,15 @@ def oracle_polygonize_pj(
                 f"\n  UNION ALL\n  SELECT b.node, a.node FROM px a JOIN px b "
                 f"ON b.gx = a.gx + {dx} AND b.gy = a.gy + 1 AND b.val = a.val"
             )
+    if final_select is None:
+        final_select = (
+            f"SELECT r.root AS comp_id, min(px.val) AS val,\n"
+            f"       count(*) AS n_pixels\n"
+            f"FROM {prev} r JOIN px ON px.node = r.node\n"
+            f"GROUP BY 1"
+        )
+    else:
+        final_select = final_select.format(prev=prev)
     return f"""
 WITH
 px AS MATERIALIZED (
@@ -325,10 +358,7 @@ links AS MATERIALIZED (
   ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.val = a.val{diag_links}),
 r0 AS MATERIALIZED (SELECT node, node AS root FROM px),
 {pj}
-SELECT r.root AS comp_id, min(px.val) AS val,
-       count(*) AS n_pixels
-FROM {prev} r JOIN px ON px.node = r.node
-GROUP BY 1
+{final_select}
 """
 
 

@@ -807,3 +807,134 @@ def oracle_sliding_chunks(L: int = CHUNK_L, S: int = CHUNK_S) -> str:
         f"' ')) AS chunk_md5 "
         f"FROM f"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain document cap (RefinedWeb / C4-style curation: bound any
+# single domain's contribution by keeping at most K documents per
+# source, chosen by a deterministic hash order so membership is
+# reproducible across runs and engines. Penedo et al. 2023 §3.3 caps
+# URL duplicates per domain; the primitive here is the same bounded
+# top-K-per-group truncation.)
+
+DOMAIN_CAP = 20
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """(doc_id, source, h, rnk, keep) — keep the ``cap``
+    lowest-hash documents of each source.
+
+    Scale: one shuffle on ``source`` (the window key); window width is
+    the per-domain document count, never the corpus. A skewed domain
+    is exactly the case the cap exists for — the window sort is
+    O(domain size log domain size) within one task, and the salting
+    machinery (operators/skew.py) applies if a single domain outgrows
+    a task."""
+    from pyspark.sql import Window
+
+    t = docs.selectExpr(
+        "doc_id", "source", f"(doc_id * {KNUTH}) % 4294967296 AS h"
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return t.withColumn("rnk", F.row_number().over(w)).selectExpr(
+        "doc_id", "source", "h",
+        "cast(rnk as bigint) AS rnk",
+        f"cast(rnk <= {cap} as int) AS keep",
+    )
+
+
+def oracle_domain_cap(cap: int = DOMAIN_CAP) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, source, "
+        f"(doc_id * {KNUTH}) % 4294967296 AS h FROM documents) "
+        f"SELECT doc_id, source, cast(h as bigint) AS h, "
+        f"cast(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) "
+        f"as bigint) AS rnk, "
+        f"cast((row_number() OVER (PARTITION BY source ORDER BY h, doc_id)) "
+        f"<= {cap} as int) AS keep FROM t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (Cormode & Muthukrishnan 2005: D
+# independent hash rows x W counters; point estimate = min over rows;
+# always an overestimate, within eps*N w.h.p. The distributed shape is
+# the sketch's whole reason to exist: per-partition cells are summed
+# map-side, the shuffle moves only D*W counters, never the vocabulary.)
+
+CMS_D = 4
+CMS_W = 128
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(d: str, th: str, width: int) -> str:
+    """Row-d bucket of token hash ``th`` — affine-in-d mod a prime,
+    then mod width. All int64-safe (th < HASH_P ~ 1e12, multiplier
+    <= 2D+1)."""
+    return f"(((({th}) * (2 * ({d}) + 3) + ({d}) * 9176) % 1000003) % {width})"
+
+
+def cms_topk_estimate(
+    docs: DataFrame, d_rows: int = CMS_D, width: int = CMS_W,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """(token, true_cnt, est_cnt) for the k most frequent tokens:
+    exact counts next to their count-min-sketch point estimates
+    (est >= true always; equality when no row collides).
+
+    Scale: token counts are one map-side-combined groupBy; the sketch
+    is a D*W-cell aggregate (the shuffle moves cells, not tokens); the
+    probe side is top-k only, joined to the broadcast cell table."""
+    toks = _with_tokens(docs).select(F.explode("toks").alias("token"))
+    cnt = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .withColumn("th", F.expr(str_hash_sql("spark", "token")))
+    )
+    cells = (
+        cnt.select(
+            F.explode(F.expr(f"sequence(0, {d_rows - 1})")).alias("d"),
+            "th", "true_cnt",
+        )
+        .selectExpr("d", f"{_cms_bucket_sql('d', 'th', width)} AS wb", "true_cnt")
+        .groupBy("d", "wb")
+        .agg(F.sum("true_cnt").alias("cell"))
+    )
+    topk = cnt.orderBy(F.desc("true_cnt"), "token").limit(k)
+    probes = topk.select(
+        "token", "true_cnt", "th",
+        F.explode(F.expr(f"sequence(0, {d_rows - 1})")).alias("d"),
+    ).selectExpr("token", "true_cnt", "d", f"{_cms_bucket_sql('d', 'th', width)} AS wb")
+    return (
+        probes.join(F.broadcast(cells), ["d", "wb"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+        .selectExpr(
+            "token", "cast(true_cnt as bigint) AS true_cnt",
+            "cast(est_cnt as bigint) AS est_cnt",
+        )
+    )
+
+
+def oracle_cms_topk_estimate(
+    d_rows: int = CMS_D, width: int = CMS_W, k: int = CMS_TOPK
+) -> str:
+    bucket = _cms_bucket_sql("d", "th", width)
+    return (
+        f"WITH t AS (SELECT unnest({tokens_sql('duckdb')}) AS token "
+        f"FROM documents), "
+        f"c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1), "
+        f"h AS MATERIALIZED (SELECT token, cnt, "
+        f"{str_hash_sql('duckdb', 'token')} AS th FROM c), "
+        f"cells AS (SELECT d, {bucket} AS wb, "
+        f"cast(sum(cnt) as bigint) AS cell "
+        f"FROM h, range(0, {d_rows}) r(d) GROUP BY 1, 2), "
+        f"top AS (SELECT token, cnt, th FROM h "
+        f"ORDER BY cnt DESC, token LIMIT {k}), "
+        f"probes AS (SELECT token, cnt, d, {bucket} AS wb "
+        f"FROM top, range(0, {d_rows}) r(d)) "
+        f"SELECT p.token, cast(p.cnt as bigint) AS true_cnt, "
+        f"cast(min(cells.cell) as bigint) AS est_cnt "
+        f"FROM probes p JOIN cells ON cells.d = p.d AND cells.wb = p.wb "
+        f"GROUP BY 1, 2"
+    )
