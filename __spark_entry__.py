@@ -1115,7 +1115,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   epoch_shuffle, point_probe_bilinear, aspect_zt, patchify,
 #   channel_norm_stats, tile_xyz_quadkey, buildvrt_separate,
 #   viewshed_maxdist, sliding_chunks, footprint, domain_cap,
-#   cms_topk_estimate, tar_shard_layout, + every operator added
+#   cms_topk_estimate, tar_shard_layout, bloom_seen_filter,
+#   keep_best_variant, + every operator added
 #   later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
@@ -1526,6 +1527,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shard_layout": lambda spark, sf_dir: (
             multimodal.tar_shard_layout(
                 synth.images_df(spark, synth.n_images(sf_dir))
+            )
+        ),
+        # distributed Bloom seen-filter (crawl-frontier membership):
+        # M/32-row filter table built by one bit_or aggregate, probes
+        # join the broadcast filter; no false negatives (pinned in
+        # tests), FP excess is the documented epsilon
+        "bloom_seen_filter": lambda spark, sf_dir: (
+            dedup.bloom_seen_filter(_docs(spark, sf_dir))
+        ),
+        # LAION/DataComp keep-highest-resolution variant per content
+        # group: groupBy argmax via struct max, no window sort
+        "keep_best_variant": lambda spark, sf_dir: (
+            curation.keep_best_variant(
+                synth.images_df(spark, synth.n_images(sf_dir)),
+                n_images=synth.n_images(sf_dir),
             )
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
@@ -2012,6 +2028,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": textops.oracle_domain_cap(),
         "cms_topk_estimate": textops.oracle_cms_topk_estimate(),
         "tar_shard_layout": multimodal.oracle_tar_shard_layout(n),
+        "bloom_seen_filter": dedup.oracle_bloom_seen_filter(),
+        "keep_best_variant": curation.oracle_keep_best_variant(n),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

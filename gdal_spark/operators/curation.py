@@ -67,3 +67,67 @@ def oracle_laion_filter(n_images: int) -> str:
         f"fmt, {', '.join(_flags_sql('duckdb'))} "
         f"FROM ({images_cte(n_images, 'duckdb')})"
     )
+
+
+# ---------------------------------------------------------------------------
+# keep-best-variant dedup (the LAION / DataComp re-post rule: the same
+# content circulates at many resolutions; after grouping near-dups,
+# keep exactly one canonical row — the highest-resolution variant,
+# ties broken deterministically). Group key here is a synthetic
+# content key (i mod G) standing in for the phash/embedding cluster id
+# the neardup stages produce; the operator itself is the bounded
+# argmax-per-group primitive.
+
+VARIANTS_PER_KEY = 8
+
+
+def keep_best_variant(images: DataFrame, variants: int = VARIANTS_PER_KEY,
+                      n_images: int | None = None) -> DataFrame:
+    """(content_key, n_variants, keep_i, keep_image_id, best_pixels):
+    one row per content group; keeper = max(w*h), tie-break min(i).
+
+    Scale: one shuffle on content_key (a plain groupBy argmax via
+    max_by struct ordering — map-side combined, no window sort); group
+    width is bounded by the variant count, never the corpus."""
+    if n_images is None:
+        n_images = images.count()
+    g = max(1, n_images // variants)
+    return (
+        images.selectExpr(
+            f"i % {g} AS content_key",
+            "i", "image_id",
+            "cast(w as bigint) * h AS pixels",
+        )
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_variants"),
+            # struct max orders by (pixels, -i): highest resolution,
+            # then LOWEST i on ties — negate i so max() prefers it
+            F.max(F.expr("struct(pixels, -i AS ni, i, image_id)")).alias("b"),
+        )
+        .selectExpr(
+            "cast(content_key as bigint) AS content_key",
+            "cast(n_variants as bigint) AS n_variants",
+            "b.i AS keep_i",
+            "b.image_id AS keep_image_id",
+            "b.pixels AS best_pixels",
+        )
+    )
+
+
+def oracle_keep_best_variant(
+    n_images: int, variants: int = VARIANTS_PER_KEY
+) -> str:
+    g = max(1, n_images // variants)
+    return (
+        f"WITH t AS (SELECT i % {g} AS content_key, i, image_id, "
+        f"cast(w as bigint) * h AS pixels "
+        f"FROM ({images_cte(n_images, 'duckdb')})), "
+        f"r AS (SELECT *, row_number() OVER (PARTITION BY content_key "
+        f"ORDER BY pixels DESC, i ASC) AS rk, "
+        f"count(*) OVER (PARTITION BY content_key) AS n_variants FROM t) "
+        f"SELECT cast(content_key as bigint) AS content_key, "
+        f"cast(n_variants as bigint) AS n_variants, i AS keep_i, "
+        f"image_id AS keep_image_id, pixels AS best_pixels "
+        f"FROM r WHERE rk = 1"
+    )

@@ -782,3 +782,134 @@ def oracle_paragraph_dedup(k: int = PARA_CHUNK_WORDS) -> str:
         f"ORDER BY pos), '')) AS clean_md5 "
         f"FROM f GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed Bloom "seen" filter (Bloom 1970; the crawl-frontier /
+# URL-seen primitive every large-scale ingest pipeline carries: CCNet
+# and RefinedWeb both gate re-crawled URLs through one). The filter is
+# a fixed M-bit array stored as an (word_idx -> bits) TABLE of M/32
+# rows — independent of corpus size — so the build is one map-side-
+# combined bit_or aggregate (the shuffle moves at most M/32 cells per
+# partition, never the corpus) and the probe side joins the broadcast
+# filter table. No false negatives ever; false positives bounded by
+# (1 - e^(-K*n/M))^K.
+
+BLOOM_M_BITS = 1 << 15  # 32768 bits = 1024 x 32-bit words
+BLOOM_K = 4
+BLOOM_KNUTH = 2_654_435_761
+BLOOM_PROBE_N = 128  # probes per side (present / absent)
+
+
+def _bloom_pos_sql(j: str, kh: str) -> str:
+    """Bit position of hash row ``j`` for key hash ``kh`` — affine in
+    j mod a prime, then mod M. int64-safe (kh < 1e6)."""
+    return (
+        f"((({kh}) * (2 * ({j}) + 3) + ({j}) * 7919) % 999983) "
+        f"% {BLOOM_M_BITS}"
+    )
+
+
+def _bloom_keyhash_sql(key: str) -> str:
+    return f"((({key}) * {BLOOM_KNUTH}) % 1000003)"
+
+
+def bloom_build(docs: DataFrame, k: int = BLOOM_K) -> DataFrame:
+    """(word_idx, bits) — the Bloom filter over doc_id keys as a
+    1024-row table. One aggregate, map-side combined to <= M/32 cells
+    per partition regardless of corpus size."""
+    pos = _bloom_pos_sql("j", _bloom_keyhash_sql("doc_id"))
+    return (
+        docs.select(
+            F.expr(f"explode(sequence(0, {k - 1}))").alias("j"), "doc_id"
+        )
+        .selectExpr(
+            f"cast(({pos}) div 32 as bigint) AS word_idx",
+            # shift a BIGINT one: shiftleft(1, 31) in int32 would wrap
+            # to the sign bit; with bit <= 31 the bigint value stays
+            # positive, so div/% bit tests agree across engines
+            f"shiftleft(cast(1 as bigint), cast(({pos}) % 32 as int)) AS v",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(v)").alias("bits"))
+    )
+
+
+def bloom_seen_filter(
+    docs: DataFrame, k: int = BLOOM_K, probe_n: int = BLOOM_PROBE_N
+) -> DataFrame:
+    """(probe_id, key, truth, bloom_hit): 2*probe_n membership probes
+    against the corpus Bloom filter — probe_id < probe_n keys exist in
+    the corpus (key = 5*probe_id, the synth doc_id stride), the rest
+    are absent (key offset by 10^9). ``truth`` is the exact LEFT-JOIN
+    membership; bloom_hit must be 1 wherever truth is 1 (no false
+    negatives — pinned in tests), and the false-positive excess is the
+    filter's documented epsilon.
+
+    Scale: filter table built once (1024 rows) and broadcast; probes
+    are a map-only explode + equi-join on word_idx."""
+    spark = docs.sparkSession
+    filt = bloom_build(docs, k)
+    probes = spark.range(2 * probe_n).selectExpr(
+        "id AS probe_id",
+        f"cast(CASE WHEN id < {probe_n} THEN id * 5 "
+        f"ELSE 1000000000 + id END as bigint) AS key",
+    )
+    truth = probes.join(
+        docs.selectExpr("doc_id AS key", "1 AS present").distinct(),
+        "key", "left",
+    ).selectExpr("probe_id", "key", "coalesce(present, 0) AS truth")
+    pos = _bloom_pos_sql("j", _bloom_keyhash_sql("key"))
+    tests = (
+        truth.select(
+            "probe_id", "key", "truth",
+            F.expr(f"explode(sequence(0, {k - 1}))").alias("j"),
+        )
+        .selectExpr(
+            "probe_id", "key", "truth",
+            f"cast(({pos}) div 32 as bigint) AS word_idx",
+            f"cast(({pos}) % 32 as int) AS bit",
+        )
+        .join(F.broadcast(filt), "word_idx", "left")
+        .selectExpr(
+            "probe_id", "key", "truth",
+            "cast(coalesce((bits div shiftleft(cast(1 as bigint), bit)) % 2,"
+            " 0) as int) AS hit_j",
+        )
+    )
+    return (
+        tests.groupBy("probe_id", "key", "truth")
+        .agg(F.min("hit_j").alias("bloom_hit"))
+        .selectExpr(
+            "probe_id", "key", "cast(truth as int) AS truth",
+            "cast(bloom_hit as int) AS bloom_hit",
+        )
+    )
+
+
+def oracle_bloom_seen_filter(
+    k: int = BLOOM_K, probe_n: int = BLOOM_PROBE_N
+) -> str:
+    pos_b = _bloom_pos_sql("j", _bloom_keyhash_sql("doc_id"))
+    pos_p = _bloom_pos_sql("j", _bloom_keyhash_sql("key"))
+    return (
+        f"WITH cells AS (SELECT cast(({pos_b}) // 32 as bigint) "
+        f"AS word_idx, cast(bit_or(cast(1 as bigint) << (({pos_b}) % 32)) "
+        f"as bigint) AS bits "
+        f"FROM documents, range(0, {k}) r(j) GROUP BY 1), "
+        f"probes AS (SELECT id AS probe_id, cast(CASE WHEN "
+        f"id < {probe_n} THEN id * 5 ELSE 1000000000 + id END as bigint) "
+        f"AS key FROM range(0, {2 * probe_n}) t(id)), "
+        f"truth AS (SELECT probe_id, key, CASE WHEN EXISTS (SELECT 1 "
+        f"FROM documents d WHERE d.doc_id = probes.key) THEN 1 ELSE 0 END "
+        f"AS truth FROM probes), "
+        f"tests AS (SELECT probe_id, key, truth, "
+        f"cast(({pos_p}) // 32 as bigint) AS word_idx, "
+        f"cast(({pos_p}) % 32 as int) AS bit "
+        f"FROM truth, range(0, {k}) r(j)) "
+        f"SELECT t.probe_id, t.key, cast(t.truth as int) AS truth, "
+        f"cast(min(coalesce((c.bits // (cast(1 as bigint) << t.bit)) % 2, "
+        f"0)) as int) AS bloom_hit "
+        f"FROM tests t LEFT JOIN cells c ON c.word_idx = t.word_idx "
+        f"GROUP BY 1, 2, 3"
+    )

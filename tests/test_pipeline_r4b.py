@@ -10,7 +10,7 @@ import pytest
 from tests.conftest import SF_DIR
 
 from gdal_spark import synth
-from gdal_spark.operators import multimodal, textops
+from gdal_spark.operators import dedup, multimodal, textops
 
 
 def _docs(spark):
@@ -125,3 +125,63 @@ def test_tar_members_are_block_aligned(spark):
     assert (pdf.member_bytes % 512 == 0).all()
     # header + at least one payload block
     assert (pdf.member_bytes >= 1024).all()
+
+
+# ---------------------------------------------------------------------------
+# Bloom seen filter
+
+
+def test_bloom_no_false_negatives(spark):
+    pdf = dedup.bloom_seen_filter(_docs(spark)).toPandas()
+    present = pdf[pdf.truth == 1]
+    assert len(present) > 0
+    assert (present.bloom_hit == 1).all()
+
+
+def test_bloom_matches_python_replay(spark):
+    """Replay the filter bit-set in pure Python from the corpus keys
+    and check every probe verdict."""
+    docs = _docs(spark)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    M, K = dedup.BLOOM_M_BITS, dedup.BLOOM_K
+
+    def positions(key):
+        kh = (key * dedup.BLOOM_KNUTH) % 1000003
+        return [((kh * (2 * j + 3) + j * 7919) % 999983) % M for j in range(K)]
+
+    bits = set()
+    for d in ids:
+        bits.update(positions(d))
+    pdf = dedup.bloom_seen_filter(docs).toPandas()
+    for r in pdf.itertuples():
+        assert r.bloom_hit == int(all(p in bits for p in positions(r.key)))
+
+
+def test_bloom_filter_table_is_bounded(spark):
+    """The build output is <= M/32 rows whatever the corpus size —
+    the property that makes the seen-filter shuffle O(M), not O(n)."""
+    filt = dedup.bloom_build(_docs(spark)).toPandas()
+    assert len(filt) <= dedup.BLOOM_M_BITS // 32
+    assert filt.word_idx.between(0, dedup.BLOOM_M_BITS // 32 - 1).all()
+
+
+# ---------------------------------------------------------------------------
+# keep_best_variant
+
+
+def test_keep_best_matches_brute_force(spark):
+    from gdal_spark.operators import curation
+
+    n = 512
+    imgs = synth.images_df(spark, n)
+    got = curation.keep_best_variant(imgs, n_images=n).toPandas()
+    src = imgs.selectExpr("i", "image_id", "cast(w as long) * h AS px").toPandas()
+    g = n // curation.VARIANTS_PER_KEY
+    src["key"] = src.i % g
+    for key, grp in src.groupby("key"):
+        grp = grp.sort_values(["px", "i"], ascending=[False, True])
+        row = got[got.content_key == key].iloc[0]
+        assert row.keep_i == grp.iloc[0].i
+        assert row.best_pixels == grp.iloc[0].px
+        assert row.n_variants == len(grp)
+    assert len(got) == g
