@@ -19,6 +19,7 @@ from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
+from gdal_spark.operators import cog as cogop
 from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
@@ -1116,8 +1117,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   channel_norm_stats, tile_xyz_quadkey, buildvrt_separate,
 #   viewshed_maxdist, sliding_chunks, footprint, domain_cap,
 #   cms_topk_estimate, tar_shard_layout, bloom_seen_filter,
-#   keep_best_variant, + every operator added
-#   later in round 4
+#   keep_best_variant, cog_layout, overview_partial_refresh,
+#   refine_gcps, ogr_tindex, + every operator added later in round 4
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
 # tools/check_oracle.py every round.
@@ -1543,6 +1544,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 synth.images_df(spark, synth.n_images(sf_dir)),
                 n_images=synth.n_images(sf_dir),
             )
+        ),
+        # COG writer layout (cogdriver.cpp ghost leader/trailer +
+        # overviews-first stream order): every tile's byte offset
+        # before any byte is written
+        "cog_layout": lambda spark, sf_dir: cogop.cog_layout(spark),
+        # gdaladdo --partial-refresh-from-projwin: only the overview
+        # tiles the dirty window invalidates, per pyramid level
+        "overview_partial_refresh": lambda spark, sf_dir: (
+            cogop.overview_partial_refresh(spark)
+        ),
+        # gdalwarp -refine_gcps: iterative worst-offender GCP
+        # elimination (distributed refit per round, O(outliers) rounds)
+        "refine_gcps": lambda spark, sf_dir: gcp.refine_gcps_query(spark),
+        # ogrtindex (apps/ogrtindex.cpp): one index feature per source
+        # layer with feature count + extent (kgon excluded: its hull
+        # does not touch the param box, see oracle_ogr_tindex)
+        "ogr_tindex": lambda spark, sf_dir: vector_ops.ogr_tindex(
+            synth.polygons_df(spark, synth.n_polygons(sf_dir))
         ),
         # zonal statistics: gdal_rasterize coverage + per-zone pixel
         # aggregates (the classic raster-x-vector composition)
@@ -2030,6 +2049,10 @@ def oracle_sql() -> dict[str, str]:
         "tar_shard_layout": multimodal.oracle_tar_shard_layout(n),
         "bloom_seen_filter": dedup.oracle_bloom_seen_filter(),
         "keep_best_variant": curation.oracle_keep_best_variant(n),
+        "cog_layout": cogop.oracle_cog_layout(),
+        "overview_partial_refresh": cogop.oracle_overview_partial_refresh(),
+        "refine_gcps": gcp.oracle_refine_gcps(),
+        "ogr_tindex": vector_ops.oracle_ogr_tindex(m),
         "polygonize_blocks": polyop.oracle_polygonize_blocks(
             _POLY_W, _POLY_W, _POLY_BS, _POLY_MOD
         ),

@@ -31,7 +31,7 @@ definite.)
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .synth import flit
 
@@ -380,4 +380,216 @@ def oracle_tps_transform() -> str:
         f"(SELECT cast(id % {PROBE_W} as double) AS gx, "
         f"cast(id // {PROBE_W} as double) AS gy "
         f"FROM range(0, {PROBE_W * PROBE_H}) t(id))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp -refine_gcps <tolerance> (apps/gdalwarp_lib.cpp;
+# alg/gdal_crs.cpp remove_outliers():1104): fit the polynomial, find
+# the worst-residual GCP, and if its error exceeds the tolerance drop
+# it and refit — repeat until every survivor is within tolerance (or
+# the minimum-GCP floor is hit).
+#
+# Spark shape per round: the FIT is the same O(1)-row distributed
+# partial-sum aggregate as the order-2 transformer; residuals are a
+# map stage; the worst offender is a 1-row orderBy-limit collect. The
+# driver only coordinates rounds (O(outliers) of them) — GCP volume
+# never moves.
+#
+# Oracle parity: fits here skip mean-centering (conditioning only —
+# the synthetic coords are small integers), so every normal-equation
+# entry is INTEGER-exact (max |term_i*term_j*e2| * 18 < 2^53) and
+# immune to summation order; the per-round Gauss-Jordan and residual
+# comparisons then run the identical IEEE op sequence in both engines
+# (the gcp_polynomial precedent). Quantization adds the half-grid
+# epsilon (CLAUDE.md) before flooring.
+
+REFINE_K = 18  # 16 clean quadratic GCPs + 2 gross outliers
+REFINE_TOL2 = 100  # tolerance 10 ground units, compared squared
+REFINE_ROUNDS = 3  # unrolled rounds; round 3 verifies convergence
+_REFINE_OUT_E = f"(CASE WHEN k = 16 THEN 400 WHEN k = 17 THEN -350 ELSE 0 END)"
+_REFINE_OUT_N = f"(CASE WHEN k = 17 THEN 250 WHEN k = 16 THEN -300 ELSE 0 END)"
+
+
+def refine_gcps_sql() -> str:
+    """The 18-GCP set (both dialects): the 16-point quadratic set plus
+    two gross outliers injected at k=16,17."""
+    return (
+        f"SELECT cast(k as bigint) AS k, "
+        f"cast({GCP_PX} as double) AS px, cast({GCP_PY} as double) AS py, "
+        f"cast({GCP_E2} + {_REFINE_OUT_E} as double) AS e2, "
+        f"cast({GCP_N2} + {_REFINE_OUT_N} as double) AS n2"
+    )
+
+
+def _fit_nocenter_spark(gcps_df) -> tuple[list[float], list[float]]:
+    """Order-2 fit WITHOUT centering over an arbitrary GCP frame —
+    one O(1)-row distributed aggregate + the tiny driver solve."""
+    ts = terms_sql("px", "py")
+    aggs = []
+    for i in range(N_TERMS):
+        for j in range(i, N_TERMS):
+            aggs.append(f"sum({ts[i]} * {ts[j]}) AS m_{i}_{j}")
+        aggs.append(f"sum({ts[i]} * e2) AS a_{i}")
+        aggs.append(f"sum({ts[i]} * n2) AS b_{i}")
+    row = gcps_df.selectExpr(*aggs).collect()[0]
+    M = [
+        [row[f"m_{min(i, j)}_{max(i, j)}"] for j in range(N_TERMS)]
+        for i in range(N_TERMS)
+    ]
+    a = [row[f"a_{i}"] for i in range(N_TERMS)]
+    b = [row[f"b_{i}"] for i in range(N_TERMS)]
+    return gauss_jordan(M, a, b)
+
+
+def _resid2_sql(E, N) -> str:
+    ts = terms_sql("px", "py")
+
+    def poly(coefs):
+        parts = [flit(coefs[0])] + [
+            f"{flit(c)} * {t}" for c, t in zip(coefs[1:], ts[1:])
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    return (
+        f"((e2 - {poly(E)}) * (e2 - {poly(E)}) + "
+        f"(n2 - {poly(N)}) * (n2 - {poly(N)}))"
+    )
+
+
+def refine_gcps_query(spark: SparkSession) -> DataFrame:
+    """(k, px, py, kept, removed_round, resid_mm): the surviving GCP
+    set after outlier elimination plus every point's residual against
+    the FINAL fit (mm-quantized) — removed points show their gross
+    error, survivors sit within tolerance."""
+    gcps = spark.sql(f"{refine_gcps_sql()} FROM range(0, {REFINE_K}) AS t(k)")
+    gcps = gcps.localCheckpoint(eager=True)  # reused across rounds
+    removed: dict[int, int] = {}
+    E = N = None
+    for rnd in range(REFINE_ROUNDS):
+        kept = gcps
+        if removed:
+            kept = gcps.filter(f"k NOT IN ({','.join(map(str, removed))})")
+        E, N = _fit_nocenter_spark(kept)
+        worst = (
+            kept.selectExpr("k", f"{_resid2_sql(E, N)} AS r2")
+            .orderBy(F.desc("r2"), F.asc("k"))
+            .limit(1)
+            .collect()[0]
+        )
+        if worst["r2"] <= REFINE_TOL2:
+            break
+        removed[int(worst["k"])] = rnd
+    rm_case = " ".join(
+        f"WHEN k = {k} THEN {r}" for k, r in removed.items()
+    ) or "WHEN false THEN 0"
+    return gcps.selectExpr(
+        "k", "cast(px as bigint) AS px", "cast(py as bigint) AS py",
+        f"cast(k NOT IN ({','.join(map(str, removed)) or '-1'}) as int) "
+        f"AS kept",
+        f"cast(CASE {rm_case} ELSE -1 END as bigint) AS removed_round",
+        f"cast(floor({_resid2_sql(E, N)} * 1000 + 0.0005E0) as bigint) "
+        f"AS resid_mm",
+    )
+
+
+def _gj_stages(src: str, sfx: str) -> tuple[list[str], str]:
+    """No-pivot Gauss-Jordan CTE stages over sums relation ``src``
+    (upper-tri m{i}{j}, a{i}, b{i}); returns (stages, coefs_rel)."""
+    full = ", ".join(
+        f"m{min(i, j)}{max(i, j)} AS m{i}_{j}"
+        for i in range(N_TERMS)
+        for j in range(N_TERMS)
+    ) + ", " + ", ".join(f"a{i} AS a_{i}, b{i} AS b_{i}" for i in range(N_TERMS))
+    stages = [f"s0{sfx} AS (SELECT {full} FROM {src})"]
+    prev = f"s0{sfx}"
+    for i in range(N_TERMS):
+        favs = ", ".join(
+            f"m{r}_{i} / m{i}_{i} AS f_{r}" for r in range(N_TERMS) if r != i
+        )
+        stages.append(f"f{i}{sfx} AS MATERIALIZED (SELECT *, {favs} FROM {prev})")
+        cols = []
+        for r in range(N_TERMS):
+            if r == i:
+                cols.extend([f"m{r}_{j}" for j in range(N_TERMS)])
+                cols.extend([f"a_{r}", f"b_{r}"])
+            else:
+                cols.extend(
+                    f"m{r}_{j} - f_{r} * m{i}_{j} AS m{r}_{j}"
+                    for j in range(N_TERMS)
+                )
+                cols.append(f"a_{r} - f_{r} * a_{i} AS a_{r}")
+                cols.append(f"b_{r} - f_{r} * b_{i} AS b_{r}")
+        stages.append(
+            f"e{i}{sfx} AS MATERIALIZED (SELECT {', '.join(cols)} FROM f{i}{sfx})"
+        )
+        prev = f"e{i}{sfx}"
+    coef = ", ".join(
+        f"a_{i} / m{i}_{i} AS ce_{i}, b_{i} / m{i}_{i} AS cn_{i}"
+        for i in range(N_TERMS)
+    )
+    stages.append(f"coefs{sfx} AS MATERIALIZED (SELECT {coef} FROM {prev})")
+    return stages, f"coefs{sfx}"
+
+
+def oracle_refine_gcps() -> str:
+    """Fully-unrolled SQL replay of the iterative refit: per round a
+    kept-set CTE, integer-exact normal-equation sums, the Gauss-Jordan
+    stage chain, and a 1-row worst-offender CTE whose rm flag gates
+    the next round's kept set."""
+    ts = terms_sql("px", "py")
+
+    def poly(prefix, rel):
+        parts = [f"{rel}.{prefix}_0"] + [
+            f"{rel}.{prefix}_{i} * {ts[i]}" for i in range(1, N_TERMS)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    def resid2(rel):
+        return (
+            f"((e2 - {poly('ce', rel)}) * (e2 - {poly('ce', rel)}) + "
+            f"(n2 - {poly('cn', rel)}) * (n2 - {poly('cn', rel)}))"
+        )
+
+    ctes = [
+        f"gcps AS MATERIALIZED ({refine_gcps_sql()} "
+        f"FROM range(0, {REFINE_K}) t(k))",
+        "kept0 AS (SELECT * FROM gcps)",
+    ]
+    coefs_rel = None
+    for r in range(REFINE_ROUNDS):
+        sums = []
+        for i in range(N_TERMS):
+            for j in range(i, N_TERMS):
+                sums.append(f"sum({ts[i]} * {ts[j]}) AS m{i}{j}")
+            sums.append(f"sum({ts[i]} * e2) AS a{i}")
+            sums.append(f"sum({ts[i]} * n2) AS b{i}")
+        ctes.append(
+            f"sums{r} AS MATERIALIZED (SELECT {', '.join(sums)} FROM kept{r})"
+        )
+        stages, coefs_rel = _gj_stages(f"sums{r}", str(r))
+        ctes.extend(stages)
+        ctes.append(
+            f"worst{r} AS MATERIALIZED (SELECT k, "
+            f"{resid2(coefs_rel)} > {REFINE_TOL2} AS rm, {r} AS rnd "
+            f"FROM kept{r}, {coefs_rel} "
+            f"ORDER BY {resid2(coefs_rel)} DESC, k ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"kept{r + 1} AS (SELECT g.* FROM kept{r} g WHERE NOT EXISTS "
+            f"(SELECT 1 FROM worst{r} w WHERE w.rm AND w.k = g.k))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT g.k, cast(px as bigint) AS px, cast(py as bigint) AS py, "
+        f"cast(EXISTS (SELECT 1 FROM kept{REFINE_ROUNDS} s "
+        f"WHERE s.k = g.k) as int) AS kept, "
+        f"cast(coalesce((SELECT min(w.rnd) FROM ("
+        + " UNION ALL ".join(
+            f"SELECT k, rm, rnd FROM worst{r}" for r in range(REFINE_ROUNDS)
+        )
+        + f") w WHERE w.rm AND w.k = g.k), -1) as bigint) AS removed_round, "
+        f"cast(floor({resid2(coefs_rel)} * 1000 + 0.0005E0) as bigint) "
+        f"AS resid_mm "
+        f"FROM gcps g, {coefs_rel}"
     )

@@ -1,8 +1,10 @@
 """gdal_footprint analog: valid-data footprint of a raster, as vector
 envelopes in georeferenced coordinates.
 
-Reference semantics: apps/gdal_footprint_lib.cpp (the GDAL 3.8+
-``gdal_footprint`` utility): build the validity mask (pixel != nodata),
+Reference semantics: the GDAL 3.8+ ``gdal_footprint`` utility
+(apps/gdal_footprint_lib.cpp upstream; this reference checkout
+predates it — the in-checkout anchor is the polygonize core it wraps,
+alg/polygonize.cpp): build the validity mask (pixel != nodata),
 run GDALPolygonize over the mask band, drop the nodata (mask=0) rings,
 apply ``-minRingArea``, and emit the remaining rings in georeferenced
 coordinates via the dataset geotransform.

@@ -664,3 +664,57 @@ def oracle_explode_collections(m: int) -> str:
         f"cast(floor(2.0E0 * hw * hh * 1000000.0E0) as bigint) "
         f"AS area_key FROM t"
     )
+
+
+def ogr_tindex(polys: DataFrame) -> DataFrame:
+    """ogrtindex (apps/ogrtindex.cpp): build a tile index over many
+    source layers — one output feature per layer carrying its location
+    name, feature count, and extent rectangle (the INDEX the MapServer
+    tileindex protocol reads). Layer name here is the synth ``kind``
+    class (each kind stands in for one source shapefile).
+
+    Scale: envelopes are computed per-geometry in the Arrow scan, then
+    ONE map-side-combined groupBy on the layer key — the same one-pass
+    shape as layer_extent, times layers."""
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for kind, g in zip(pdf["kind"], pdf["geom_wkb"]):
+                minx, miny, maxx, maxy = wkb.envelope(bytes(g))
+                rows.append((kind, minx, miny, maxx, maxy))
+            yield pd.DataFrame(
+                rows, columns=["layer", "minx", "miny", "maxx", "maxy"]
+            )
+
+    env = polys.filter("kind <> 'kgon'").select("kind", "geom_wkb").mapInPandas(
+        run,
+        schema="layer string, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    k = "1000000.0E0"
+    return env.groupBy("layer").agg(
+        F.count("*").alias("n_features"),
+        F.expr(f"cast(floor(min(minx) * {k}) as bigint)").alias("minx_key"),
+        F.expr(f"cast(floor(min(miny) * {k}) as bigint)").alias("miny_key"),
+        F.expr(f"cast(floor(max(maxx) * {k}) as bigint)").alias("maxx_key"),
+        F.expr(f"cast(floor(max(maxy) * {k}) as bigint)").alias("maxy_key"),
+    )
+
+
+def oracle_ogr_tindex(m: int) -> str:
+    """Closed form per layer: every non-kgon envelope is bit-exactly
+    (cx ± hw, cy ± hh) — verified over the full synth set; kgon
+    (a regular k-gon inscribed in the box, so its hull does not touch
+    all four box edges) is excluded on BOTH sides."""
+    k = "1000000.0E0"
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT kind AS layer, cast(count(*) as bigint) AS n_features, "
+        f"cast(floor(min(cx - hw) * {k}) as bigint) AS minx_key, "
+        f"cast(floor(min(cy - hh) * {k}) as bigint) AS miny_key, "
+        f"cast(floor(max(cx + hw) * {k}) as bigint) AS maxx_key, "
+        f"cast(floor(max(cy + hh) * {k}) as bigint) AS maxy_key "
+        f"FROM p WHERE kind <> 'kgon' GROUP BY 1"
+    )

@@ -91,3 +91,75 @@ def test_tps_moment_constraints():
     assert abs(w.sum()) < 1e-8
     assert abs((w * px).sum()) < 1e-6
     assert abs((w * py).sum()) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp -refine_gcps (apps/gdalwarp_lib.cpp; alg/gdal_crs.cpp
+# remove_outliers)
+
+
+def _refine_numpy_replay():
+    import numpy as np
+    from gdal_spark import gcp
+
+    k = np.arange(gcp.REFINE_K)
+    px = (k * 7) % 32
+    py = (k * 13) % 32
+    e2 = (3000 + 11 * px + 23 * py + px * py - 2 * px * px + ((k * 5) % 7)
+          + np.where(k == 16, 400, 0) + np.where(k == 17, -350, 0))
+    n2 = (-1500 + 17 * px - 9 * py + 3 * py * py + ((k * 3) % 5)
+          + np.where(k == 17, 250, 0) + np.where(k == 16, -300, 0))
+
+    def terms(e, n):
+        return [np.ones_like(e), e, n, e * e, e * n, n * n]
+
+    def fit(idx):
+        ts = terms(px[idx].astype(float), py[idx].astype(float))
+        M = [[float((ts[i] * ts[j]).sum()) for j in range(6)] for i in range(6)]
+        a = [float((ts[i] * e2[idx]).sum()) for i in range(6)]
+        b = [float((ts[i] * n2[idx]).sum()) for i in range(6)]
+        return gcp.gauss_jordan(M, a, b)
+
+    def resid2(E, N):
+        ts = terms(px.astype(float), py.astype(float))
+        fe = sum(c * t for c, t in zip(E, ts))
+        fn = sum(c * t for c, t in zip(N, ts))
+        return (e2 - fe) ** 2 + (n2 - fn) ** 2
+
+    keep = np.ones(gcp.REFINE_K, bool)
+    removed = {}
+    E = N = None
+    for rnd in range(gcp.REFINE_ROUNDS):
+        E, N = fit(np.where(keep)[0])
+        r2 = np.where(keep, resid2(E, N), -1)
+        w = int(np.lexsort((k, -r2))[0])
+        if r2[w] <= gcp.REFINE_TOL2:
+            break
+        keep[w] = False
+        removed[w] = rnd
+    return keep, removed, resid2(E, N)
+
+
+def test_refine_gcps_drops_exactly_the_injected_outliers(spark):
+    from gdal_spark import gcp
+
+    rows = {r.k: r for r in gcp.refine_gcps_query(spark).collect()}
+    keep, removed, final_r2 = _refine_numpy_replay()
+    assert removed == {16: 0, 17: 1}  # the injected outliers, in order
+    for i in range(gcp.REFINE_K):
+        assert rows[i].kept == int(keep[i])
+        assert rows[i].removed_round == removed.get(i, -1)
+        import numpy as np
+        assert rows[i].resid_mm == int(np.floor(final_r2[i] * 1000 + 0.0005))
+    # survivors sit within tolerance (squared)
+    for i in range(gcp.REFINE_K):
+        if keep[i]:
+            assert final_r2[i] <= gcp.REFINE_TOL2
+
+
+def test_refine_converges_before_round_limit():
+    """Round 3 must remove nothing (the clean quadratic set is within
+    tolerance) — the unrolled oracle depends on this fixpoint."""
+    keep, removed, _ = _refine_numpy_replay()
+    assert int(keep.sum()) == gcp.REFINE_K - 2
+    assert len(removed) == 2

@@ -371,3 +371,49 @@ def test_patchify_is_map_only(spark):
     s = plan(multimodal.patchify(imgs))
     assert "Exchange hashpartitioning" not in s
     assert "Exchange rangepartitioning" not in s
+
+
+def test_bloom_probe_broadcasts_filter_table(spark):
+    """The Bloom probe side must join the broadcast 1024-row filter —
+    never shuffle the probe stream against it."""
+    from gdal_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan(dedup.bloom_seen_filter(docs))
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bloom_build_is_partial_aggregated(spark):
+    """bit_or must combine map-side: the exchange moves <= M/32 cells
+    per partition, not K rows per document."""
+    from gdal_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan(dedup.bloom_build(docs))
+    # partial agg before the shuffle, final after
+    assert s.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_keep_best_is_single_shuffle_argmax(spark):
+    """groupBy struct-max, not a window sort: exactly one exchange,
+    no Window/Sort over the corpus."""
+    from gdal_spark.operators import curation
+
+    imgs = synth.images_df(spark, 256)
+    s = plan(curation.keep_best_variant(imgs, n_images=256))
+    assert "Window" not in s
+    assert s.count("Exchange") == 1
+
+
+def test_tar_layout_shuffles_only_on_writer(spark):
+    """One hash exchange on the shard-stream key; window widths are
+    per-(writer, shard), never global."""
+    from gdal_spark.operators import multimodal
+
+    imgs = synth.images_df(spark, 256)
+    s = plan(multimodal.tar_shard_layout(imgs))
+    assert s.count("Exchange") == 1
+    assert "hashpartitioning(writer" in s
