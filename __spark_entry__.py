@@ -1385,6 +1385,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": lambda spark, sf_dir: (
             ann.embedding_gram(_embs(spark, sf_dir))
         ),
+        # SemDeDup (Abbas et al. 2023): k-means clusters + within-
+        # cluster cosine prune, keep-farthest-from-centroid survivor
+        "semdedup": lambda spark, sf_dir: (
+            ann.semdedup(_embs(spark, sf_dir))
+        ),
         # gdalwarp -cblend cutline blend-distance density ramp
         # (alg/gdalwarper.cpp GDALWarpCutlineMasker + CUTLINE_BLEND_DIST)
         "cutline_blend": lambda spark, sf_dir: (
@@ -2002,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "ar_bucket_batches": multimodal.oracle_ar_bucket_batches(n),
         "crop_to_cutline": reproject.oracle_crop_to_cutline_grid(n),
         "embedding_gram": ann.oracle_embedding_gram(),
+        "semdedup": ann.oracle_semdedup(),
         "cutline_blend": warp.oracle_cutline_blend(
             min(n, 4096), _CKS_MAX_I
         ),

@@ -256,21 +256,27 @@ def ivf_scaled_sql(dialect: str, col: str = "embedding") -> str:
     return f"{fn}({col}, {lam})"
 
 
+def _sqdist_num_sql(dialect: str, v: str, s: str, n: str, dim: int = DIM) -> str:
+    """Integer numerator ||n*v - S||^2 — an order-free integer fold.
+    Within one cluster (shared S, n) it orders identically to the true
+    squared distance, so within-cluster comparisons stay pure-integer."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({v}, {s}, (x, y) -> ({n} * x - y) * ({n} * x - y)), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    return (
+        f"cast(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ({n} * {v}[i] - {s}[i]) * ({n} * {v}[i] - {s}[i]))) as bigint)"
+    )
+
+
 def _sqdist_scaled_sql(dialect: str, v: str, s: str, n: str, dim: int = DIM) -> str:
     """||v - S/n||^2 = ||n*v - S||^2 / n^2: the numerator is an
     order-free integer fold; the single final division is a
     correctly-rounded double op, identical cross-engine (comparable
     across clusters of different sizes)."""
-    if dialect == "spark":
-        num = (
-            f"aggregate(zip_with({v}, {s}, (x, y) -> ({n} * x - y) * ({n} * x - y)), "
-            f"cast(0 as bigint), (acc, x) -> acc + x)"
-        )
-    else:
-        num = (
-            f"cast(list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> ({n} * {v}[i] - {s}[i]) * ({n} * {v}[i] - {s}[i]))) as bigint)"
-        )
+    num = _sqdist_num_sql(dialect, v, s, n, dim)
     return f"(cast({num} as double) / (cast({n} as double) * cast({n} as double)))"
 
 
@@ -366,19 +372,20 @@ def ann_ivf_topk(
     )
 
 
-def oracle_ann_ivf_topk(
-    k: int = 5, n_queries: int = N_QUERIES, probes: int = IVF_PROBES
-) -> str:
+def _oracle_ivf_ctes(
+    n_clusters: int = IVF_K, iters: int = IVF_ITERS
+) -> tuple[list[str], str, str]:
+    """DuckDB CTE chain replaying ivf_assignments; returns
+    (ctes, final_assignment_cte, final_centroid_cte)."""
     vs = ivf_scaled_sql("duckdb")
     d = _sqdist_scaled_sql("duckdb", "v.vs", "c.s", "c.n")
-    qd = _sqdist_scaled_sql("duckdb", "q.vs", "c.s", "c.n")
     ctes = [
         f"v AS (SELECT vec_id, {vs} AS vs FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, vs AS s, cast(1 as bigint) AS n "
-        f"FROM v WHERE vec_id < {IVF_K})",
+        f"FROM v WHERE vec_id < {n_clusters})",
     ]
     prev = "c0"
-    for it in range(IVF_ITERS):
+    for it in range(iters):
         a, c = f"a{it}", f"c{it + 1}"
         ctes.append(
             f"{a} AS (SELECT vec_id, vs, cid FROM ("
@@ -397,7 +404,14 @@ def oracle_ann_ivf_topk(
             f"GROUP BY cid)"
         )
         prev = c
-    final_a, final_c = f"a{IVF_ITERS - 1}", f"c{IVF_ITERS}"
+    return ctes, f"a{iters - 1}", f"c{iters}"
+
+
+def oracle_ann_ivf_topk(
+    k: int = 5, n_queries: int = N_QUERIES, probes: int = IVF_PROBES
+) -> str:
+    qd = _sqdist_scaled_sql("duckdb", "q.vs", "c.s", "c.n")
+    ctes, final_a, final_c = _oracle_ivf_ctes()
     ctes.append(
         f"probe AS (SELECT qid, cid FROM ("
         f"SELECT q.vec_id AS qid, c.cid, "
@@ -1010,4 +1024,119 @@ def oracle_embedding_gram() -> str:
         f"cast(sum(a.val * b.val) as bigint) AS gram "
         f"FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.j <= b.j "
         f"GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means + within-cluster
+# cosine pruning (Abbas, Tirumala, Simig, Ganguli, Morcos 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540). The trick that makes semantic
+# dedup tractable at 10^12 items: an all-pairs cosine scan is O(n^2),
+# but after k-means clustering near-duplicates land in the SAME
+# cluster, so only within-cluster pairs are examined — K scales with
+# the corpus (the paper uses K=50k on 100M items) to bound cluster
+# size, and the pair stage is an equi-join on cluster id, never a
+# cross join. Complements the pairwise `embedding_neardup` family:
+# neardup REPORTS pairs; semdedup DECIDES which rows survive.
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = IVF_K,
+    iters: int = IVF_ITERS,
+    min_cos_ppm: int = 350_000,
+) -> DataFrame:
+    """(vec_id, cid, kept): kept=0 iff some same-cluster vector with
+    cosine >= threshold ranks higher under the keeper rule.
+
+    Keeper rule (the paper's default, "keep examples far from the
+    centroid"): within a near-duplicate pair the member FARTHER from
+    the shared cluster centroid survives; ties break toward the larger
+    vec_id. Because both members share the centroid (S, n), distances
+    compare as the pure-integer numerators ||n*v - S||^2 — exact,
+    order-free, and bit-replayable by the SQL oracle.
+
+    Scale posture: Lloyd rounds come from ivf_assignments (K-row
+    centroid broadcast, map-only scoring); the dedup stage is one
+    equi-join on cid (cluster-size-bounded by choosing K ~ n/avg_sz)
+    plus a K-row broadcast for the centroid keys. ``n_clusters`` /
+    ``iters`` / ``min_cos_ppm`` are the run-scale knobs; module
+    defaults match the sf0.01 oracle replay.
+    """
+    assigned, cents = ivf_assignments(emb, n_clusters, iters)
+    num = _sqdist_num_sql("spark", "vs", "s", "n")
+    keyed = assigned.join(F.broadcast(cents), "cid").selectExpr(
+        "vec_id", "cid", f"{num} AS ckey"
+    )
+    v = _vectors(emb)
+    # localCheckpoint before the self-join: a USING-list self-join on
+    # one shared lazy plan can silently degrade to a per-key cross
+    # join (see build notes); the checkpoint also truncates the Lloyd
+    # lineage out of both join sides.
+    items = (
+        keyed.join(v, "vec_id")
+        .select("vec_id", "cid", "ckey", "vs", "norm2")
+        .localCheckpoint(eager=True)
+    )
+    b = items.selectExpr(
+        "vec_id AS vec_b", "cid", "ckey AS ckey_b", "vs AS vs_b",
+        "norm2 AS nb",
+    )
+    removed = (
+        items.join(b, "cid")
+        .where(F.col("vec_id") != F.col("vec_b"))
+        .selectExpr(
+            "vec_id", "ckey", "vec_b", "ckey_b", "norm2 AS na", "nb",
+            f"{dot_sql('spark', 'vs', 'vs_b')} AS dot",
+        )
+        .where(F.expr(cos_key_sql()) >= min_cos_ppm)
+        .where("ckey_b > ckey OR (ckey_b = ckey AND vec_b > vec_id)")
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        items.select("vec_id", "cid")
+        .join(removed.withColumn("rm", F.lit(1)), "vec_id", "left")
+        .selectExpr("vec_id", "cid", "cast(rm IS NULL as int) AS kept")
+    )
+
+
+def oracle_semdedup(
+    n_clusters: int = IVF_K,
+    iters: int = IVF_ITERS,
+    min_cos_ppm: int = 350_000,
+) -> str:
+    """Full DuckDB replay: the ivf_assignments Lloyd chain, then the
+    within-cluster pair prune. ``items`` is MATERIALIZED — it is
+    referenced three times and DuckDB 1.0 would otherwise re-inline
+    the whole Lloyd chain per reference."""
+    ctes, final_a, final_c = _oracle_ivf_ctes(n_clusters, iters)
+    num = _sqdist_num_sql("duckdb", "a.vs", "c.s", "c.n")
+    ctes.append(
+        f"keyed AS (SELECT a.vec_id, a.cid, {num} AS ckey "
+        f"FROM {final_a} a JOIN {final_c} c ON a.cid = c.cid)"
+    )
+    ctes.append(f"v6 AS ({_vectors_cte()})")
+    ctes.append(
+        "items AS MATERIALIZED (SELECT k.vec_id, k.cid, k.ckey, "
+        "v6.vs, v6.na FROM keyed k JOIN v6 ON v6.vec_id = k.vec_id)"
+    )
+    dot = dot_sql("duckdb", "a.vs", "b.vs")
+    ctes.append(
+        f"p AS (SELECT a.vec_id AS vec_id, a.ckey AS ckey, "
+        f"b.vec_id AS vec_b, b.ckey AS ckey_b, a.na AS na, b.na AS nb, "
+        f"{dot} AS dot FROM items a JOIN items b "
+        f"ON a.cid = b.cid AND a.vec_id <> b.vec_id)"
+    )
+    ctes.append(
+        f"rem AS (SELECT DISTINCT vec_id FROM p "
+        f"WHERE {cos_key_sql()} >= {min_cos_ppm} "
+        f"AND (ckey_b > ckey OR (ckey_b = ckey AND vec_b > vec_id)))"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT items.vec_id, items.cid, "
+        "cast(rem.vec_id IS NULL as int) AS kept "
+        "FROM items LEFT JOIN rem ON rem.vec_id = items.vec_id"
     )

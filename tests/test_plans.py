@@ -417,3 +417,15 @@ def test_tar_layout_shuffles_only_on_writer(spark):
     s = plan(multimodal.tar_shard_layout(imgs))
     assert s.count("Exchange") == 1
     assert "hashpartitioning(writer" in s
+
+
+def test_semdedup_no_cartesian(spark):
+    """SemDeDup's pair stage must be the cid equi-join (cluster-size
+    bounded), never a cartesian product. (The K-row centroid
+    broadcast in the Lloyd rounds is a BNLJ by construction and is
+    allowed — K is a constant.)"""
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan(ann.semdedup(emb))
+    assert "CartesianProduct" not in s

@@ -432,3 +432,66 @@ def test_ann_scale_knobs_nondefault(spark, embs_pdf):
     pdf = pq.toPandas()
     assert (pdf.groupby("qid").size() == 2).all()
     assert pdf.qid.nunique() == 4
+
+
+def test_semdedup_matches_numpy(spark, embs_pdf):
+    """Full numpy replay of the SemDeDup contract: the integer-exact
+    Lloyd rounds, the within-cluster integer centroid-distance keys,
+    and the keep-farthest removal rule."""
+    out = ann.semdedup(spark.read.parquet(EMBS)).toPandas()
+    pdf = embs_pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf.vec_id.to_numpy()
+    E = np.stack(pdf.embedding.values).astype(np.float64)
+    V4 = np.floor(E * ann.IVF_SCALE).astype(np.int64)
+    V6 = np.floor(E * 1e6).astype(np.int64)
+
+    # Lloyd replay (init: first K vectors, assign-then-update per
+    # round; final assignment from the last round, centroids updated
+    # after it — exactly ivf_assignments' ordering)
+    cents = {int(ids[i]): (V4[i].copy(), 1) for i in range(ann.IVF_K)}
+    assign = None
+    for _ in range(ann.IVF_ITERS):
+        assign = {}
+        for i in range(len(ids)):
+            best = None
+            for cid in sorted(cents):
+                s, n = cents[cid]
+                d = float(((n * V4[i] - s) ** 2).sum()) / float(n * n)
+                if best is None or (d, cid) < best[:2]:
+                    best = (d, cid)
+            assign[int(ids[i])] = best[1]
+        new = {}
+        for i in range(len(ids)):
+            cid = assign[int(ids[i])]
+            s, n = new.get(cid, (np.zeros(ann.DIM, dtype=np.int64), 0))
+            new[cid] = (s + V4[i], n + 1)
+        cents = new
+
+    idx = {int(v): i for i, v in enumerate(ids)}
+    ckey = {}
+    for vid, cid in assign.items():
+        s, n = cents[cid]
+        ckey[vid] = int(((n * V4[idx[vid]] - s) ** 2).sum())
+
+    norms = (V6 * V6).sum(axis=1)
+    removed = set()
+    for vid, cid in assign.items():
+        i = idx[vid]
+        for wid, cid2 in assign.items():
+            if cid2 != cid or wid == vid:
+                continue
+            j = idx[wid]
+            dot = int((V6[i] * V6[j]).sum())
+            ck = int(np.floor(
+                1e6 * dot / (np.sqrt(float(norms[i])) * np.sqrt(float(norms[j])))
+            ))
+            if ck >= 350_000 and (ckey[wid], wid) > (ckey[vid], vid):
+                removed.add(vid)
+                break
+
+    got = dict(zip(out.vec_id, out.kept))
+    expect = {vid: int(vid not in removed) for vid in assign}
+    assert got == expect
+    got_cid = dict(zip(out.vec_id, out.cid))
+    assert got_cid == assign
+    assert len(out) == len(ids)
