@@ -1314,6 +1314,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_perplexity": lambda spark, sf_dir: (
             textops.unigram_perplexity(_docs(spark, sf_dir))
         ),
+        # HyperLogLog vocabulary cardinality (Flajolet et al. 2007):
+        # m=64 integer registers, partial-max combine, exact witness
+        "hll_distinct": lambda spark, sf_dir: (
+            textops.hll_distinct(_docs(spark, sf_dir))
+        ),
+        # BM25 retrieval scoring (Robertson & Zaragoza 2009): fixed
+        # query terms, single-row stats broadcast, distributed top-k
+        "bm25_topk": lambda spark, sf_dir: (
+            textops.bm25_topk(_docs(spark, sf_dir))
+        ),
         # LAION-style metadata curation over the image+caption table
         "laion_filter": lambda spark, sf_dir: curation.laion_filter(
             synth.images_df(spark, synth.n_images(sf_dir))
@@ -1988,6 +1998,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_substring_spans": dedup.oracle_exact_substring_spans(),
         "unigram_perplexity": textops.oracle_unigram_perplexity(),
+        "hll_distinct": textops.oracle_hll_distinct(),
+        "bm25_topk": textops.oracle_bm25_topk(),
         "laion_filter": curation.oracle_laion_filter(n),
         "lineref_points": lineref.oracle_lineref_points(m),
         "dissolve_area": dissolve.oracle_dissolve_area(m),

@@ -19,7 +19,7 @@ only function names (size/len, transform/list_transform, ...).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # rolling-hash modulus: largest prime < 1e12 — keeps acc*31+code well
 # inside int64 in both engines (no overflow, no bigint promotion)
@@ -937,4 +937,288 @@ def oracle_cms_topk_estimate(
         f"cast(min(cells.cell) as bigint) AS est_cnt "
         f"FROM probes p JOIN cells ON cells.d = p.d AND cells.wb = p.wb "
         f"GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier
+# 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm"). The corpus-scale vocabulary counter: exact
+# COUNT(DISTINCT token) shuffles every distinct token; HLL reduces the
+# job to m=64 integer registers whose per-partition partials combine
+# with MAX — at 10^12 tokens the shuffle moves <= m rows per
+# partition. Numeric contract: the register harmonic sum is computed
+# as the INTEGER sum of 2^(W+1-M_j) (W suffix bits), so everything
+# up to the single final alpha*m^2*2^(W+1)/S division is order-free
+# integer arithmetic and the oracle replays it exactly.
+#
+# Hash quality: the raw base-31 polynomial hash clusters on
+# structured shingles (measured: register-max statistics land ~45%
+# off md5's, far outside HLL's 13% std error at m=64), so the bucket/
+# rank bits come from three xorshift + bounded-modmul finalizer
+# rounds — each multiplier < 8e6 keeps every product < 2^63 (ANSI
+# Spark would raise on int64 overflow), and the rounds restore
+# md5-level estimate accuracy (measured on the shingle corpus).
+
+HLL_M = 64          # registers (bucket = hash % m)
+HLL_W = 30          # rank-suffix width: (P/m)/2^30 ~ 14.5 full
+                    # cycles, so the mod-2^30 truncation bias is
+                    # percent-level against a 13% std error
+HLL_ALPHA = "0.709E0"  # alpha_64 (Flajolet et al., fig. 3)
+HLL_MIX = ((4_185_899, 17), (3_266_489, 19), (6_543_211, 23))
+
+
+def _hll_mix_steps(dialect: str) -> list[str]:
+    """One SELECT expression per finalizer round (staged through
+    named columns — never one giant inlined expression): th' =
+    ((th XOR (th >> s)) * c) % P."""
+    out = []
+    for c, s in HLL_MIX:
+        x = (
+            f"(th ^ shiftright(th, {s}))"
+            if dialect == "spark"
+            else f"xor(th, th >> {s})"
+        )
+        out.append(f"({x} * {c}) % {HASH_P} AS th")
+    return out
+
+
+def trigrams_sql(dialect: str, toks: str = "toks") -> str:
+    """Adjacent-token trigram shingles ('a b c') — the HLL sketch's
+    item domain (the corpus wordlist is tiny; shingles give the
+    cardinality a sketch is FOR, and shingle-set cardinality is the
+    quantity dedup pipelines actually track)."""
+    if dialect == "spark":
+        # guard: Spark's sequence(1, 0) DESCENDS instead of emitting
+        # empty, so short docs need the explicit empty branch
+        return (
+            f"(CASE WHEN size({toks}) < 3 THEN array() "
+            f"ELSE transform(sequence(1, size({toks}) - 2), "
+            f"k -> concat(element_at({toks}, k), ' ', "
+            f"element_at({toks}, k + 1), ' ', "
+            f"element_at({toks}, k + 2))) END)"
+        )
+    return (
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"k -> {toks}[k] || ' ' || {toks}[k + 1] || ' ' || {toks}[k + 2])"
+    )
+
+
+def _hll_rank_sql(dialect: str, w: str) -> str:
+    """HLL rank = leading-zero count of the W-bit suffix + 1
+    = W + 1 - bit_length(w); bit_length via monotone integer
+    comparisons (count of i in [1, W] with w >= 2^(i-1)) — no
+    float log2 anywhere."""
+    if dialect == "spark":
+        bl = (
+            f"size(filter(sequence(1, {HLL_W}), "
+            f"i -> {w} >= shiftleft(cast(1 as bigint), i - 1)))"
+        )
+    else:
+        bl = (
+            f"len(list_filter(range(1, {HLL_W} + 1), "
+            f"i -> {w} >= (cast(1 as bigint) << (i - 1))))"
+        )
+    return f"cast({HLL_W} + 1 - {bl} as bigint)"
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """One-row HLL cardinality estimate of the corpus's distinct
+    token-trigram shingles:
+    (m, v_zero, s_scaled, est_hll, exact_distinct).
+
+    s_scaled = sum_j 2^(W+1-M_j) over all m registers (empty
+    registers contribute 2^(W+1)); est_hll =
+    floor(alpha_m * m^2 * 2^(W+1) / s_scaled) — the raw HLL
+    estimator (no small-range correction: that branch needs ln and
+    is unreachable at the operating point; v_zero exposes when it
+    would apply). exact_distinct rides along as the accuracy
+    witness."""
+    toks = _with_tokens(docs).select(
+        "doc_id", F.explode(F.expr(trigrams_sql("spark"))).alias("token")
+    )
+    h = toks.selectExpr(
+        f"{str_hash_sql('spark', 'token')} AS th", "token"
+    )
+    for step in _hll_mix_steps("spark"):
+        h = h.selectExpr(step, "token")
+    regs = (
+        h.selectExpr(
+            f"th % {HLL_M} AS bucket",
+            f"(th div {HLL_M}) % shiftleft(cast(1 as bigint), {HLL_W}) AS w",
+        )
+        .selectExpr("bucket", f"{_hll_rank_sql('spark', 'w')} AS r")
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mj"))
+    )
+    reg_agg = regs.agg(
+        F.count("*").alias("n_hit"),
+        F.expr(
+            f"cast(sum(shiftleft(cast(1 as bigint), {HLL_W} + 1 - "
+            f"cast(mj as int))) as bigint)"
+        ).alias("s_hit"),
+    )
+    exact = h.agg(F.countDistinct("token").alias("exact_distinct"))
+    return reg_agg.crossJoin(F.broadcast(exact)).selectExpr(
+        f"cast({HLL_M} as bigint) AS m",
+        f"cast({HLL_M} - n_hit as bigint) AS v_zero",
+        f"cast(s_hit + ({HLL_M} - n_hit) * "
+        f"shiftleft(cast(1 as bigint), {HLL_W} + 1) as bigint) AS s_scaled",
+        f"cast(floor({HLL_ALPHA} * {HLL_M}.0E0 * {HLL_M}.0E0 * "
+        f"cast(shiftleft(cast(1 as bigint), {HLL_W} + 1) as double) / "
+        f"cast(s_hit + ({HLL_M} - n_hit) * "
+        f"shiftleft(cast(1 as bigint), {HLL_W} + 1) as double)) as bigint) "
+        f"AS est_hll",
+        "cast(exact_distinct as bigint) AS exact_distinct",
+    )
+
+
+def oracle_hll_distinct() -> str:
+    rank = _hll_rank_sql(
+        "duckdb", f"((th // {HLL_M}) % (cast(1 as bigint) << {HLL_W}))"
+    )
+    p2 = f"(cast(1 as bigint) << ({HLL_W} + 1))"
+    mix = [
+        f"h{i + 1} AS (SELECT token, {step} FROM h{i})"
+        for i, step in enumerate(_hll_mix_steps("duckdb"))
+    ]
+    hfinal = f"h{len(HLL_MIX)}"
+    return (
+        f"WITH tk AS (SELECT {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"t AS (SELECT unnest({trigrams_sql('duckdb')}) AS token FROM tk), "
+        f"h0 AS (SELECT token, "
+        f"{str_hash_sql('duckdb', 'token')} AS th FROM t), "
+        + ", ".join(mix) + ", "
+        f"h AS MATERIALIZED (SELECT token, th FROM {hfinal}), "
+        f"regs AS (SELECT th % {HLL_M} AS bucket, "
+        f"max({rank}) AS mj "
+        f"FROM h GROUP BY 1), "
+        f"ra AS (SELECT count(*) AS n_hit, "
+        f"cast(sum(cast(1 as bigint) << cast({HLL_W} + 1 - mj as int)) "
+        f"as bigint) AS s_hit FROM regs), "
+        f"ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM h) "
+        f"SELECT cast({HLL_M} as bigint) AS m, "
+        f"cast({HLL_M} - n_hit as bigint) AS v_zero, "
+        f"cast(s_hit + ({HLL_M} - n_hit) * {p2} as bigint) AS s_scaled, "
+        f"cast(floor({HLL_ALPHA} * {HLL_M}.0E0 * {HLL_M}.0E0 * "
+        f"cast({p2} as double) / "
+        f"cast(s_hit + ({HLL_M} - n_hit) * {p2} as double)) as bigint) "
+        f"AS est_hll, "
+        f"cast(exact_distinct as bigint) AS exact_distinct "
+        f"FROM ra, ex"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson & Zaragoza 2009, "The Probabilistic
+# Relevance Framework: BM25 and Beyond") — the retrieval scorer a
+# corpus-curation stack uses for query-based subset mining. The query
+# term list is a fixed literal, so per-term tf columns come from one
+# map-side pass over the tokens (no explode/shuffle), corpus stats
+# (N, sum dl, per-term df) are ONE single-row aggregate broadcast
+# back, and the ranking is a distributed top-k
+# (TakeOrderedAndProject) — no full sort, no window over an
+# unpartitioned frame. Per-term scores are floor-quantized at 1e-4
+# BEFORE summation (the unigram_perplexity pattern) so the total is
+# an order-free integer sum.
+
+BM25_K1 = "1.2E0"
+BM25_K1P1 = "2.2E0"   # k1 + 1
+BM25_B = "0.75E0"
+BM25_SCALE = 10_000
+BM25_TERMS = ("spark", "filter", "window", "customer")
+
+
+def _bm25_lam(term: str) -> str:
+    return f"x -> x = '{term}'"
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    """Fixed-point per-term contribution; expects tf{i}, dl, and the
+    stats row (n_docs, sdl, df{i}) in scope. The arithmetic is one
+    shared text in both dialects -> identical IEEE op sequence."""
+    idf = (
+        f"ln((cast(n_docs as double) - cast(df{i} as double) + 0.5E0) / "
+        f"(cast(df{i} as double) + 0.5E0) + 1.0E0)"
+    )
+    dlnorm = (
+        f"({BM25_K1} * (1.0E0 - {BM25_B} + {BM25_B} * "
+        f"(cast(dl as double) / (cast(sdl as double) / cast(n_docs as double)))))"
+    )
+    return (
+        f"CASE WHEN tf{i} = 0 THEN cast(0 as bigint) ELSE "
+        f"cast(floor({BM25_SCALE}.0E0 * {idf} * "
+        f"(cast(tf{i} as double) * {BM25_K1P1}) / "
+        f"(cast(tf{i} as double) + {dlnorm})) as bigint) END"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score_fp, dl): top-k documents by BM25 over the
+    fixed ``terms`` query. ``terms``/``k`` are the run-scale knobs
+    (defaults match the oracle)."""
+    nt = len(terms)
+    tf_cols = [
+        f"cast({_size('spark', _filter('spark', 'toks', _bm25_lam(t)))} "
+        f"as bigint) AS tf{i}"
+        for i, t in enumerate(terms)
+    ]
+    base = _with_tokens(docs).selectExpr(
+        "doc_id", f"cast({_size('spark', 'toks')} as bigint) AS dl", *tf_cols
+    )
+    base = base.localCheckpoint(eager=True)  # feeds stats AND scoring
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sdl"),
+        *[
+            F.expr(f"cast(sum(cast(tf{i} > 0 as bigint)) as bigint)").alias(
+                f"df{i}"
+            )
+            for i in range(nt)
+        ],
+    )
+    total_tf = " + ".join(f"tf{i}" for i in range(nt))
+    score = " + ".join(f"({_bm25_contrib_sql(i)})" for i in range(nt))
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .where(f"{total_tf} > 0")
+        .selectExpr("doc_id", "dl", f"cast({score} as bigint) AS score_fp")
+    )
+    top = scored.orderBy(F.desc("score_fp"), "doc_id").limit(k)
+    win = Window.orderBy(F.desc("score_fp"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(win).cast("int")).select(
+        "rank", "doc_id", "score_fp", "dl"
+    )
+
+
+def oracle_bm25_topk(
+    terms: tuple[str, ...] = BM25_TERMS, k: int = 10
+) -> str:
+    nt = len(terms)
+    tf_cols = ", ".join(
+        f"cast({_size('duckdb', _filter('duckdb', 'toks', _bm25_lam(t)))} "
+        f"as bigint) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"cast(sum(cast(tf{i} > 0 as bigint)) as bigint) AS df{i}"
+        for i in range(nt)
+    )
+    total_tf = " + ".join(f"tf{i}" for i in range(nt))
+    score = " + ".join(f"({_bm25_contrib_sql(i)})" for i in range(nt))
+    return (
+        f"WITH d AS (SELECT doc_id, {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"base AS MATERIALIZED (SELECT doc_id, "
+        f"cast({_size('duckdb', 'toks')} as bigint) AS dl, {tf_cols} FROM d), "
+        f"stats AS (SELECT cast(count(*) as bigint) AS n_docs, "
+        f"cast(sum(dl) as bigint) AS sdl, {dfs} FROM base), "
+        f"scored AS (SELECT doc_id, dl, cast({score} as bigint) AS score_fp "
+        f"FROM base, stats WHERE {total_tf} > 0) "
+        f"SELECT cast(row_number() OVER (ORDER BY score_fp DESC, doc_id) "
+        f"as int) AS rank, doc_id, score_fp, dl FROM scored "
+        f"ORDER BY score_fp DESC, doc_id LIMIT {k}"
     )

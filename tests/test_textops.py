@@ -495,3 +495,75 @@ def test_semdedup_matches_numpy(spark, embs_pdf):
     got_cid = dict(zip(out.vec_id, out.cid))
     assert got_cid == assign
     assert len(out) == len(ids)
+
+
+def test_hll_distinct_matches_python(spark, docs_pdf):
+    """Replay the full HLL sketch in Python (hash, registers,
+    integer harmonic sum, estimator) and sanity-check the estimate
+    against the exact count (m=64 -> ~13% std error)."""
+    out = textops.hll_distinct(spark.read.parquet(DOCS)).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    M, W = textops.HLL_M, textops.HLL_W
+    regs = {}
+    vocab = set()
+    for text in docs_pdf.text:
+        tk = [t for t in text.split(" ") if t]
+        for tri in (
+            f"{a} {b} {c}" for a, b, c in zip(tk, tk[1:], tk[2:])
+        ):
+            vocab.add(tri)
+            h = py_hash(tri)
+            for c, s in textops.HLL_MIX:
+                h = ((h ^ (h >> s)) * c) % textops.HASH_P
+            b, w = h % M, (h // M) % (1 << W)
+            r = W + 1 - w.bit_length() if w > 0 else W + 1
+            regs[b] = max(regs.get(b, 0), r)
+    s = sum(1 << (W + 1 - mj) for mj in regs.values())
+    s += (M - len(regs)) * (1 << (W + 1))
+    est = int(np.floor(0.709 * M * M * float(1 << (W + 1)) / float(s)))
+    assert row.m == M
+    assert row.v_zero == M - len(regs)
+    assert row.s_scaled == s
+    assert row.est_hll == est
+    assert row.exact_distinct == len(vocab)
+    assert abs(est - len(vocab)) / len(vocab) < 0.4
+
+
+def test_bm25_topk_matches_python(spark, docs_pdf):
+    """Brute-force BM25 (float math.log) agrees with the fixed-point
+    Spark ranking on both order and quantized scores."""
+    import math
+
+    out = textops.bm25_topk(spark.read.parquet(DOCS)).toPandas()
+    terms = textops.BM25_TERMS
+    docs = [
+        (int(r.doc_id), [t for t in r.text.split(" ") if t])
+        for r in docs_pdf.itertuples(index=False)
+    ]
+    n = len(docs)
+    sdl = sum(len(tk) for _, tk in docs)
+    avgdl = sdl / n
+    dfs = [sum(1 for _, tk in docs if t in tk) for t in terms]
+    scored = []
+    for did, tk in docs:
+        dl = len(tk)
+        total = 0
+        hit = False
+        for t, df in zip(terms, dfs):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            c = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+            total += int(np.floor(10_000.0 * c))
+        if hit:
+            scored.append((-total, did, total, dl))
+    scored.sort()
+    expect = [
+        (rk + 1, did, sc, dl)
+        for rk, (_, did, sc, dl) in enumerate(scored[:10])
+    ]
+    got = list(map(tuple, out[["rank", "doc_id", "score_fp", "dl"]].values))
+    assert got == expect
