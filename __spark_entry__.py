@@ -1599,6 +1599,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
+        # ogrmerge -single: N layers -> one layer, schema-unified,
+        # provenance field (osgeo_utils/ogrmerge.py)
+        "ogrmerge_single": lambda spark, sf_dir: vector_ops.ogrmerge_single(
+            spark, synth.n_polygons(sf_dir)
+        ),
+        # gdal_create -burn: constant-raster creation; checksum is
+        # closed-form per row -> pure-Catalyst plan, no pixel bytes
+        "gdal_create": lambda spark, sf_dir: translate.gdal_create(spark),
         "explode_collections": lambda spark, sf_dir: (
             vector_ops.explode_collections_query(
                 spark, synth.n_polygons(sf_dir)
@@ -1939,6 +1947,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
+        "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
+            _ORACLE_N_POLYGONS
+        ),
+        "gdal_create": translate.oracle_gdal_create(),
         "explode_collections": vector_ops.oracle_explode_collections(
             _ORACLE_N_POLYGONS
         ),

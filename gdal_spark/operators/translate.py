@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .. import codecs, synth
 from .stats import gdal_checksum
@@ -518,4 +518,90 @@ def oracle_pixel_functions(n: int, max_i: int) -> str:
         f"SELECT image_id, fn, cast(sum(CASE fn {branches} END) as bigint) "
         f"AS key_sum "
         f"FROM g, (SELECT unnest([{fn_list}]) AS fn) f GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdal_create (apps/gdal_create.cpp): create a blank dataset of a
+# given size/band count with per-band -burn values. The Spark analog
+# materializes nothing: a constant raster's GDALChecksumImage
+# (alg/gdalchecksum.cpp:66, sum of val % primes[(y*w+x) % 11] masked
+# to 16 bits) collapses to counting pixels per prime-residue class,
+# which is closed-form PER ROW — so the whole creation+checksum plan
+# is a pure-Catalyst explode over (band, row, residue) with one
+# map-side-combined aggregate. At a 10^6-row raster this is h*11*b
+# tiny rows, no pixel bytes ever shuffled.
+
+CREATE_PRIMES = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
+
+
+def gdal_create(
+    spark, w: int = 512, h: int = 512, burn: tuple[int, ...] = (10, 200, 37)
+) -> DataFrame:
+    """(band, width, height, burn, n_px, checksum) for a constant
+    -burn raster; checksum is bit-parity with GDALChecksumImage
+    (pinned against stats.gdal_checksum in tests)."""
+    bands = len(burn)
+    burn_case = "CASE " + " ".join(
+        f"WHEN band = {i} THEN {v}" for i, v in enumerate(burn)
+    ) + " END"
+    prime_case = "CASE " + " ".join(
+        f"WHEN jres = {j} THEN {p}" for j, p in enumerate(CREATE_PRIMES)
+    ) + " END"
+    # pixels in row y with (y*w + x) % 11 == jres, x in [0, w):
+    # full cycles + the partial cycle's hit
+    cnt = (
+        f"(cast({w} div 11 as bigint) + CASE WHEN "
+        f"(jres - (cast(y as bigint) * {w}) % 11 + 11) % 11 < {w} % 11 "
+        f"THEN 1 ELSE 0 END)"
+    )
+    rows = (
+        spark.range(bands)
+        .selectExpr("cast(id as int) AS band")
+        .selectExpr("band", f"explode(sequence(0, {h - 1})) AS y")
+        .selectExpr("band", "y", "explode(sequence(0, 10)) AS jres")
+        .selectExpr(
+            "band",
+            f"({burn_case}) % ({prime_case}) * {cnt} AS contrib",
+        )
+    )
+    agg = rows.groupBy("band").agg(
+        F.expr("cast(sum(contrib) % 65536 as bigint)").alias("checksum")
+    )
+    return agg.selectExpr(
+        "band",
+        f"cast({w} as bigint) AS width",
+        f"cast({h} as bigint) AS height",
+        f"cast({burn_case} as bigint) AS burn",
+        f"cast({w} as bigint) * {h} AS n_px",
+        "checksum",
+    )
+
+
+def oracle_gdal_create(
+    w: int = 512, h: int = 512, burn: tuple[int, ...] = (10, 200, 37)
+) -> str:
+    bands = len(burn)
+    burn_case = "CASE " + " ".join(
+        f"WHEN band = {i} THEN {v}" for i, v in enumerate(burn)
+    ) + " END"
+    prime_case = "CASE " + " ".join(
+        f"WHEN jres = {j} THEN {p}" for j, p in enumerate(CREATE_PRIMES)
+    ) + " END"
+    cnt = (
+        f"(cast({w} // 11 as bigint) + CASE WHEN "
+        f"(jres - (cast(y as bigint) * {w}) % 11 + 11) % 11 < {w} % 11 "
+        f"THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"WITH rows_ AS (SELECT cast(b as int) AS band, y, jres, "
+        f"({burn_case}) % ({prime_case}) * {cnt} AS contrib "
+        f"FROM range(0, {bands}) tb(b), range(0, {h}) ty(y), "
+        f"range(0, 11) tj(jres)), "
+        f"agg AS (SELECT band, cast(sum(contrib) % 65536 as bigint) "
+        f"AS checksum FROM rows_ GROUP BY band) "
+        f"SELECT band, cast({w} as bigint) AS width, "
+        f"cast({h} as bigint) AS height, "
+        f"cast({burn_case} as bigint) AS burn, "
+        f"cast({w} as bigint) * {h} AS n_px, checksum FROM agg"
     )

@@ -718,3 +718,80 @@ def oracle_ogr_tindex(m: int) -> str:
         f"cast(floor(max(cy + hh) * {k}) as bigint) AS maxy_key "
         f"FROM p WHERE kind <> 'kgon' GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# ogrmerge -single (swig/python/gdal-utils/osgeo_utils/ogrmerge.py):
+# append N source layers into ONE output layer, unifying the field
+# schemas (missing fields -> NULL) and recording the provenance in a
+# source-layer field (-src_layer_field_name/-src_layer_field_content).
+# Spark shape: unionByName(allowMissingColumns=True) — a pure
+# metadata/concat plan, no shuffle; the engine-side analog of
+# OGRUnionLayer's schema merge but materialized as one layer.
+
+
+# the unified field list with its missing-field sentinels (the OGR
+# "unset field" convention made hashable: '' for strings, -9999 for
+# coordinates, -1 for ids — the oracle gate's value compare treats
+# NULL as unequal to NULL, so merged layers encode absence explicitly)
+_MERGE_FIELDS = (
+    ("j", "bigint", "-1"),
+    ("kind", None, "''"),
+    ("category", None, "''"),
+    ("latt_id", None, "''"),
+    ("site_id", None, "''"),
+    ("cx", None, "-9999.0E0"),
+    ("cy", None, "-9999.0E0"),
+    ("hw", None, "-9999.0E0"),
+    ("hh", None, "-9999.0E0"),
+    ("lx0", None, "-9999.0E0"),
+    ("ly0", None, "-9999.0E0"),
+    ("lx1", None, "-9999.0E0"),
+    ("ly1", None, "-9999.0E0"),
+    ("slon", None, "-9999.0E0"),
+    ("slat", None, "-9999.0E0"),
+)
+
+
+def _merge_select() -> list[str]:
+    out = ["src_layer"]
+    for name, cast_to, sent in _MERGE_FIELDS:
+        e = f"coalesce({name}, {sent})"
+        if cast_to:
+            e = f"cast({e} as {cast_to})"
+        out.append(f"{e} AS {name}")
+    return out
+
+
+def ogrmerge_single(spark, m: int) -> DataFrame:
+    """Merge the polygons / lattice / sites layers into one layer
+    with a ``src_layer`` provenance field; same-named fields (``j``)
+    unify, layer-specific fields take the unset-field sentinel."""
+    from pyspark.sql import functions as F
+
+    polys = spark.sql(synth.polygons_sql_cte(m, "spark")).withColumn(
+        "src_layer", F.lit("polygons")
+    )
+    latt = spark.sql(synth.lattice_cte("spark")).withColumn(
+        "src_layer", F.lit("lattice")
+    )
+    sites = spark.sql(synth.sites_cte(synth.N_SITES, "spark")).withColumn(
+        "src_layer", F.lit("sites")
+    )
+    merged = polys.unionByName(latt, allowMissingColumns=True).unionByName(
+        sites, allowMissingColumns=True
+    )
+    return merged.selectExpr(*_merge_select())
+
+
+def oracle_ogrmerge_single(m: int) -> str:
+    return (
+        f"SELECT {', '.join(_merge_select())} FROM ("
+        f"SELECT 'polygons' AS src_layer, * "
+        f"FROM ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"UNION ALL BY NAME "
+        f"SELECT 'lattice' AS src_layer, * FROM ({synth.lattice_cte('duckdb')}) "
+        f"UNION ALL BY NAME "
+        f"SELECT 'sites' AS src_layer, * "
+        f"FROM ({synth.sites_cte(synth.N_SITES, 'duckdb')}))"
+    )

@@ -1200,3 +1200,45 @@ def test_sliding_chunks_brute_force(spark):
     # doc 1: 3 windows (0, 24, 48), last is a 2-token tail; doc 2: 2
     # windows (0, 24) with 8-token tail; doc 3: one 1-token window
     assert got.groupby("doc_id").size().to_dict() == {1: 3, 2: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# gdal_create + ogrmerge -single
+
+
+def test_gdal_create_checksum_matches_numpy(spark):
+    """The closed-form constant-raster checksum must equal
+    gdal_checksum of the materialized array (bit-parity with
+    GDALChecksumImage semantics)."""
+    from gdal_spark.operators import translate
+
+    w, h, burn = 512, 512, (10, 200, 37)
+    out = translate.gdal_create(spark, w, h, burn).toPandas()
+    out = out.sort_values("band").reset_index(drop=True)
+    assert len(out) == len(burn)
+    for b, v in enumerate(burn):
+        arr = np.full((h, w), v, dtype=np.uint8)
+        assert out.loc[b, "checksum"] == gdal_checksum(arr)
+        assert out.loc[b, "burn"] == v
+        assert out.loc[b, "n_px"] == w * h
+    # non-multiple-of-11 width exercises the partial-cycle branch
+    out2 = translate.gdal_create(spark, 37, 23, (99,)).toPandas()
+    assert out2.loc[0, "checksum"] == gdal_checksum(
+        np.full((23, 37), 99, dtype=np.uint8)
+    )
+
+
+def test_ogrmerge_single_schema_union(spark):
+    from gdal_spark.operators import vector_ops
+
+    m = synth.N_POLYGONS_FOR_SF["0.001"]
+    out = vector_ops.ogrmerge_single(spark, m).toPandas()
+    n_sites = synth.N_SITES
+    n_latt = len(synth.lattice_pdf())
+    assert len(out) == m + n_latt + n_sites
+    assert set(out.src_layer) == {"polygons", "lattice", "sites"}
+    polys = out[out.src_layer == "polygons"]
+    assert (polys.latt_id == "").all() and (polys.slon == -9999.0).all()
+    sites = out[out.src_layer == "sites"]
+    assert (sites.kind == "").all() and (sites.j >= 0).all()
+    assert (out[out.src_layer == "lattice"].j == -1).all()
