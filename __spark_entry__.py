@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth
+from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth, tablefmt
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
@@ -1607,6 +1607,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gdal_create -burn: constant-raster creation; checksum is
         # closed-form per row -> pure-Catalyst plan, no pixel bytes
         "gdal_create": lambda spark, sf_dir: translate.gdal_create(spark),
+        # snapshot-log table format (Iceberg-spec commit/time-travel
+        # semantics over parquet): 3 atomic batch commits, then a
+        # read AS OF snapshot 1 — closed-form oracle over the synth CTE
+        "time_travel_read": lambda spark, sf_dir: tablefmt.time_travel_query(
+            spark, synth.n_images(sf_dir)
+        ),
         "explode_collections": lambda spark, sf_dir: (
             vector_ops.explode_collections_query(
                 spark, synth.n_polygons(sf_dir)
@@ -1951,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             _ORACLE_N_POLYGONS
         ),
         "gdal_create": translate.oracle_gdal_create(),
+        "time_travel_read": tablefmt.oracle_time_travel(_ORACLE_N_IMAGES),
         "explode_collections": vector_ops.oracle_explode_collections(
             _ORACLE_N_POLYGONS
         ),
