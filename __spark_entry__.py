@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth, tablefmt
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
+from gdal_spark.operators import mdim
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import cog as cogop
@@ -1613,6 +1614,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": lambda spark, sf_dir: tablefmt.time_travel_query(
             spark, synth.n_images(sf_dir)
         ),
+        # gdalmdimtranslate -subset/-scaleaxes view over a (t,y,x)
+        # cube table + GDALMDArray::Transpose index projection
+        "mdim_translate": lambda spark, sf_dir: mdim.mdim_translate(spark),
+        "mdim_transpose": lambda spark, sf_dir: mdim.mdim_transpose(spark),
         "explode_collections": lambda spark, sf_dir: (
             vector_ops.explode_collections_query(
                 spark, synth.n_polygons(sf_dir)
@@ -1958,6 +1963,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gdal_create": translate.oracle_gdal_create(),
         "time_travel_read": tablefmt.oracle_time_travel(_ORACLE_N_IMAGES),
+        "mdim_translate": mdim.oracle_mdim_translate(),
+        "mdim_transpose": mdim.oracle_mdim_transpose(),
         "explode_collections": vector_ops.oracle_explode_collections(
             _ORACLE_N_POLYGONS
         ),

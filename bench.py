@@ -56,6 +56,10 @@ HEADLINE = [
     "enhance_equalize",
     "paragraph_dedup",
     "patchify",
+    # round-4 second-half operators
+    "semdedup",
+    "hll_distinct",
+    "bm25_topk",
 ]
 
 

@@ -1242,3 +1242,57 @@ def test_ogrmerge_single_schema_union(spark):
     sites = out[out.src_layer == "sites"]
     assert (sites.kind == "").all() and (sites.j >= 0).all()
     assert (out[out.src_layer == "lattice"].j == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# multidim view / transpose
+
+
+def test_mdim_translate_matches_numpy(spark):
+    """numpy replay of the (t,y,x) cube, -subset y(8,39),
+    -scaleaxes x(2) view, and the per-slice aggregates."""
+    from gdal_spark.operators import mdim
+
+    nt, ny, nx = 4, 64, 64
+    t, y, x = np.meshgrid(
+        np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    cube = (t * 131071 + y * 8191 + x * 127 + 7) % 251
+    view = cube[:, 8:40, ::2]
+    out = (
+        mdim.mdim_translate(spark)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    for ti in range(nt):
+        v = view[ti]
+        vy, vx = np.meshgrid(
+            np.arange(v.shape[0]), np.arange(v.shape[1]), indexing="ij"
+        )
+        assert out.loc[ti, "n_cells"] == v.size
+        assert out.loc[ti, "vmin"] == v.min()
+        assert out.loc[ti, "vmax"] == v.max()
+        assert out.loc[ti, "vsum"] == v.sum()
+        assert out.loc[ti, "idx_cks"] == ((v * 31 + vy * 7 + vx) % 65536).sum() % 65536
+
+
+def test_mdim_transpose_axis_roundtrip(spark):
+    """Transpose (t,y,x)->(x,t,y): per-d0 sums equal the source
+    cube's per-x sums."""
+    from gdal_spark.operators import mdim
+
+    nt, ny, nx = 4, 16, 16
+    t, y, x = np.meshgrid(
+        np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    cube = (t * 131071 + y * 8191 + x * 127 + 7) % 251
+    out = (
+        mdim.mdim_transpose(spark)
+        .toPandas()
+        .sort_values("d0")
+        .reset_index(drop=True)
+    )
+    for xi in range(nx):
+        assert out.loc[xi, "vsum"] == cube[:, :, xi].sum()
+        assert out.loc[xi, "n_cells"] == nt * ny
