@@ -63,26 +63,40 @@ def _ring_edges(rings):
     return out
 
 
+_EPS_PAR = 1e-12  # relative parallel/collinear tolerance
+
+
 def _split_params(a, b, edges):
     """Sorted interior split parameters of segment a-b against all
     other edges: proper crossings, other endpoints on the interior,
-    and collinear-overlap endpoints."""
+    and collinear-overlap endpoints. Parallelism and collinearity are
+    decided with RELATIVE tolerances — an exact ``denom != 0`` test
+    sends nearly-parallel edges (cross products at denormal scale)
+    down the proper-crossing branch, where the division produces
+    garbage split points (found by the hypothesis fuzz: a vertex at
+    y=1e-308 silently emptied the repaired region)."""
     ts = set()
     d = b - a
     len2 = float(d @ d)
+    dn = float(np.hypot(*d))
     for c, e in edges:
         f = e - c
+        fn = float(np.hypot(*f))
         denom = d[0] * f[1] - d[1] * f[0]
-        if denom != 0.0:
+        ca = c - a
+        cross_ca = ca[0] * d[1] - ca[1] * d[0]
+        if abs(denom) > _EPS_PAR * dn * fn:
             # proper / endpoint crossing of the supporting lines
-            t = ((c[0] - a[0]) * f[1] - (c[1] - a[1]) * f[0]) / denom
-            u = ((c[0] - a[0]) * d[1] - (c[1] - a[1]) * d[0]) / denom
+            t = (ca[0] * f[1] - ca[1] * f[0]) / denom
+            u = cross_ca / denom
             if 0.0 < t < 1.0 and 0.0 <= u <= 1.0:
                 ts.add(float(t))
         else:
             # parallel: collinear overlap contributes the other
             # segment's endpoints projected into (0, 1)
-            if (c[0] - a[0]) * d[1] - (c[1] - a[1]) * d[0] == 0.0 and len2 > 0:
+            if abs(cross_ca) <= _EPS_PAR * dn * max(
+                float(np.hypot(*ca)), fn
+            ) and len2 > 0:
                 for p in (c, e):
                     t = float((p - a) @ d) / len2
                     if 0.0 < t < 1.0:
@@ -126,21 +140,38 @@ def make_valid_rings(rings) -> list[np.ndarray]:
     if not live:
         return []
 
-    # orient: odd parity on the left
+    # orient: odd parity on the left. The probe is TWO-SIDED and
+    # self-validating: a live (odd-multiplicity) segment separates
+    # odd from even parity, so the two side probes must disagree —
+    # if they agree the offset stepped clear across a thin sliver
+    # (hypothesis-found failure mode: a 1e-5-thick wedge under a
+    # 1e-7*scale probe misoriented its LONG bounding edge and
+    # corrupted the main region); shrink until the sides differ,
+    # flooring at the snap resolution below which features are
+    # sub-resolution by construction.
     directed = []
+    # rep[] keeps full-precision coordinates (the snap grid only
+    # canonicalizes vertex identity), and the PIP crossing test is
+    # accurate to ~eps*scale — so the probe may shrink far below the
+    # snap grid before parity becomes meaningless
+    h_floor = 1e-12 * scale
     for kp, kq in live:
         p, q = rep[kp], rep[kq]
         d = q - p
         n = np.array([-d[1], d[0]])
         n = n / max(np.hypot(*n), 1e-300)
         mid = (p + q) / 2.0
-        probe = mid + _EPS_PROBE * scale * n
-        odd_left = bool(
-            geom.points_in_rings(
-                np.array([probe[0]]), np.array([probe[1]]), rings
-            )[0]
-        )
-        directed.append((kp, kq) if odd_left else ((kq, kp)))
+        h = _EPS_PROBE * scale
+        while True:
+            pl = mid + h * n
+            pr = mid - h * n
+            par = geom.points_in_rings(
+                np.array([pl[0], pr[0]]), np.array([pl[1], pr[1]]), rings
+            )
+            if bool(par[0]) != bool(par[1]) or h / 8.0 < h_floor:
+                break
+            h /= 8.0
+        directed.append((kp, kq) if bool(par[0]) else ((kq, kp)))
 
     # trace cycles: sharpest-left-turn successor at each vertex
     out_edges = {}
