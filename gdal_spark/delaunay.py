@@ -15,25 +15,39 @@ scattered points, run once on the driver, broadcast as constants.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 
 
 def _circumcircle_contains(ax, ay, bx, by, cx, cy, px, py) -> bool:
     """True iff (px, py) lies strictly inside the circumcircle of
-    triangle abc (a, b, c counter-clockwise)."""
-    adx, ady = ax - px, ay - py
-    bdx, bdy = bx - px, by - py
-    cdx, cdy = cx - px, cy - py
+    triangle abc (a, b, c counter-clockwise). EXACT: floats are
+    dyadic rationals, so the Fraction determinant has the true sign —
+    no filtered float path, n is tiny and driver-side (module
+    docstring). Exactness matters doubly here: the super-triangle
+    sits 1e12 radii out (see delaunay()), far outside float-det
+    range."""
+    F = Fraction
+    adx, ady = F(ax) - F(px), F(ay) - F(py)
+    bdx, bdy = F(bx) - F(px), F(by) - F(py)
+    cdx, cdy = F(cx) - F(px), F(cy) - F(py)
     det = (
         (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
         - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
         + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
     )
-    return det > 0.0
+    return det > 0
 
 
 def _ccw(ax, ay, bx, by, cx, cy) -> float:
     return (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+
+
+def _ccw_exact(ax, ay, bx, by, cx, cy) -> int:
+    F = Fraction
+    v = (F(bx) - F(ax)) * (F(cy) - F(ay)) - (F(cx) - F(ax)) * (F(by) - F(ay))
+    return (v > 0) - (v < 0)
 
 
 def delaunay(px, py) -> list[tuple[int, int, int]]:
@@ -44,10 +58,18 @@ def delaunay(px, py) -> list[tuple[int, int, int]]:
     n = len(px)
     if n < 3:
         return []
-    # super-triangle comfortably containing everything
+    # Super-triangle FAR outside every final circumcircle: hull-
+    # adjacent triangles are only Delaunay-correct if no super vertex
+    # lies inside their circumcircles, and a thin hull triangle's
+    # circumradius can reach ~r^3/(4*area). 1e12 radii covers
+    # triangles down to relative area ~2.5e-13 (below that the points
+    # are collinear at float resolution); the hypothesis fuzz caught
+    # the old 16-radii super-triangle clipping real circumcircles
+    # (hull gaps + non-Delaunay hull triangles). Exact predicates
+    # make the huge coordinates safe.
     cx = float(px.mean())
     cy = float(py.mean())
-    r = float(np.hypot(px - cx, py - cy).max()) * 16.0 + 16.0
+    r = float(np.hypot(px - cx, py - cy).max()) * 1e12 + 1e12
     sx = [cx - 2.0 * r, cx + 2.0 * r, cx]
     sy = [cy - r, cy - r, cy + 2.0 * r]
     X = list(px) + sx
@@ -71,8 +93,9 @@ def delaunay(px, py) -> list[tuple[int, int, int]]:
         cavity = [e for e, cnt in edges.items() if cnt == 1]
         tris = [t for t in tris if t not in bad]
         for a, b in cavity:
-            # orient CCW
-            if _ccw(X[a], Y[a], X[b], Y[b], X[p], Y[p]) > 0:
+            # orient CCW (exact: cavity edges may touch super
+            # vertices whose 1e12-scale coords swamp a float cross)
+            if _ccw_exact(X[a], Y[a], X[b], Y[b], X[p], Y[p]) > 0:
                 tris.append((a, b, p))
             else:
                 tris.append((b, a, p))

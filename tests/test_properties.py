@@ -259,3 +259,80 @@ def test_makevalid_fuzz_regressions():
             else np.zeros(len(px), dtype=bool)
         )
         assert np.array_equal(before, after), pts
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cx=st.floats(min_value=-20.0, max_value=20.0),
+    cy=st.floats(min_value=-20.0, max_value=20.0),
+    hw=st.floats(min_value=4.0, max_value=15.0),
+    hh=st.floats(min_value=4.0, max_value=15.0),
+    fx=st.floats(min_value=0.15, max_value=0.6),
+    fy=st.floats(min_value=0.15, max_value=0.6),
+    bx=st.floats(min_value=-30.0, max_value=30.0),
+    by=st.floats(min_value=-30.0, max_value=30.0),
+    bw=st.floats(min_value=1.0, max_value=25.0),
+    bh=st.floats(min_value=1.0, max_value=25.0),
+)
+def test_boolop_inclusion_exclusion_holed(
+    cx, cy, hw, hh, fx, fy, bx, by, bw, bh
+):
+    """Inclusion–exclusion where A is an annulus (rect with a rect
+    hole) — exercises the hole-aware overlay path."""
+    shell = _rect(cx, cy, hw, hh)
+    hole = _rect(cx, cy, hw * fx, hh * fy)[::-1]  # CW hole
+    A = [(shell, [hole])]
+    B = [(_rect(bx, by, bw, bh), [])]
+    a = 4 * hw * hh - 4 * (hw * fx) * (hh * fy)
+    b = 4 * bw * bh
+    try:
+        ai = _region_area(boolop.boolean_regions(A, B, "inter"))
+        au = _region_area(boolop.boolean_regions(A, B, "union"))
+        ad = _region_area(boolop.boolean_regions(A, B, "diff"))
+    except boolop.Degeneracy:
+        assume(False)
+    tol = 1e-8 * max(1.0, a + b)
+    assert abs(ai + au - (a + b)) < tol
+    assert abs(ad - (a - ai)) < tol
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       n=st.integers(min_value=4, max_value=40))
+def test_delaunay_covers_hull_and_empty_circumcircles(seed, n):
+    """Triangulation area == convex hull area (no gaps/overlaps) and
+    every circumcircle is empty (the Delaunay property), on random
+    general-position point sets."""
+    from gdal_spark import delaunay as dl
+
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(0, 100, n)
+    py = rng.uniform(0, 100, n)
+    tris = dl.delaunay(px, py)
+    assume(tris)  # degenerate collinear draws are vanishingly rare
+    tri_area = 0.0
+    for i, j, k in tris:
+        tri_area += 0.5 * abs(dl._ccw(px[i], py[i], px[j], py[j], px[k], py[k]))
+    # hull area via monotone chain on the same points
+    pts = sorted(zip(px, py))
+    def half(ps):
+        out = []
+        for p in ps:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    hull = half(pts)[:-1] + half(pts[::-1])[:-1]
+    hx = np.array([p[0] for p in hull]); hy = np.array([p[1] for p in hull])
+    hull_area = 0.5 * abs(float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)))
+    assert abs(tri_area - hull_area) < 1e-6 * max(1.0, hull_area)
+    for i, j, k in tris:
+        for m in range(n):
+            if m in (i, j, k):
+                continue
+            assert not dl._circumcircle_contains(
+                px[i], py[i], px[j], py[j], px[k], py[k], px[m], py[m]
+            ), (seed, n, (i, j, k), m)
