@@ -336,3 +336,69 @@ def test_delaunay_covers_hull_and_empty_circumcircles(seed, n):
             assert not dl._circumcircle_contains(
                 px[i], py[i], px[j], py[j], px[k], py[k], px[m], py[m]
             ), (seed, n, (i, j, k), m)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon=st.floats(min_value=-10.0, max_value=15.0),
+    lat=st.floats(min_value=38.0, max_value=55.0),
+)
+def test_srs_lcc_roundtrip(lon, lat):
+    p = srs.LCC_REGISTRY[2154]
+    x, y = srs.lcc_forward(lon, lat, p)
+    lon2, lat2 = srs.lcc_inverse(x, y, p)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon=st.floats(min_value=-125.0, max_value=-65.0),
+    lat=st.floats(min_value=20.0, max_value=55.0),
+)
+def test_srs_aea_roundtrip(lon, lat):
+    p = srs.AEA_REGISTRY[5070]
+    x, y = srs.aea_forward(lon, lat, p)
+    lon2, lat2 = srs.aea_inverse(x, y, p)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon=st.floats(min_value=-179.0, max_value=179.0),
+    lat=st.floats(min_value=-89.5, max_value=-60.0),
+)
+def test_srs_ps_roundtrip(lon, lat):
+    p = srs.PS_REGISTRY[3031]
+    x, y = srs.ps_forward(lon, lat, p)
+    lon2, lat2 = srs.ps_inverse(x, y, p)
+    dl = abs(lon2 - lon)
+    dl = min(dl, 360.0 - dl)
+    assert dl < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-180.0, max_value=180.0),
+            st.floats(min_value=-90.0, max_value=90.0),
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    nholes=st.integers(min_value=0, max_value=2),
+)
+def test_wkb_polygon_roundtrip(pts, nholes):
+    from gdal_spark import wkb
+
+    holes = [[(x * 0.1, y * 0.1) for x, y in pts]] * nholes
+    data = wkb.encode_polygon(pts, holes)
+    geom_type, rings = wkb.decode(data)
+    assert geom_type == wkb.POLYGON
+    got_ext = [tuple(p) for p in np.asarray(rings[0])]
+    want = [tuple(map(float, p)) for p in pts]
+    if want[-1] != want[0]:
+        want = want + [want[0]]  # encoder closes an open ring
+    assert got_ext == want
+    assert got_ext[0] == got_ext[-1]
+    assert len(rings) == 1 + nholes
