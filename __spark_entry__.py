@@ -1207,6 +1207,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack": _q_nearblack,
         "adaptive_cells": _q_adaptive_cells,
         "salted_density": _q_salted_density,
+        # STR spatial packing (Leutenegger 1997): equal-count
+        # spatially-coherent partitions regardless of skew
+        "str_pack": lambda spark, sf_dir: skew.str_pack(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # Z-order/Morton clustering key (Iceberg sort-order layout)
+        "zorder_layout": lambda spark, sf_dir: skew.zorder_layout(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         "mm_probe_headers": _q_mm_probe,
         "mm_resize_nearest": _q_mm_resize,
         "mm_frame_sample": _q_mm_frames,
@@ -1910,6 +1919,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {cells.cell_id_sql(merc8_x, merc8_y, DENSITY_ZOOM)} AS cell_id, "
             f"count(*) AS n FROM ({_images(n)}) GROUP BY 1"
         ),
+        "str_pack": skew.oracle_str_pack(n),
+        "zorder_layout": skew.oracle_zorder_layout(n),
         "mm_probe_headers": multimodal.oracle_probe_headers(min(n, 4096), _MM_MAX_I),
         "mm_resize_nearest": multimodal.oracle_resize_checksum(
             min(n, 4096), _MM_MAX_I, 24, 24

@@ -1296,3 +1296,69 @@ def test_mdim_transpose_axis_roundtrip(spark):
     for xi in range(nx):
         assert out.loc[xi, "vsum"] == cube[:, :, xi].sum()
         assert out.loc[xi, "n_cells"] == nt * ny
+
+
+# ---------------------------------------------------------------------------
+# STR packing + Z-order layout
+
+
+def test_str_pack_balanced(spark):
+    """Exact STR: every cell holds at most ceil(n/s^2) rows and the
+    cells tile the full count, regardless of the hot-cell skew."""
+    from gdal_spark.operators import skew
+
+    n = synth.n_images(str(SF_DIR))
+    out = skew.str_pack(synth.images_df(spark, n), s=8).toPandas()
+    chunk = -(-n // 64)
+    assert out.n_rows.sum() == n
+    assert out.n_rows.max() <= chunk
+    assert len(out) <= 64
+    # spatial coherence: within a slab, cells stack by latitude
+    for slab, g in out.groupby("slab"):
+        g = g.sort_values("cell")
+        assert (g.s_lat_key.to_numpy()[1:] >= g.s_lat_key.to_numpy()[:-1]).all()
+
+
+def test_str_assign_bounds_approximates_balance(spark):
+    """Sampled-bounds production path: full-table assignment from
+    sample quantiles keeps every partition within 3x of ideal on the
+    hot-cell-skewed corpus (sample = full table here, so the residual
+    imbalance is only boundary ties)."""
+    from gdal_spark.operators import skew
+
+    n = synth.n_images(str(SF_DIR))
+    imgs = synth.images_df(spark, n)
+    pdf = imgs.select("lon", "lat").toPandas()
+    lon_cuts, lat_cuts = skew.str_bounds_from_sample(pdf, s=4)
+    out = skew.str_assign(imgs, lon_cuts, lat_cuts).groupBy(
+        "slab", "cell"
+    ).count().toPandas()
+    assert out["count"].sum() == n
+    assert out["count"].max() <= 3 * (n // 16 + 1)
+
+
+def test_zorder_key_is_morton_bijection(spark):
+    """zorder_sql computes the Morton interleave: matches a Python
+    bit-interleave on random tiles and inverts uniquely."""
+    import random
+
+    from gdal_spark.operators import skew
+
+    rng = random.Random(7)
+    tiles = [(rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(200)]
+    df = spark.createDataFrame(tiles, "tx long, ty long")
+    out = df.selectExpr(
+        "tx", "ty", f"{skew.zorder_sql('spark', 'tx', 'ty')} AS z"
+    ).toPandas()
+
+    def morton(tx, ty):
+        z = 0
+        for b in range(16):
+            z |= ((tx >> b) & 1) << (2 * b) | ((ty >> b) & 1) << (2 * b + 1)
+        return z
+
+    for tx, ty, z in out.itertuples(index=False):
+        assert z == morton(int(tx), int(ty))
+    assert len({z for _, _, z in out.itertuples(index=False)}) == len(
+        {(tx, ty) for tx, ty in tiles}
+    )
