@@ -1697,6 +1697,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_first": lambda spark, sf_dir: streaming.dedup_events(
             spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         ),
+        # incremental overview rollup over a tile-update log (the
+        # gdaladdo --partial-refresh semantics as last-wins + parent
+        # aggregate; streaming twin stream==batch-tested)
+        "overview_rollup_updates": lambda spark, sf_dir: (
+            streaming.rollup_updates(
+                spark.sql(
+                    streaming.rollup_updates_cte(
+                        synth.n_images(sf_dir), "spark"
+                    )
+                )
+            )
+        ),
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -1950,6 +1962,9 @@ def oracle_sql() -> dict[str, str]:
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
         "ps_corners": reproject.oracle_ps_corners(n),
         "events_dedup_first": streaming.ORACLE_DEDUP_EVENTS,
+        "overview_rollup_updates": streaming.oracle_rollup_updates(
+            _ORACLE_N_IMAGES
+        ),
         "ogr_sql_having": ogrsql.ORACLE_HAVING,
         "vector_reproject_3857": vector_ops.oracle_reproject_3857(m),
         "translate_projwin": translate.oracle_translate_projwin(

@@ -411,3 +411,110 @@ ORACLE_SLIDING = (
     f"cast(sum(value_cents) as bigint) AS value_cents_sum "
     f"FROM x GROUP BY 1, 2"
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental overview rollup — the streaming twin of the COG
+# partial-refresh path (apps/gdaladdo.cpp --partial-refresh +
+# gcore/overview.cpp): tile UPDATES arrive as a stream; each parent
+# overview tile depends on its 4 children, so the rollup keeps
+# per-parent state = best (seq, cks) per child quadrant and re-emits
+# the parent summary whenever a child changes. Max-merge by seq is
+# order-independent, so the result is deterministic under ANY batch
+# split (the same contract dedup_events makes).
+
+ROLLUP_NTX = 32
+ROLLUP_NTY = 8
+
+
+def rollup_updates_cte(n: int, dialect: str = "duckdb") -> str:
+    """Deterministic synthetic tile-update log (seq, tx, ty, cks);
+    seq is unique, tiles repeat so last-wins matters."""
+    div = "div" if dialect == "spark" else "//"
+    src = (
+        f"(SELECT id AS i FROM range(0, {n}))"
+        if dialect == "spark"
+        else f"range(0, {n}) t(i)"
+    )
+    return (
+        f"SELECT i AS seq, i % {ROLLUP_NTX} AS tx, "
+        f"(i {div} {ROLLUP_NTX}) % {ROLLUP_NTY} AS ty, "
+        f"(i * 131071 + 17) % 65536 AS cks FROM {src}"
+    )
+
+
+def rollup_updates(updates: DataFrame) -> DataFrame:
+    """Batch semantics: last-wins per child tile (max seq), then the
+    per-parent overview summary (ptx, pty, n_children, cks_sum,
+    max_seq)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("tx", "ty").orderBy(F.desc("seq"))
+    latest = (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .selectExpr("tx div 2 AS ptx", "ty div 2 AS pty", "seq", "cks")
+    )
+    return latest.groupBy("ptx", "pty").agg(
+        F.expr("cast(count(*) as bigint) AS n_children"),
+        F.expr("cast(sum(cks) % 65536 as bigint) AS cks_sum"),
+        F.expr("cast(max(seq) as bigint) AS max_seq"),
+    )
+
+
+def oracle_rollup_updates(n: int) -> str:
+    return (
+        f"WITH u AS ({rollup_updates_cte(n, 'duckdb')}), "
+        f"latest AS (SELECT tx // 2 AS ptx, ty // 2 AS pty, seq, cks "
+        f"FROM (SELECT *, row_number() OVER (PARTITION BY tx, ty "
+        f"ORDER BY seq DESC) AS rk FROM u) WHERE rk = 1) "
+        f"SELECT ptx, pty, cast(count(*) as bigint) AS n_children, "
+        f"cast(sum(cks) % 65536 as bigint) AS cks_sum, "
+        f"cast(max(seq) as bigint) AS max_seq "
+        f"FROM latest GROUP BY 1, 2"
+    )
+
+
+def stream_rollup(spark: SparkSession, src_dir: str, schema):
+    """Streaming twin: per-parent state = best (seq, cks) for each of
+    the 4 child quadrants (max-merge by seq — order-independent);
+    each micro-batch re-emits the parent summary, downstream
+    keep-latest (max max_seq) resolves the final answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    u = stream.selectExpr(
+        "seq", "cks",
+        "tx div 2 AS ptx", "ty div 2 AS pty",
+        "cast((tx % 2) + 2 * (ty % 2) as int) AS q",
+    )
+
+    def fn(key, pdfs, state):
+        ptx, pty = key
+        best = list(state.get) if state.exists else [-1] * 8
+        rows = pd.concat(list(pdfs))
+        for seq, cks, q in zip(rows["seq"], rows["cks"], rows["q"]):
+            seq, cks, q = int(seq), int(cks), int(q)
+            if seq > best[2 * q]:
+                best[2 * q], best[2 * q + 1] = seq, cks
+        state.update(tuple(best))
+        present = [q for q in range(4) if best[2 * q] >= 0]
+        yield pd.DataFrame(
+            [(
+                int(ptx), int(pty), len(present),
+                sum(best[2 * q + 1] for q in present) % 65536,
+                max(best[2 * q] for q in present),
+            )],
+            columns=["ptx", "pty", "n_children", "cks_sum", "max_seq"],
+        )
+
+    return u.groupBy("ptx", "pty").applyInPandasWithState(
+        fn,
+        outputStructType="ptx bigint, pty bigint, n_children bigint, "
+        "cks_sum bigint, max_seq bigint",
+        stateStructType="s0 bigint, c0 bigint, s1 bigint, c1 bigint, "
+        "s2 bigint, c2 bigint, s3 bigint, c3 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -227,3 +227,52 @@ def test_stream_dedup_equals_batch(spark, tmp_path):
     assert len(got) == len(exp)
     for col in ("first_us", "first_event_id", "n_dupes"):
         assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    """Incremental overview rollup: the streaming stateful twin must
+    converge to the batch last-wins + parent-aggregate result, with
+    the update log split across files in NON-seq order (max-merge
+    order independence)."""
+    n = 3000
+    updates = spark.sql(streaming.rollup_updates_cte(n, "spark"))
+    exp = (
+        streaming.rollup_updates(updates)
+        .toPandas()
+        .sort_values(["ptx", "pty"])
+        .reset_index(drop=True)
+    )
+
+    src = tmp_path / "updates_dir"
+    src.mkdir()
+    pdf = updates.toPandas()
+    # adversarial split: newest updates land in the FIRST file
+    chunks = [
+        pdf[pdf.seq >= 2000],
+        pdf[(pdf.seq >= 1000) & (pdf.seq < 2000)],
+        pdf[pdf.seq < 1000],
+    ]
+    for k, c in enumerate(chunks):
+        c.to_parquet(src / f"part-{k:03d}.parquet", index=False)
+
+    sdf = streaming.stream_rollup(spark, str(src), updates.schema)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    q.awaitTermination(120)
+    got_all = spark.table("rollup_stream").toPandas()
+    # keep-latest per parent (max max_seq emitted)
+    got = (
+        got_all.sort_values("max_seq")
+        .groupby(["ptx", "pty"], as_index=False)
+        .last()
+        .sort_values(["ptx", "pty"])
+        .reset_index(drop=True)[exp.columns.tolist()]
+    )
+    assert got.equals(exp), (got.head(), exp.head())
