@@ -60,6 +60,9 @@ HEADLINE = [
     "semdedup",
     "hll_distinct",
     "bm25_topk",
+    "str_pack",
+    "zorder_layout",
+    "overview_rollup_updates",
 ]
 
 
