@@ -1609,6 +1609,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
+        # test_ogrsf conformance harness: layer invariants, each side
+        # through an independent code path (apps/test_ogrsf.cpp)
+        "ogrsf_conformance": lambda spark, sf_dir: (
+            vector_ops.ogrsf_conformance(
+                spark, synth.n_images(sf_dir), synth.n_polygons(sf_dir)
+            )
+        ),
         # ogrmerge -single: N layers -> one layer, schema-unified,
         # provenance field (osgeo_utils/ogrmerge.py)
         "ogrmerge_single": lambda spark, sf_dir: vector_ops.ogrmerge_single(
@@ -1986,6 +1993,9 @@ def oracle_sql() -> dict[str, str]:
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
             _ORACLE_N_POLYGONS
+        ),
+        "ogrsf_conformance": vector_ops.oracle_ogrsf_conformance(
+            _ORACLE_N_IMAGES, _ORACLE_N_POLYGONS
         ),
         "gdal_create": translate.oracle_gdal_create(),
         "time_travel_read": tablefmt.oracle_time_travel(_ORACLE_N_IMAGES),

@@ -795,3 +795,115 @@ def oracle_ogrmerge_single(m: int) -> str:
         f"SELECT 'sites' AS src_layer, * "
         f"FROM ({synth.sites_cte(synth.N_SITES, 'duckdb')}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# test_ogrsf conformance harness (apps/test_ogrsf.cpp — the
+# reference's OGR layer self-check utility): run layer invariants
+# where each side of the comparison travels an INDEPENDENT code path,
+# so the harness cross-checks the engine against itself the way
+# test_ogrsf cross-checks a driver against the generic layer
+# implementations (feature count vs iteration, extent vs per-feature
+# envelopes, spatial filter vs brute force, attribute filter
+# partition).
+
+
+def ogrsf_conformance(spark, n_images: int, m: int) -> DataFrame:
+    """(check_name, lhs, rhs, passed) rows:
+
+    - fid_unique: count(*) vs count(distinct fid) on the polygon layer
+    - extent_*: layer_extent (WKB-decode envelope path) vs the
+      closed-form lattice corners (parameter path)
+    - spatial_filter_count: cell-indexed PIP join vs the broadcast
+      brute-force join (different candidate generators, same kernel)
+    - attr_filter_partition: filter + complement vs total
+    """
+    from pyspark.sql import functions as F
+
+    from .. import synth
+    from . import spatial_join as sj
+
+    n_pts = min(n_images, 4096)
+    polys = spark.sql(synth.polygons_sql_cte(m, "spark"))
+
+    c1 = polys.agg(
+        F.expr("cast(count(*) as bigint) AS lhs"),
+        F.expr("cast(count(distinct j) as bigint) AS rhs"),
+    ).selectExpr("'fid_unique' AS check_name", "lhs", "rhs")
+
+    latt = synth.lattice_df(spark).selectExpr(
+        "latt_id AS poly_id", "geom_wkb"
+    )
+    ext = layer_extent(latt)
+    k = "1000000.0E0"
+    ext_param = spark.sql(synth.lattice_cte("spark")).agg(
+        F.expr(f"cast(floor(min(lx0) * {k}) as bigint) AS minx_key"),
+        F.expr(f"cast(floor(min(ly0) * {k}) as bigint) AS miny_key"),
+        F.expr(f"cast(floor(max(lx1) * {k}) as bigint) AS maxx_key"),
+        F.expr(f"cast(floor(max(ly1) * {k}) as bigint) AS maxy_key"),
+    )
+    c2 = None
+    for axis in ("minx", "miny", "maxx", "maxy"):
+        row = ext.selectExpr(f"{axis}_key AS lhs").crossJoin(
+            ext_param.selectExpr(f"{axis}_key AS rhs")
+        ).selectExpr(f"'extent_{axis}' AS check_name", "lhs", "rhs")
+        c2 = row if c2 is None else c2.unionByName(row)
+
+    pts = synth.images_df(spark, n_pts).select("image_id", "lon", "lat")
+    latt2 = synth.lattice_df(spark)
+    fast = sj.spatial_join(
+        pts, latt2, poly_cols=["latt_id"], poly_count_hint=24
+    ).agg(F.expr("cast(count(*) as bigint) AS lhs"))
+    brute = sj.spatial_join_bruteforce(
+        pts, latt2, poly_cols=["latt_id"]
+    ).agg(F.expr("cast(count(*) as bigint) AS rhs"))
+    c3 = fast.crossJoin(brute).selectExpr(
+        "'spatial_filter_count' AS check_name", "lhs", "rhs"
+    )
+
+    c4 = polys.agg(
+        F.expr(
+            "cast(count_if(category = 'forest') "
+            "+ count_if(category <> 'forest') as bigint) AS lhs"
+        ),
+        F.expr("cast(count(*) as bigint) AS rhs"),
+    ).selectExpr("'attr_filter_partition' AS check_name", "lhs", "rhs")
+
+    out = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    return out.selectExpr(
+        "check_name", "lhs", "rhs", "cast(lhs = rhs as int) AS passed"
+    )
+
+
+def oracle_ogrsf_conformance(n_images: int, m: int) -> str:
+    """Closed-form replay: each check's TRUE value on both sides."""
+    from .. import synth
+
+    n_pts = min(n_images, 4096)
+    k = "1000000.0E0"
+    return (
+        f"WITH img AS (SELECT * FROM ({synth.images_cte(n_pts, 'duckdb')})), "
+        f"latt AS ({synth.lattice_cte('duckdb')}), "
+        f"pip AS (SELECT count(*) AS c FROM img JOIN latt "
+        f"ON img.lon > latt.lx0 AND img.lon < latt.lx1 "
+        f"AND img.lat > latt.ly0 AND img.lat < latt.ly1) "
+        f"SELECT 'fid_unique' AS check_name, cast({m} as bigint) AS lhs, "
+        f"cast({m} as bigint) AS rhs, 1 AS passed "
+        f"UNION ALL SELECT 'extent_minx', "
+        f"(SELECT cast(floor(min(lx0) * {k}) as bigint) FROM latt), "
+        f"(SELECT cast(floor(min(lx0) * {k}) as bigint) FROM latt), 1 "
+        f"UNION ALL SELECT 'extent_miny', "
+        f"(SELECT cast(floor(min(ly0) * {k}) as bigint) FROM latt), "
+        f"(SELECT cast(floor(min(ly0) * {k}) as bigint) FROM latt), 1 "
+        f"UNION ALL SELECT 'extent_maxx', "
+        f"(SELECT cast(floor(max(lx1) * {k}) as bigint) FROM latt), "
+        f"(SELECT cast(floor(max(lx1) * {k}) as bigint) FROM latt), 1 "
+        f"UNION ALL SELECT 'extent_maxy', "
+        f"(SELECT cast(floor(max(ly1) * {k}) as bigint) FROM latt), "
+        f"(SELECT cast(floor(max(ly1) * {k}) as bigint) FROM latt), 1 "
+        f"UNION ALL SELECT 'spatial_filter_count', "
+        f"(SELECT cast(c as bigint) FROM pip), "
+        f"(SELECT cast(c as bigint) FROM pip), 1 "
+        f"UNION ALL SELECT 'attr_filter_partition', "
+        f"cast({m} as bigint), cast({m} as bigint), 1"
+    )

@@ -1362,3 +1362,16 @@ def test_zorder_key_is_morton_bijection(spark):
     assert len({z for _, _, z in out.itertuples(index=False)}) == len(
         {(tx, ty) for tx, ty in tiles}
     )
+
+
+def test_ogrsf_conformance_all_pass(spark):
+    """Every layer-conformance invariant must hold — in particular
+    the cell-indexed spatial join and the brute-force join must
+    agree exactly (independent candidate generators)."""
+    from gdal_spark.operators import vector_ops
+
+    out = vector_ops.ogrsf_conformance(spark, 256, 64).toPandas()
+    assert len(out) == 7
+    bad = out[out.passed != 1]
+    assert bad.empty, bad.to_dict("records")
+    assert (out.lhs == out.rhs).all()
