@@ -402,3 +402,38 @@ def test_wkb_polygon_roundtrip(pts, nholes):
     assert got_ext == want
     assert got_ext[0] == got_ext[-1]
     assert len(rings) == 1 + nholes
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=0.5, max_value=31.5),
+            st.floats(min_value=0.5, max_value=31.5),
+        ),
+        min_size=3,
+        max_size=3,
+    )
+)
+def test_scanline_fill_matches_pixel_center_pip(pts):
+    """GDALRasterizeGeometries default semantics: a pixel burns iff
+    its CENTER is inside the polygon — the scanline fill must agree
+    with the even-odd PIP kernel at every pixel center (random
+    triangles; centers exactly on an edge are measure-zero for these
+    draws)."""
+    from gdal_spark import scanline
+
+    tri = np.array(pts, dtype=np.float64)
+    assume(_tri_area(pts) > 2.0)
+    # keep centers off the edges: skip examples with a center within
+    # 1e-6 of the linework
+    arr = np.zeros((32, 32), dtype=np.float64)
+    scanline.fill_polygon(arr, [tri], 1.0)
+    cy, cx = np.meshgrid(
+        np.arange(32) + 0.5, np.arange(32) + 0.5, indexing="ij"
+    )
+    d = _min_seg_dist(cx.ravel(), cy.ravel(), tri)
+    inside = geom.points_in_rings(cx.ravel(), cy.ravel(), [tri])
+    ok = d > 1e-6
+    got = arr.ravel() > 0
+    assert np.array_equal(got[ok], inside[ok])
