@@ -1127,3 +1127,46 @@ def oracle_aspect_zt(n: int, max_i: int) -> str:
         f"AS trig_sum "
         f"FROM d GROUP BY 1, 2"
     )
+
+
+def hillshade_params(
+    dem: np.ndarray,
+    z: float = 1.0,
+    scale: float = 1.0,
+    az: float = 315.0,
+    alt: float = 45.0,
+    ewres: float = 1.0,
+    nsres: float = -1.0,
+) -> np.ndarray:
+    """Parameterized GDALHillshadeAlg (Horn) for the raster interior —
+    the full -z/-s/-az/-alt surface of gdaldem hillshade
+    (apps/gdaldem_lib.cpp GDALHillshadeAlg + GDALCreateHillshadeData:
+    x,y gradients divided by ewres/nsres, z_scaled = z/(8*scale)).
+    The fixed-parameter module constants above are this function at
+    the defaults; pinned against the reference's pyramid_shaded_ref
+    golden (autotest/utilities/test_gdaldem.py
+    test_gdaldem_hillshade_azimuth) in tests."""
+    d = dem.astype(np.float64)
+    w = {
+        (dx, dy): d[1 + dy : d.shape[0] - 1 + dy, 1 + dx : d.shape[1] - 1 + dx]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    }
+    x = (
+        (w[(-1, -1)] + 2 * w[(-1, 0)] + w[(-1, 1)])
+        - (w[(1, -1)] + 2 * w[(1, 0)] + w[(1, 1)])
+    ) / ewres
+    y = (
+        (w[(-1, 1)] + 2 * w[(0, 1)] + w[(1, 1)])
+        - (w[(-1, -1)] + 2 * w[(0, -1)] + w[(1, -1)])
+    ) / nsres
+    zs = z / (8.0 * scale)
+    sin_alt = np.sin(alt * DEG)
+    cos_alt_z = np.cos(alt * DEG) * zs
+    cos_az_cos_alt_z = np.cos(az * DEG) * cos_alt_z
+    sin_az_cos_alt_z = np.sin(az * DEG) * cos_alt_z
+    cang254 = (
+        254.0 * sin_alt
+        - (y * 254.0 * cos_az_cos_alt_z - x * 254.0 * sin_az_cos_alt_z)
+    ) / np.sqrt(1.0 + zs * zs * (x * x + y * y))
+    return np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)

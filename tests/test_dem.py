@@ -100,3 +100,31 @@ def test_tri_riley_vs_naive_and_wilson():
             assert got[y - 1, x - 1] == exp
     wilson = dem.window_features(d)["tri"]
     assert (got >= wilson).all()  # RMS-like >= mean of |diff| * ... holds here
+
+
+def test_hillshade_params_pyramid_golden():
+    """Reference golden: gdaldem hillshade -s 111120 -z 100 -az 90 of
+    the 100x100 pyramid DEM must match pyramid_shaded_ref.tif
+    (autotest/utilities/test_gdaldem.py test_gdaldem_hillshade_azimuth,
+    compare_ds tolerance maxdiff <= 1); interior compared — the
+    reference leaves a 1-px edge ring at its no-computation value."""
+    import numpy as np
+
+    from gdal_spark.operators import dem as demmod
+    from tests import tiffio
+
+    ref = tiffio.read_tiff(
+        "/root/reference/autotest/utilities/data/pyramid_shaded_ref.tif"
+    )
+    if ref.ndim == 3:
+        ref = ref[:, :, 0]
+    i, j = np.meshgrid(np.arange(100), np.arange(100), indexing="xy")
+    dem_arr = 255 - 5 * np.maximum(np.abs(50 - i), np.abs(50 - j))
+    shade = demmod.hillshade_params(
+        dem_arr, z=100.0, scale=111120.0, az=90.0, alt=45.0,
+        ewres=0.01, nsres=-0.01,
+    )
+    got = np.floor(shade.astype(np.float32) + 0.5).astype(np.int64)
+    want = ref[1:99, 1:99].astype(np.int64)
+    maxdiff = int(np.abs(got - want).max())
+    assert maxdiff <= 1, maxdiff
