@@ -193,15 +193,23 @@ TOP_BIGRAM_PPM = 180_000  # modal bigram > 18% of bigram slots
 
 
 def bigrams_sql(dialect: str, toks: str = "toks") -> str:
-    """Adjacent-token bigram list ('tok_k tok_k+1')."""
+    """Adjacent-token bigram list ('tok_k tok_k+1').
+
+    Spark shape: slice + zip_with, NOT transform-over-sequence with
+    element_at — Catalyst inlines the ``toks`` projection into the
+    consumer and common-subexpression elimination does not reach
+    inside lambda bodies, so each element_at re-evaluates the whole
+    filter(split(text)) chain: O(n_tokens^2) splits per document
+    (measured: 6.8 s of the 8.4 s sf0.1 repetition_profile was the
+    bigram explode alone). slice evaluates the array argument once
+    per row."""
     if dialect == "spark":
-        # guard: Spark's sequence(1, 0) DESCENDS instead of emitting
-        # empty, so short docs need the explicit empty branch
+        # guard: size<2 would hand slice a negative length
         return (
             f"(CASE WHEN size({toks}) < 2 THEN array() "
-            f"ELSE transform(sequence(1, size({toks}) - 1), "
-            f"k -> concat(element_at({toks}, k), ' ', "
-            f"element_at({toks}, k + 1))) END)"
+            f"ELSE zip_with(slice({toks}, 1, size({toks}) - 1), "
+            f"slice({toks}, 2, size({toks}) - 1), "
+            f"(a, b) -> concat(a, ' ', b)) END)"
         )
     return (
         f"list_transform(range(1, len({toks})), "
@@ -235,6 +243,15 @@ def _modal_gram(grams: DataFrame, prefix: str) -> DataFrame:
     from pyspark.sql import Window
 
     counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    # user-numbered repartition ahead of the per-doc window: AQE
+    # coalesces the small-byte-size gram counts to ONE partition and
+    # the window then sorts every (doc, gram) row in a single task
+    # (measured 6-8 s of the 8.4 s sf0.1 repetition_profile; the same
+    # trap as the r3 overlay fix — AQE cannot coalesce an explicit
+    # user repartition, and the window reuses this exchange)
+    counts = counts.repartition(
+        counts.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("g"))
     return (
         counts.withColumn("rk", F.row_number().over(w))
@@ -989,14 +1006,17 @@ def trigrams_sql(dialect: str, toks: str = "toks") -> str:
     cardinality a sketch is FOR, and shingle-set cardinality is the
     quantity dedup pipelines actually track)."""
     if dialect == "spark":
-        # guard: Spark's sequence(1, 0) DESCENDS instead of emitting
-        # empty, so short docs need the explicit empty branch
+        # slice + chained zip_with for the same O(n^2)-inlining
+        # reason as bigrams_sql; size<3 would hand slice a negative
+        # length
         return (
             f"(CASE WHEN size({toks}) < 3 THEN array() "
-            f"ELSE transform(sequence(1, size({toks}) - 2), "
-            f"k -> concat(element_at({toks}, k), ' ', "
-            f"element_at({toks}, k + 1), ' ', "
-            f"element_at({toks}, k + 2))) END)"
+            f"ELSE zip_with(zip_with("
+            f"slice({toks}, 1, size({toks}) - 2), "
+            f"slice({toks}, 2, size({toks}) - 2), "
+            f"(a, b) -> concat(a, ' ', b)), "
+            f"slice({toks}, 3, size({toks}) - 2), "
+            f"(ab, c) -> concat(ab, ' ', c)) END)"
         )
     return (
         f"list_transform(range(1, len({toks}) - 1), "
