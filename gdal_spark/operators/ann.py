@@ -133,9 +133,16 @@ def lsh_buckets(emb: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLAN
     hash table. Explode over (table, plane, dim), two tree
     aggregations — all map-side combinable."""
     v = _vectors(emb).selectExpr("vec_id", "vs")
-    # fan out over (table, plane) x dim with explode(sequence(...)):
-    # map-only (no join nodes at all), unlike a crossJoin which
-    # compiles to BroadcastNestedLoopJoin
+    # fan out over (table, plane) with explode(sequence(...)): map-only
+    # (no join nodes at all), unlike a crossJoin which compiles to
+    # BroadcastNestedLoopJoin. The per-plane dot against the sign
+    # pattern is a zip_with fold, NOT a per-dim explode + element_at:
+    # Catalyst inlines the vs projection into consumers and CSE does
+    # not reach inside lambdas, so element_at per exploded dim row
+    # re-evaluated the whole scaled-vector transform DIM times per
+    # term (and the dim explode itself was a 64x row fan-out feeding
+    # an extra shuffle).
+    sign = _plane_sign_sql()
     terms = (
         v.selectExpr(
             "vec_id", "vs",
@@ -147,16 +154,15 @@ def lsh_buckets(emb: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLAN
             f"cast(tp % {planes} as bigint) AS j",
         )
         .selectExpr(
-            "vec_id", "t", "j", "vs",
-            f"explode(sequence(0, {DIM - 1})) AS d",
-        )
-        .selectExpr(
             "vec_id", "t", "j",
-            f"element_at(vs, cast(d + 1 as int)) * {_plane_sign_sql()} AS term",
+            f"aggregate(zip_with(vs, "
+            f"transform(sequence(0, {DIM - 1}), d -> {sign}), "
+            f"(x, s) -> x * s), cast(0 as bigint), (acc, x) -> acc + x) "
+            f"AS tsum",
         )
     )
-    bits = terms.groupBy("vec_id", "t", "j").agg(
-        F.expr("cast(sum(term) >= 0 as bigint) AS bit")
+    bits = terms.selectExpr(
+        "vec_id", "t", "j", "cast(tsum >= 0 as bigint) AS bit"
     )
     return bits.groupBy("vec_id", "t").agg(
         F.expr("sum(shiftleft(bit, cast(j as int))) AS bucket")
