@@ -437,3 +437,72 @@ def test_scanline_fill_matches_pixel_center_pip(pts):
     ok = d > 1e-6
     got = arr.ravel() > 0
     assert np.array_equal(got[ok], inside[ok])
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_viewshed_los_monotone_under_terrain_lowering(seed):
+    """Line-of-sight monotonicity: lowering any intermediate terrain
+    cell can never make a visible target invisible (GDALViewshed's
+    defining invariant)."""
+    from gdal_spark.operators import viewshed as vs
+
+    rng = np.random.default_rng(seed)
+    dem = rng.integers(0, 50, size=(15, 15)).astype(np.float64)
+    ox, oy = 7, 7
+    targets = [(int(rng.integers(0, 15)), int(rng.integers(0, 15)))
+               for _ in range(10)]
+    low = dem.copy()
+    cells = rng.integers(0, 15, size=(8, 2))
+    for cy, cx in cells:
+        if (cx, cy) != (ox, oy) and (cx, cy) not in targets:
+            low[cy, cx] -= rng.integers(1, 20)
+    for tx, ty in targets:
+        if (tx, ty) == (ox, oy):
+            continue
+        if (low[ty, tx] == dem[ty, tx]) and vs.los_visible(dem, ox, oy, tx, ty):
+            assert vs.los_visible(low, ox, oy, tx, ty), (seed, tx, ty)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       threshold=st.integers(min_value=2, max_value=6))
+def test_sieve_removes_small_and_preserves_large(seed, threshold):
+    """GDALSieveFilter invariants: after sieving, no connected
+    component smaller than the threshold remains, and components
+    already >= threshold keep their value footprint."""
+    from gdal_spark.operators import sieve as sv
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 3, size=(20, 20)).astype(np.int64)
+    out = sv.sieve_filter(vals.copy(), threshold)
+
+    def components(a):
+        seen = np.zeros(a.shape, bool)
+        comps = []
+        for y in range(a.shape[0]):
+            for x in range(a.shape[1]):
+                if seen[y, x]:
+                    continue
+                stack, cells = [(y, x)], []
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    cells.append((cy, cx))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if (0 <= ny < a.shape[0] and 0 <= nx < a.shape[1]
+                                and not seen[ny, nx]
+                                and a[ny, nx] == a[cy, cx]):
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                comps.append(cells)
+        return comps
+
+    for cells in components(out):
+        assert len(cells) >= min(threshold, 400), len(cells)
+    for cells in components(vals):
+        if len(cells) >= threshold:
+            y0, x0 = cells[0]
+            for y, x in cells:
+                assert out[y, x] == vals[y0, x0]
