@@ -506,3 +506,33 @@ def test_sieve_removes_small_and_preserves_large(seed, threshold):
             y0, x0 = cells[0]
             for y, x in cells:
                 assert out[y, x] == vals[y0, x0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_tps_interpolates_control_points(seed):
+    """Thin-plate spline fundamental property: the fitted surface
+    passes EXACTLY through its control points, and reduces to the
+    affine map when the targets are affine in the sources."""
+    from gdal_spark import gcp
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 12))
+    px = rng.uniform(0, 100, n)
+    py = rng.uniform(0, 100, n)
+    # min pairwise separation so the RBF system is well-conditioned
+    d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    assume(d2.min() > 1.0)
+    t = rng.uniform(-500, 500, n)
+    sol = gcp.tps_fit(px, py, t)
+    got = gcp.tps_apply_np(sol, px, py, px, py)
+    assert np.allclose(got, t, atol=1e-6 * max(1.0, np.abs(t).max()))
+    # affine targets -> affine surface everywhere
+    a, b, c = rng.uniform(-3, 3, 3)
+    sol2 = gcp.tps_fit(px, py, a + b * px + c * py)
+    qx = rng.uniform(0, 100, 20)
+    qy = rng.uniform(0, 100, 20)
+    got2 = gcp.tps_apply_np(sol2, px, py, qx, qy)
+    want2 = a + b * qx + c * qy
+    assert np.allclose(got2, want2, atol=1e-5 * max(1.0, np.abs(want2).max()))
