@@ -1375,3 +1375,30 @@ def test_ogrsf_conformance_all_pass(spark):
     bad = out[out.passed != 1]
     assert bad.empty, bad.to_dict("records")
     assert (out.lhs == out.rhs).all()
+
+
+def test_adaptive_cells_bounds_extreme_skew(spark):
+    """90% of rows in one 0.05-degree cell: adaptive splitting must
+    re-key every hot row at the fine zoom and bring the max per-cell
+    cardinality under the threshold (the bounded-per-key contract
+    downstream grouped-map stages rely on)."""
+    from gdal_spark.operators import skew
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CASE WHEN id % 10 < 9 "
+        "THEN 11.2E0 + 0.05E0 * (cast((id * 7919) % 997 as double) / 997.0E0) "
+        "ELSE -170.0E0 + 340.0E0 * (cast(id % 1009 as double) / 1009.0E0) "
+        "END AS lon",
+        "CASE WHEN id % 10 < 9 "
+        "THEN 48.1E0 + 0.05E0 * (cast((id * 104729) % 991 as double) / 991.0E0) "
+        "ELSE -80.0E0 + 160.0E0 * (cast(id % 1013 as double) / 1013.0E0) "
+        "END AS lat",
+    )
+    out = skew.adaptive_cells(df, base_zoom=8, fine_zoom=16, threshold=500)
+    counts = out.groupBy("cell_id").count().toPandas()
+    assert counts["count"].sum() == n
+    assert counts["count"].max() <= 500, counts["count"].max()
+    zooms = out.groupBy("cell_zoom").count().toPandas().set_index("cell_zoom")
+    assert zooms.loc[16, "count"] == 18_000  # every hot row re-keyed
