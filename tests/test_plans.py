@@ -429,3 +429,26 @@ def test_semdedup_no_cartesian(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     s = plan(ann.semdedup(emb))
     assert "CartesianProduct" not in s
+
+
+def test_bm25_is_top_k_not_global_sort(spark):
+    """BM25 ranking must compile to a distributed top-k
+    (TakeOrderedAndProject), not a global sort, and the per-term tf
+    columns must come from one map pass (no explode-shuffle: the only
+    exchanges are the single-row stats aggregate and the top-k)."""
+    from gdal_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan(textops.bm25_topk(docs))
+    assert "TakeOrderedAndProject" in s
+    assert "Generate explode" not in s
+
+
+def test_hll_registers_partial_max(spark):
+    """The HLL register table must combine map-side (partial_max
+    before the exchange) — the <=m-rows-per-partition shuffle claim."""
+    from gdal_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan(textops.hll_distinct(docs))
+    assert "partial_max" in s or "partial max" in s.lower()
