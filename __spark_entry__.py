@@ -1123,6 +1123,12 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   (they are appended to this comment as built).
 # Everything past the cap stays locally gated by
 # tools/check_oracle.py every round.
+# Round-5 rotation candidates (registered late in r4, after this
+# window was frozen; all local-gate green — see tools/check_oracle):
+# semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
+# time_travel_read, mdim_translate, mdim_transpose, str_pack,
+# zorder_layout, overview_rollup_updates, ogrsf_conformance, plus a
+# re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
