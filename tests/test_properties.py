@@ -536,3 +536,22 @@ def test_tps_interpolates_control_points(seed):
     got2 = gcp.tps_apply_np(sol2, px, py, qx, qy)
     want2 = a + b * qx + c * qy
     assert np.allclose(got2, want2, atol=1e-5 * max(1.0, np.abs(want2).max()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_proximity_metric_properties(seed):
+    """Proximity transform invariants: zero exactly at targets,
+    1-Lipschitz in the euclidean metric between neighboring pixels
+    (|sqrt(d2(p)) - sqrt(d2(q))| <= |p-q|), and capped at maxdist^2."""
+    from gdal_spark.operators import proximity
+
+    rng = np.random.default_rng(seed)
+    targets = (rng.random((16, 16)) < 0.05).astype(np.int64)
+    vals = np.ones((16, 16), dtype=np.int64)
+    out = proximity.proximity_d2(vals, targets, maxdist=10)
+    assert (out[targets > 0] == 0).all()
+    assert out.max() <= 100
+    d = np.sqrt(np.minimum(out, 100).astype(np.float64))
+    assert (np.abs(d[1:, :] - d[:-1, :]) <= 1.0 + 1e-9).all()
+    assert (np.abs(d[:, 1:] - d[:, :-1]) <= 1.0 + 1e-9).all()
