@@ -22,6 +22,7 @@ from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantiz
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import cog as cogop
 from gdal_spark.operators import footprint as fpop
+from gdal_spark.operators import buffer as bufop
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
@@ -1127,8 +1128,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window was frozen; all local-gate green — see tools/check_oracle):
 # semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
-# zorder_layout, overview_rollup_updates, ogrsf_conformance, plus a
-# re-verify sample of r02-r04 greens.
+# zorder_layout, overview_rollup_updates, ogrsf_conformance,
+# geom_buffer, dsir_select, plus a re-verify sample of r02-r04
+# greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1612,6 +1614,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "makevalid": lambda spark, sf_dir: mkv.makevalid_query(
             spark, synth.n_polygons(sf_dir)
         ),
+        # OGRGeometry::Buffer (ogr/ogrgeometry.cpp; GEOS-backed in the
+        # reference): Minkowski disc dilation, inscribed-arc
+        # discretization — convex direct path on the box subset is
+        # bit-replayed by the closed-form vertex oracle
+        "geom_buffer": lambda spark, sf_dir: bufop.buffer_query(
+            spark, synth.n_polygons(sf_dir)
+        ),
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
@@ -1996,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _MM_MAX_I
         ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
+        "geom_buffer": bufop.oracle_buffer(_ORACLE_N_POLYGONS),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
             _ORACLE_N_POLYGONS
