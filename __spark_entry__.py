@@ -23,6 +23,7 @@ from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import cog as cogop
 from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import buffer as bufop
+from gdal_spark.operators import dsir
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
@@ -1621,6 +1622,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_buffer": lambda spark, sf_dir: bufop.buffer_query(
             spark, synth.n_polygons(sf_dir)
         ),
+        # DSIR data selection (Xie 2023): hashed-n-gram importance
+        # weights toward the lang='en' target slice, top-k resample
+        "dsir_select": lambda spark, sf_dir: dsir.dsir_select(
+            _docs(spark, sf_dir)
+        ),
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
@@ -2006,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "geom_buffer": bufop.oracle_buffer(_ORACLE_N_POLYGONS),
+        "dsir_select": dsir.oracle_dsir(),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
             _ORACLE_N_POLYGONS
