@@ -22,6 +22,7 @@ from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantiz
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import cog as cogop
 from gdal_spark.operators import footprint as fpop
+from gdal_spark.operators import bpe as bpeop
 from gdal_spark.operators import buffer as bufop
 from gdal_spark.operators import dsir
 from gdal_spark.operators import makevalid as mkv
@@ -1130,8 +1131,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
-# geom_buffer, dsir_select, plus a re-verify sample of r02-r04
-# greens.
+# geom_buffer, dsir_select, bpe_merges, plus a re-verify sample of
+# r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1627,6 +1628,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": lambda spark, sf_dir: dsir.dsir_select(
             _docs(spark, sf_dir)
         ),
+        # BPE merge learning (Sennrich 2016): distinct-word table +
+        # R merge rounds, exact left-to-right replay both engines
+        "bpe_merges": lambda spark, sf_dir: bpeop.bpe_query(
+            spark, _docs(spark, sf_dir)
+        ),
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
@@ -2013,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "geom_buffer": bufop.oracle_buffer(_ORACLE_N_POLYGONS),
         "dsir_select": dsir.oracle_dsir(),
+        "bpe_merges": bpeop.oracle_bpe(),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
             _ORACLE_N_POLYGONS
