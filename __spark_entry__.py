@@ -1131,8 +1131,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
-# geom_buffer, dsir_select, bpe_merges, plus a re-verify sample of
-# r02-r04 greens.
+# geom_buffer, dsir_select, bpe_merges, bpe_encode, plus a re-verify
+# sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1633,6 +1633,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": lambda spark, sf_dir: bpeop.bpe_query(
             spark, _docs(spark, sf_dir)
         ),
+        # BPE encoding: rank-ordered merge application (exact — see
+        # bpe.py proof), corpus scanned once + broadcast vocab join
+        "bpe_encode": lambda spark, sf_dir: bpeop.bpe_encode_query(
+            spark, _docs(spark, sf_dir)
+        ),
         "wrapdateline": lambda spark, sf_dir: vector_ops.wrapdateline_query(
             spark, synth.n_polygons(sf_dir)
         ),
@@ -2020,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_buffer": bufop.oracle_buffer(_ORACLE_N_POLYGONS),
         "dsir_select": dsir.oracle_dsir(),
         "bpe_merges": bpeop.oracle_bpe(),
+        "bpe_encode": bpeop.oracle_bpe_encode(),
         "wrapdateline": vector_ops.oracle_wrapdateline(_ORACLE_N_POLYGONS),
         "ogrmerge_single": vector_ops.oracle_ogrmerge_single(
             _ORACLE_N_POLYGONS

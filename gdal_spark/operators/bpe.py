@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .textops import tokens_sql
+from .textops import HASH_P, tokens_sql
 
 N_MERGES = 12
 _W = 7  # token digit width; max code point 0x10FFFF = 1,114,111 < 9e6
@@ -93,20 +93,17 @@ def _tok(dialect: str, id_expr: str) -> str:
     return f"concat(';', lpad(cast({id_expr} as {cast_t}), {_W}, '0'))"
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int = N_MERGES
+def _train_words(
+    docs: DataFrame, n_merges: int
 ) -> tuple[DataFrame, list[dict]]:
-    """Learn ``n_merges`` BPE merges from the documents' text.
-
-    Returns (merges_df, merges_list): one row per merge —
-    (rank, a_id, b_id, new_id, pair_count, a_sym, b_sym, new_sym)
-    where the ``*_sym`` columns are the decoded surface strings."""
-    spark = docs.sparkSession
+    """Run the merge-learning rounds; returns (words, merges) where
+    ``words`` is the final distinct-word table (w, enc, cnt) with all
+    merges applied to ``enc``."""
     words = (
         docs.selectExpr(f"explode({tokens_sql('spark')}) AS w")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .selectExpr(f"{_enc_sql('spark', 'w')} AS enc", "cnt")
+        .selectExpr("w", f"{_enc_sql('spark', 'w')} AS enc", "cnt")
         .localCheckpoint()
     )
     surface: dict[int, str] = {}
@@ -144,12 +141,26 @@ def bpe_train(
             }
         )
         words = words.select(
+            "w",
             F.expr(
                 f"replace(enc, ';{a:0{_W}d};{b:0{_W}d}', "
                 f"';{new_id:0{_W}d}') AS enc"
             ),
             "cnt",
         ).localCheckpoint()
+    return words, merges
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> tuple[DataFrame, list[dict]]:
+    """Learn ``n_merges`` BPE merges from the documents' text.
+
+    Returns (merges_df, merges_list): one row per merge —
+    (rank, a_id, b_id, new_id, pair_count, a_sym, b_sym, new_sym)
+    where the ``*_sym`` columns are the decoded surface strings."""
+    spark = docs.sparkSession
+    _, merges = _train_words(docs, n_merges)
     schema = (
         "rank bigint, a_id bigint, b_id bigint, new_id bigint, "
         "pair_count bigint, a_sym string, b_sym string, new_sym string"
@@ -178,12 +189,14 @@ def bpe_query(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return df.select("rank", "a_id", "b_id", "new_id", "pair_count")
 
 
-def oracle_bpe(n_merges: int = N_MERGES) -> str:
+def _oracle_stages(n_merges: int) -> tuple[list[str], list[str]]:
+    """The unrolled training pipeline: returns (stages, merge_rows);
+    w{n_merges} is the final word table (w, enc, cnt)."""
     d = "duckdb"
     stages = [
-        f"w0 AS MATERIALIZED (SELECT {_enc_sql(d, 'w')} AS enc, "
+        f"w0 AS MATERIALIZED (SELECT w, {_enc_sql(d, 'w')} AS enc, "
         f"cast(count(*) as bigint) AS cnt FROM (SELECT unnest("
-        f"{tokens_sql(d)}) AS w FROM documents) GROUP BY 1)"
+        f"{tokens_sql(d)}) AS w FROM documents) GROUP BY w)"
     ]
     merge_rows = []
     for r in range(n_merges):
@@ -200,7 +213,7 @@ def oracle_bpe(n_merges: int = N_MERGES) -> str:
         )
         new_tok = f"';{_NEW_BASE + r:0{_W}d}'"
         stages.append(
-            f"w{r + 1} AS MATERIALIZED (SELECT replace(w{r}.enc, "
+            f"w{r + 1} AS MATERIALIZED (SELECT w{r}.w, replace(w{r}.enc, "
             f"{_tok(d, 'm.a')} || {_tok(d, 'm.b')}, {new_tok}) AS enc, "
             f"w{r}.cnt FROM w{r}, m{r} m)"
         )
@@ -209,4 +222,95 @@ def oracle_bpe(n_merges: int = N_MERGES) -> str:
             f"cast({_NEW_BASE + r} as bigint) AS new_id, "
             f"n AS pair_count FROM m{r}"
         )
+    return stages, merge_rows
+
+
+def oracle_bpe(n_merges: int = N_MERGES) -> str:
+    stages, merge_rows = _oracle_stages(n_merges)
     return "WITH " + ", ".join(stages) + " " + " UNION ALL ".join(merge_rows)
+
+
+# ---------------------------------------------------------------------------
+# encoding (inference): apply the learned merges to the corpus.
+# A single rank-ordered pass of the replace chain is EXACT BPE
+# encoding: merged ids are fresh, so a later merge can never create
+# an occurrence of an earlier pair (its output symbol did not exist
+# when the earlier pair was learned), and replace() already applies
+# one merge's occurrences greedily left-to-right. The corpus-side
+# cost is a broadcast join against the vocabulary-sized word table —
+# the corpus is scanned ONCE and never carries symbol arrays through
+# a shuffle.
+
+
+def _word_key_exprs(dialect: str) -> tuple[str, str]:
+    """(n_sym, word_fp) fragments over an encoded word ``enc``:
+    symbol count and the rolling hash of the symbol-id list."""
+    ids = _ids_sql(dialect, "enc")
+    if dialect == "spark":
+        n = f"size({ids})"
+        fp = (
+            f"aggregate({ids}, cast(7 as bigint), "
+            f"(acc, x) -> (acc * 31 + x) % {HASH_P})"
+        )
+    else:
+        n = f"len({ids})"
+        fp = (
+            f"list_reduce(list_prepend(cast(7 as bigint), {ids}), "
+            f"(acc, x) -> (acc * 31 + x) % {HASH_P})"
+        )
+    return f"cast({n} as bigint)", fp
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens, ids_key): per-document BPE
+    token count after ``n_merges`` learned merges, plus an exact
+    integer sequence key — sum over word positions of
+    ((pos+1) * word_fp) % P, order-free to aggregate yet
+    position-sensitive."""
+    spark = docs.sparkSession
+    words, _ = _train_words(docs, n_merges)
+    n_sym, fp = _word_key_exprs("spark")
+    wk = words.selectExpr("w", f"{n_sym} AS n_sym", f"{fp} AS word_fp")
+    tok = docs.selectExpr(
+        "doc_id", f"posexplode({tokens_sql('spark')}) AS (pos, w)"
+    )
+    return (
+        tok.join(F.broadcast(wk), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum(
+                F.expr(f"((pos + 1) * word_fp) % {HASH_P}")
+            ).cast("long").alias("ids_key"),
+        )
+    )
+
+
+def bpe_encode_query(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    return bpe_encode(docs)
+
+
+def oracle_bpe_encode(n_merges: int = N_MERGES) -> str:
+    stages, _ = _oracle_stages(n_merges)
+    n_sym, fp = _word_key_exprs("duckdb")
+    stages.append(
+        f"wk AS MATERIALIZED (SELECT w, {n_sym} AS n_sym, {fp} AS word_fp "
+        f"FROM w{n_merges})"
+    )
+    stages.append(
+        "tok AS MATERIALIZED (SELECT doc_id, t.pos AS pos, t.w AS w FROM "
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), "
+        "k -> struct_pack(pos := k - 1, w := toks[k]))) AS t FROM "
+        f"(SELECT doc_id, {tokens_sql('duckdb')} AS toks FROM documents)))"
+    )
+    return (
+        "WITH "
+        + ", ".join(stages)
+        + " SELECT doc_id, cast(count(*) as bigint) AS n_words, "
+        "cast(sum(n_sym) as bigint) AS n_bpe_tokens, "
+        f"cast(sum(((pos + 1) * word_fp) % {HASH_P}) as bigint) AS ids_key "
+        "FROM tok JOIN wk ON tok.w = wk.w GROUP BY doc_id"
+    )

@@ -100,6 +100,69 @@ def test_bpe_surface_strings_compose(spark):
         assert len(m["new_sym"]) >= 2
 
 
+def _ref_encode(word_counts, merges):
+    """Reference encoder: Sennrich loop — repeatedly apply the
+    LOWEST-rank merge present anywhere in the word until none apply
+    (not the operator's single rank-ordered pass)."""
+    out = {}
+    ranks = {(a, b): (r, new) for r, a, b, new, _ in merges}
+    for w in word_counts:
+        syms = [ord(c) for c in w]
+        while True:
+            best = None
+            for a, b in zip(syms, syms[1:]):
+                if (a, b) in ranks:
+                    r, new = ranks[(a, b)]
+                    if best is None or r < best[0]:
+                        best = (r, a, b, new)
+            if best is None:
+                break
+            _, a, b, new = best
+            nxt, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    nxt.append(new)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        out[w] = syms
+    return out
+
+
+def test_bpe_encode_matches_sennrich_loop(spark):
+    # the operator encodes via ONE rank-ordered replace pass; the
+    # reference runs the full lowest-rank-first fixpoint loop — they
+    # must agree (fresh-id argument in bpe.py)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wc = _word_counts(spark)
+    _, merges = bpe.bpe_train(docs, n_merges=10)
+    mg = [
+        (m["rank"], m["a_id"], m["b_id"], m["new_id"], m["pair_count"])
+        for m in merges
+    ]
+    enc = _ref_encode(wc, mg)
+    # per-doc expected keys from the reference encoding
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = {}
+    for doc_id, t in zip(pdf.doc_id, pdf.text):
+        toks = [w for w in t.split(" ") if w]
+        n_bpe = sum(len(enc[w]) for w in toks)
+        key = 0
+        for pos, w in enumerate(toks):
+            fp = 7
+            for x in enc[w]:
+                fp = (fp * 31 + x) % bpe.HASH_P
+            key += ((pos + 1) * fp) % bpe.HASH_P
+        want[doc_id] = (len(toks), n_bpe, key)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.ids_key)
+        for r in bpe.bpe_encode(docs, n_merges=10).collect()
+    }
+    assert got == want
+
+
 def test_bpe_oracle_sql_parity_small(spark):
     duckdb = pytest.importorskip("duckdb")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
