@@ -1131,8 +1131,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
-# geom_buffer, dsir_select, bpe_merges, bpe_encode, plus a re-verify
-# sample of r02-r04 greens.
+# geom_buffer, geom_buffer_negative, dsir_select, bpe_merges,
+# bpe_encode, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1623,6 +1623,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_buffer": lambda spark, sf_dir: bufop.buffer_query(
             spark, synth.n_polygons(sf_dir)
         ),
+        # negative-distance Buffer (erosion): convex inward offset /
+        # general boundary-capsule subtraction
+        "geom_buffer_negative": lambda spark, sf_dir: (
+            bufop.buffer_negative_query(spark, synth.n_polygons(sf_dir))
+        ),
         # DSIR data selection (Xie 2023): hashed-n-gram importance
         # weights toward the lang='en' target slice, top-k resample
         "dsir_select": lambda spark, sf_dir: dsir.dsir_select(
@@ -2023,6 +2028,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "makevalid": mkv.oracle_makevalid(_ORACLE_N_POLYGONS),
         "geom_buffer": bufop.oracle_buffer(_ORACLE_N_POLYGONS),
+        "geom_buffer_negative": bufop.oracle_buffer_negative(
+            _ORACLE_N_POLYGONS
+        ),
         "dsir_select": dsir.oracle_dsir(),
         "bpe_merges": bpeop.oracle_bpe(),
         "bpe_encode": bpeop.oracle_bpe_encode(),

@@ -256,6 +256,113 @@ def buffer_df(
     )
 
 
+def erode_region(region, dist: float, quadsegs: int):
+    """Negative buffer (erosion): subtract the boundary capsules from
+    the region — erode(P, r) = P minus every point within r of the
+    boundary. The capsule construction is the dilation one with the
+    inset flipped to the OUTWARD side (the strip outside P is already
+    outside the difference, so the area is unchanged)."""
+    scale = 1.0
+    for shell, holes in region:
+        for r in (shell, *holes):
+            scale = max(scale, float(np.max(np.abs(r))))
+    inset = _INSET_REL * scale
+    out = list(region)
+    for shell, holes in region:
+        for ring in (shell, *[h[::-1] for h in holes]):
+            ring = np.asarray(ring, dtype=np.float64)
+            if len(ring) >= 2 and (ring[0] == ring[-1]).all():
+                ring = ring[:-1]
+            nxt = np.roll(ring, -1, axis=0)
+            for i in range(len(ring)):
+                a, b = ring[i], nxt[i]
+                if a[0] == b[0] and a[1] == b[1]:
+                    continue
+                # dilation rect spans [-inset, +dist] along the
+                # outward normal; the erosion capsule spans
+                # [-dist, +inset] (inward, inset poking outside)
+                d = b - a
+                ln = float(np.hypot(*d))
+                u = d / ln
+                n = np.array([u[1], -u[0]])
+                rect = np.array(
+                    [
+                        a - inset * u + inset * n,
+                        b + inset * u + inset * n,
+                        b + inset * u - dist * n,
+                        a - inset * u - dist * n,
+                    ]
+                )
+                if boolop.ring_area(np.vstack([rect, rect[:1]])) < 0:
+                    rect = rect[::-1]
+                out = boolop.boolean_regions(out, [(rect, [])], "diff")
+                out = boolop.boolean_regions(
+                    out, [(_disc(ring[i], dist, quadsegs), [])], "diff"
+                )
+                if not out:
+                    return out
+    return out
+
+
+def _erode_convex_ring(ring: np.ndarray, dist: float):
+    """Erosion of a convex CCW ring: intersection of the inward-offset
+    half-planes. Each vertex moves to the intersection of its two
+    adjacent offset edge lines (no arcs appear for erosion). Returns
+    None when the polygon collapses (some offset edges invert)."""
+    n = len(ring)
+    normals = _edge_normals(ring)
+    pts = []
+    for i in range(n):
+        n0, n1 = normals[(i - 1) % n], normals[i]
+        a0 = ring[(i - 1) % n] - dist * n0
+        a1 = ring[i] - dist * n1
+        d0 = ring[i] - ring[(i - 1) % n]
+        d1 = ring[(i + 1) % n] - ring[i]
+        denom = d0[0] * d1[1] - d0[1] * d1[0]
+        if abs(denom) < 1e-300:
+            return None
+        # intersection of lines a0 + t*d0 and a1 + s*d1
+        t = ((a1[0] - a0[0]) * d1[1] - (a1[1] - a0[1]) * d1[0]) / denom
+        pts.append(a0 + t * d0)
+    out = np.asarray(pts, dtype=np.float64)
+    if not _is_convex_ccw(out) or boolop.ring_area(
+        np.vstack([out, out[:1]])
+    ) <= 0:
+        return None
+    return out
+
+
+def buffer_rings_signed(rings, dist: float, quadsegs: int = 8):
+    """Positive dist -> dilation (buffer_rings); negative -> erosion.
+    Returns (ring_list, used_direct); empty list when erosion empties
+    the region (reference: GEOS/OGR Buffer with negative distance)."""
+    if dist >= 0:
+        return buffer_rings(rings, dist, quadsegs)
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    opened = []
+    for r in rings:
+        if len(r) >= 2 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        opened.append(r)
+    shell = opened[0]
+    if boolop.ring_area(np.vstack([shell, shell[:1]])) < 0:
+        shell = shell[::-1]
+    if len(opened) == 1 and _is_convex_ccw(shell):
+        out = _erode_convex_ring(shell, -dist)
+        if out is not None:
+            return [out], True
+        # collapsed or non-simple inset: fall through to the exact
+        # subtraction path, which yields the true (possibly empty or
+        # multi-part) erosion
+    region = boolop.region_of_rings([shell, *opened[1:]])
+    buf = erode_region(region, -dist, quadsegs)
+    out = []
+    for s, hs in buf:
+        out.append(np.asarray(s, dtype=np.float64))
+        out.extend(np.asarray(h, dtype=np.float64) for h in hs)
+    return out, False
+
+
 # ---------------------------------------------------------------------------
 # driver gate: buffer the synth box subset (axis-aligned => the
 # direct convex path with spec-exact normal angles)
@@ -290,6 +397,83 @@ def buffer_query(spark, m: int) -> DataFrame:
     layer = spark.createDataFrame(box_fixtures_pdf(m), schema=schema)
     return buffer_df(layer, _BUF_DIST, _BUF_QSEGS).select(
         "fid", "n_vertices", "area2_key"
+    )
+
+
+def buffer_negative_df(
+    layer: DataFrame,
+    dist: float,
+    quadsegs: int = 8,
+    id_col: str = "fid",
+) -> DataFrame:
+    """Erosion counterpart of buffer_df (dist passed positive)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, nv, ak = [], [], []
+            for fid, g in zip(pdf[id_col], pdf["geom_wkb"]):
+                rings = wkb.polygon_rings(bytes(g))
+                out, _ = buffer_rings_signed(rings, -dist, quadsegs)
+                tot = 0
+                cnt = 0
+                for r in out:
+                    s, c = _grid_shoelace(r)
+                    tot += s
+                    cnt += c
+                ids.append(fid)
+                nv.append(cnt)
+                ak.append(tot)
+            yield pd.DataFrame(
+                {id_col: ids, "n_vertices": nv, "area2_key": ak}
+            )
+
+    return layer.select(id_col, "geom_wkb").mapInPandas(
+        run,
+        schema=f"{id_col} string, n_vertices bigint, area2_key bigint",
+    )
+
+
+def buffer_negative_query(spark, m: int) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.StringType(), False),
+            T.StructField("geom_wkb", T.BinaryType(), False),
+        ]
+    )
+    layer = spark.createDataFrame(box_fixtures_pdf(m), schema=schema)
+    return buffer_negative_df(layer, _BUF_DIST, _BUF_QSEGS).select(
+        "fid", "n_vertices", "area2_key"
+    )
+
+
+def oracle_buffer_negative(m: int) -> str:
+    """Erosion of an axis-aligned box is the inset box: each vertex
+    keeps one coordinate computed EXACTLY as the impl does
+    ((center±half) ∓ r, same two adds) while the solved coordinate
+    agrees to a few ulp — far below the 1e-6 grid; box half-widths
+    are >= 1 so no fixture collapses."""
+    r = synth.flit(_BUF_DIST)
+    p = synth.polygons_sql_cte(m, "duckdb")
+    corners = (
+        "(VALUES (0, -1.0E0, -1.0E0), (1, 1.0E0, -1.0E0), "
+        "(2, 1.0E0, 1.0E0), (3, -1.0E0, 1.0E0)) AS c(ci, sx, sy)"
+    )
+    return (
+        f"WITH boxes AS MATERIALIZED (SELECT j, cx, cy, hw, hh FROM ({p}) "
+        f"WHERE j % 8 IN (1, 4)), "
+        f"pts AS MATERIALIZED (SELECT b.j, c.ci AS ord, "
+        f"cast(floor(((b.cx + c.sx * b.hw) + (-c.sx) * {r}) "
+        f"* 1000000.0E0 + 0.0005E0) as bigint) AS xg, "
+        f"cast(floor(((b.cy + c.sy * b.hh) + (-c.sy) * {r}) "
+        f"* 1000000.0E0 + 0.0005E0) as bigint) AS yg "
+        f"FROM boxes b, {corners}) "
+        f"SELECT concat('poly', lpad(cast(a.j as varchar), 4, '0')) AS fid, "
+        f"cast(4 as bigint) AS n_vertices, "
+        f"cast(sum(a.xg * b.yg - b.xg * a.yg) as bigint) AS area2_key "
+        f"FROM pts a JOIN pts b ON a.j = b.j AND b.ord = (a.ord + 1) % 4 "
+        f"GROUP BY a.j"
     )
 
 

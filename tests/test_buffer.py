@@ -144,6 +144,54 @@ def test_buffer_hole_shrinks_and_vanishes():
     assert len(out2) == 1
 
 
+def test_erosion_distance_parity():
+    rings = [np.asarray(CASES["concave_c"][0], float)]
+    r = 0.3
+    out, direct = B.buffer_rings_signed(rings, -r, Q)
+    assert not direct and len(out) == 1
+    band = r * (1 - math.cos((math.pi / 2 / Q) / 2)) + 2e-3
+    rng = np.random.default_rng(3)
+    checked = 0
+    for _ in range(300):
+        px, py = rng.uniform(-0.5, 4.5, 2)
+        inside = _in_rings_evenodd(px, py, rings)
+        d = _dist_to_rings(px, py, rings)
+        if inside and abs(d - r) < band:
+            continue
+        want = inside and d >= r
+        got = _in_rings_evenodd(px, py, out)
+        assert got == want, (px, py, d, inside)
+        checked += 1
+    assert checked > 200
+
+
+def test_erosion_convex_inset_and_collapse():
+    # convex box: exact inset rectangle via the direct path
+    out, direct = B.buffer_rings_signed(
+        [np.array([(0, 0), (5, 0), (5, 3), (0, 3)], float)], -0.5, Q
+    )
+    assert direct and len(out) == 1
+    a = abs(boolop.ring_area(np.vstack([out[0], out[0][:1]])))
+    assert a == pytest.approx(4.0 * 2.0, rel=1e-12)
+    # sub-2r-wide box erodes away entirely
+    out2, _ = B.buffer_rings_signed(
+        [np.array([(0, 0), (0.5, 0), (0.5, 5), (0, 5)], float)], -0.3, Q
+    )
+    assert out2 == []
+
+
+def test_erosion_hole_grows():
+    # eroding a holed square grows the hole by r on each side
+    outer = np.array([(0, 0), (6, 0), (6, 6), (0, 6)], float)
+    hole = np.array([(2, 2), (4, 2), (4, 4), (2, 4)], float)
+    out, _ = B.buffer_rings_signed([outer, hole], -0.25, Q)
+    region = boolop._classify_nested([np.asarray(r) for r in out])
+    assert len(region) == 1 and len(region[0][1]) == 1
+    area = boolop.region_area(region)
+    # outer 5.5^2; hole grows to 2.5x2.5 minus the rounded corners' cut
+    assert (5.5 * 5.5 - 2.5 * 2.5) < area < (5.5 * 5.5 - 2.25)
+
+
 def test_buffer_query_matches_duckdb_oracle():
     duckdb = pytest.importorskip("duckdb")
     m = synth.N_POLYGONS_FOR_SF["0.001"]
