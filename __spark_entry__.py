@@ -24,7 +24,7 @@ from gdal_spark.operators import cog as cogop
 from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import bpe as bpeop
 from gdal_spark.operators import buffer as bufop
-from gdal_spark.operators import dsir
+from gdal_spark.operators import dsir, geodesy
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
@@ -1131,8 +1131,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # semdedup, hll_distinct, bm25_topk, ogrmerge_single, gdal_create,
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
-# geom_buffer, geom_buffer_negative, dsir_select, bpe_merges,
-# bpe_encode, plus a re-verify sample of r02-r04 greens.
+# geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
+# bpe_merges, bpe_encode, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1628,6 +1628,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_buffer_negative": lambda spark, sf_dir: (
             bufop.buffer_negative_query(spark, synth.n_polygons(sf_dir))
         ),
+        # OGR_G_GeodesicLength/GeodesicArea (GDAL 3.9): sphere-mode
+        # value gate; WGS84 mode golden-tested in test_geodesic
+        "geodesic_measures": lambda spark, sf_dir: geodesy.geodesic_query(
+            spark, synth.n_polygons(sf_dir)
+        ),
         # DSIR data selection (Xie 2023): hashed-n-gram importance
         # weights toward the lang='en' target slice, top-k resample
         "dsir_select": lambda spark, sf_dir: dsir.dsir_select(
@@ -2031,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_buffer_negative": bufop.oracle_buffer_negative(
             _ORACLE_N_POLYGONS
         ),
+        "geodesic_measures": geodesy.oracle_geodesic(_ORACLE_N_POLYGONS),
         "dsir_select": dsir.oracle_dsir(),
         "bpe_merges": bpeop.oracle_bpe(),
         "bpe_encode": bpeop.oracle_bpe_encode(),
