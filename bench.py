@@ -63,6 +63,11 @@ HEADLINE = [
     "str_pack",
     "zorder_layout",
     "overview_rollup_updates",
+    # round-4 closing operators (bpe_* excluded: 12 driver-loop
+    # rounds make them a multi-job training op, not a query)
+    "geom_buffer",
+    "geodesic_measures",
+    "dsir_select",
 ]
 
 
