@@ -596,6 +596,10 @@ def _q_token_topk(spark, sf_dir):
     return textops.token_topk(_docs(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    return textops.pii_scrub(_docs(spark, sf_dir))
+
+
 def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1132,7 +1136,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
-# bpe_merges, bpe_encode, plus a re-verify sample of r02-r04 greens.
+# bpe_merges, bpe_encode, pii_scrub,
+# plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1777,6 +1782,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tiled": _q_dem_tiled,
         "mosaic_plan": _q_mosaic_plan,
         "token_topk": _q_token_topk,
+        "pii_scrub": _q_pii_scrub,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2190,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.oracle_quality_score(),
         "lang_id": textops.oracle_lang_id(),
         "token_topk": textops.oracle_token_topk(),
+        "pii_scrub": textops.oracle_pii_scrub(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

@@ -1242,3 +1242,86 @@ def oracle_bm25_topk(
         f"as int) AS rank, doc_id, score_fp, dl FROM scored "
         f"ORDER BY score_fp DESC, doc_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the Dolma / BigScience-ROOTS scrubbing stage: regex
+# masking of emails, IPv4 addresses, and phone numbers before
+# training. Soldaini et al. 2024 "Dolma" §4.1 and the CCNet/ROOTS PII
+# pipelines use exactly this shape: a fixed regex family applied
+# corpus-wide, map-only — at 10^12 documents the operator is a pure
+# column scan, zero shuffle, zero Python.)
+#
+# The regexes stay in the dialect-common subset (character classes +
+# bounded quantifiers, no backslash classes, no anchors) so Java
+# regex (Spark) and RE2 (DuckDB) agree: with no alternation and
+# disjoint adjacent character classes, greedy-backtracking and
+# leftmost-longest produce identical matches. The corpus text itself
+# carries no PII, so the fragment deterministically plants synthetic
+# PII derived from doc_id (same SQL in both dialects) — the gate then
+# checks counts AND the scrubbed text bit-for-bit.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_plant_sql() -> str:
+    """Deterministic synthetic-PII injection (dialect-neutral)."""
+    return (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' u', cast(doc_id as string),"
+        "   '@ex', cast(doc_id % 5 as string), '.org') ELSE '' END,"
+        " CASE WHEN doc_id % 4 = 1 THEN concat(' ip 10.',"
+        "   cast(doc_id % 256 as string), '.0.',"
+        "   cast(doc_id % 100 as string)) ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 2 THEN concat(' call 555-',"
+        "   cast(100 + doc_id % 900 as string), '-',"
+        "   cast(1000 + doc_id % 9000 as string)) ELSE '' END)"
+    )
+
+
+def _re_count_sql(dialect: str, col: str, pat: str) -> str:
+    if dialect == "spark":
+        return f"cast(size(regexp_extract_all({col}, '{pat}', 0)) as bigint)"
+    return f"cast(len(regexp_extract_all({col}, '{pat}')) as bigint)"
+
+
+def _re_scrub_sql(dialect: str, col: str, pat: str, repl: str) -> str:
+    if dialect == "spark":
+        return f"regexp_replace({col}, '{pat}', '{repl}')"
+    return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+
+
+def pii_select_sql(dialect: str) -> list[str]:
+    d = dialect
+    # emails first (they contain dotted digit runs the IP regex would
+    # otherwise bite), then IPs, then phones
+    scrub = _re_scrub_sql(d, "pii_text", PII_EMAIL_RE, "<EMAIL>")
+    scrub = _re_scrub_sql(d, scrub, PII_IP_RE, "<IP>")
+    scrub = _re_scrub_sql(d, scrub, PII_PHONE_RE, "<PHONE>")
+    return [
+        _re_count_sql(d, "pii_text", PII_EMAIL_RE) + " AS n_emails",
+        _re_count_sql(d, "pii_text", PII_IP_RE) + " AS n_ips",
+        _re_count_sql(d, "pii_text", PII_PHONE_RE) + " AS n_phones",
+        f"{scrub} AS clean_text",
+    ]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Email/IP/phone redaction + per-doc match counts.
+
+    Map-only pure-Catalyst plan: the planted column is staged through
+    a named projection (not inlined into the four regex consumers) so
+    the concat evaluates once per row."""
+    return docs.selectExpr(
+        "doc_id", f"{pii_plant_sql()} AS pii_text"
+    ).selectExpr("doc_id", *pii_select_sql("spark"))
+
+
+def oracle_pii_scrub() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {pii_plant_sql()} AS pii_text "
+        f"FROM documents) "
+        f"SELECT doc_id, {', '.join(pii_select_sql('duckdb'))} FROM t"
+    )

@@ -567,3 +567,35 @@ def test_bm25_topk_matches_python(spark, docs_pdf):
     ]
     got = list(map(tuple, out[["rank", "doc_id", "score_fp", "dl"]].values))
     assert got == expect
+
+
+def test_pii_scrub_matches_python_re(spark, docs_pdf):
+    import re
+
+    out = (
+        textops.pii_scrub(spark.read.parquet(DOCS))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    email = re.compile(textops.PII_EMAIL_RE)
+    ip = re.compile(textops.PII_IP_RE)
+    phone = re.compile(textops.PII_PHONE_RE)
+    planted = 0
+    for rec in docs_pdf.head(60).itertuples(index=False):
+        t = rec.text
+        if rec.doc_id % 3 == 0:
+            t += f" u{rec.doc_id}@ex{rec.doc_id % 5}.org"
+        if rec.doc_id % 4 == 1:
+            t += f" ip 10.{rec.doc_id % 256}.0.{rec.doc_id % 100}"
+        if rec.doc_id % 5 == 2:
+            t += f" call 555-{100 + rec.doc_id % 900}-{1000 + rec.doc_id % 9000}"
+        row = out.loc[rec.doc_id]
+        assert row.n_emails == len(email.findall(t))
+        assert row.n_ips == len(ip.findall(t))
+        assert row.n_phones == len(phone.findall(t))
+        clean = phone.sub(
+            "<PHONE>", ip.sub("<IP>", email.sub("<EMAIL>", t))
+        )
+        assert row.clean_text == clean
+        planted += int(rec.doc_id % 3 == 0)
+    assert planted > 5  # the fixture really exercises the regexes
