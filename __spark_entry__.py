@@ -1136,7 +1136,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # time_travel_read, mdim_translate, mdim_transpose, str_pack,
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
-# bpe_merges, bpe_encode, pii_scrub,
+# bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
@@ -1692,6 +1692,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinu_corners": lambda spark, sf_dir: reproject.sinu_corners(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
+        "moll_corners": lambda spark, sf_dir: reproject.moll_corners(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        "eqearth_corners": lambda spark, sf_dir: reproject.eqearth_corners(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         # Gopher repetition rules (Rae et al. 2021 app. A): modal
         # unigram/bigram dominance in integer ppm + the removal flag
         "repetition_profile": lambda spark, sf_dir: (
@@ -2062,6 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "osgb_corners": reproject.oracle_osgb_corners(n),
         "sinu_corners": reproject.oracle_sinu_corners(n),
+        "moll_corners": reproject.oracle_moll_corners(n),
+        "eqearth_corners": reproject.oracle_eqearth_corners(n),
         "repetition_profile": textops.oracle_repetition_profile(),
         "proximity_values": proximity.oracle_proximity(
             _PROX_W, _PROX_W, _PROX_MAXDIST, target_values=_PROX_VALUES

@@ -1119,3 +1119,95 @@ def oracle_crop_to_cutline_grid(n: int, box: tuple = CROP_CUT_BOX) -> str:
         f"py1 - py0 AS out_h FROM c "
         f"WHERE px1 - px0 > 0 AND py1 - py0 > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# World equal-area CRS corners (r4): Mollweide (ESRI:54009, Newton
+# forward, srs.moll_stage_list) and Equal Earth (EPSG:8857, authalic
+# closed form, srs.eqearth_stage_list). Same staged-corner shape as
+# osgb_corners: explode the 4 footprint corners to rows FIRST, then
+# run the stage pipeline once — both engines execute identical SQL
+# text per stage, Spark as named projections inside whole-stage
+# codegen, DuckDB as MATERIALIZED CTE stages.
+
+_WCORNER_LON_CASE = (
+    "CASE WHEN corner IN ('tr', 'br') THEN (lon_c + 0.1E0) "
+    "ELSE lon_c END"
+)
+_WCORNER_LAT_CASE = (
+    "CASE WHEN corner IN ('bl', 'br') THEN (lat_c - 0.1E0 * "
+    "cast(h as double) / cast(w as double)) ELSE lat_c END"
+)
+
+
+def _staged_corners(images: DataFrame, stages) -> DataFrame:
+    df = images.selectExpr(
+        "image_id", "w", "h", "lon AS lon_c", "lat AS lat_c"
+    ).selectExpr(
+        "image_id", "w", "h", "lon_c", "lat_c",
+        "explode(array('tl', 'tr', 'bl', 'br')) AS corner",
+    ).selectExpr(
+        "image_id", "corner",
+        f"{_WCORNER_LON_CASE} AS lon",
+        f"{_WCORNER_LAT_CASE} AS lat",
+    )
+    for col, expr in stages:
+        df = df.selectExpr("*", f"{expr} AS {col}")
+    return df.selectExpr(
+        "image_id", "corner",
+        "cast(floor(easting * 10.0E0) as bigint) AS e_dm",
+        "cast(floor(northing * 10.0E0) as bigint) AS n_dm",
+    )
+
+
+def _oracle_staged_corners(n: int, stages) -> str:
+    cte = [
+        f"img AS MATERIALIZED (SELECT image_id, w, h, lon AS lon_c, "
+        f"lat AS lat_c FROM ({synth.images_cte(n, 'duckdb')})), "
+        f"c0 AS MATERIALIZED (SELECT image_id, corner, "
+        f"{_WCORNER_LON_CASE} AS lon, {_WCORNER_LAT_CASE} AS lat "
+        f"FROM img, (SELECT unnest(['tl', 'tr', 'bl', 'br']) "
+        f"AS corner) cs)"
+    ]
+    prev = "c0"
+    for k, (col, expr) in enumerate(stages):
+        name = f"w{k}"
+        cte.append(
+            f"{name} AS MATERIALIZED (SELECT *, {expr} AS {col} "
+            f"FROM {prev})"
+        )
+        prev = name
+    return (
+        "WITH " + ", ".join(cte)
+        + f" SELECT image_id, corner, "
+        f"cast(floor(easting * 10.0E0) as bigint) AS e_dm, "
+        f"cast(floor(northing * 10.0E0) as bigint) AS n_dm FROM {prev}"
+    )
+
+
+def moll_corners(images: DataFrame) -> DataFrame:
+    """(image_id, corner, e_dm, n_dm) in World Mollweide (ESRI:54009)
+    — map-only JVM stage, zero Python, dm-quantized."""
+    return _staged_corners(
+        images, srs.moll_stage_list(srs.MOLL_REGISTRY[54009])
+    )
+
+
+def oracle_moll_corners(n: int) -> str:
+    return _oracle_staged_corners(
+        n, srs.moll_stage_list(srs.MOLL_REGISTRY[54009])
+    )
+
+
+def eqearth_corners(images: DataFrame) -> DataFrame:
+    """(image_id, corner, e_dm, n_dm) in Equal Earth (EPSG:8857,
+    ellipsoidal via authalic latitude) — map-only, zero Python."""
+    return _staged_corners(
+        images, srs.eqearth_stage_list(srs.EQE_REGISTRY[8857])
+    )
+
+
+def oracle_eqearth_corners(n: int) -> str:
+    return _oracle_staged_corners(
+        n, srs.eqearth_stage_list(srs.EQE_REGISTRY[8857])
+    )

@@ -27,6 +27,8 @@ use.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # WGS84 ellipsoid
@@ -1222,3 +1224,180 @@ def tmd_stage_list(p: TMD, dialect: str) -> list[tuple[str, str]]:
     st.append(("easting", f"{c(p.fe)} + {ka} * etasum"))
     st.append(("northing", f"{c(p.fn)} + {ka} * xisum - {c(p.m0)}"))
     return st
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (ESRI:54009 "World Mollweide"; PROJ +proj=moll; Snyder
+# 1987 pp. 251-252 eq. 31-1..31-8). PROJ applies the spherical
+# formulas with the WGS84 semimajor axis, as does GDAL when asked for
+# ESRI:54009 (ogr/ogr_srs_esri.cpp routes World_Mollweide through
+# SRS_PT_MOLLWEIDE). Forward needs a Newton solve of
+# 2t + sin(2t) = pi*sin(phi); the inverse is closed-form.
+
+
+class MOLL:
+    """Precomputed Mollweide constants (spherical, radius = a)."""
+
+    def __init__(
+        self,
+        lon0_deg: float = 0.0,
+        fe: float = 0.0,
+        fn: float = 0.0,
+        a: float = 6378137.0,
+    ):
+        self.a, self.lon0, self.fe, self.fn = a, lon0_deg, fe, fn
+        self.cx = 2.0 * math.sqrt(2.0) / math.pi * a  # x = cx*lam*cos t
+        self.cy = math.sqrt(2.0) * a  # y = cy*sin t
+
+
+MOLL_REGISTRY = {54009: MOLL()}
+MOLL_ITERS = 8  # Newton is quadratic; <1e-14 rad by iter 5 off-pole
+
+
+def moll_forward(lon, lat, p: MOLL):
+    """Geographic (deg) -> Mollweide E/N, numpy twin of
+    moll_stage_list (identical op order so dm floors agree)."""
+    lam = np.radians(np.asarray(lon, np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rhs = math.pi * np.sin(phi)
+    t = phi.copy()
+    for _ in range(MOLL_ITERS):
+        t = t - (2.0 * t + np.sin(2.0 * t) - rhs) / np.maximum(
+            2.0 + 2.0 * np.cos(2.0 * t), 1e-12
+        )
+    return p.fe + p.cx * lam * np.cos(t), p.fn + p.cy * np.sin(t)
+
+
+def moll_inverse(x, y, p: MOLL):
+    """Mollweide E/N -> geographic (deg), closed form (Snyder eq.
+    31-6..31-8)."""
+    t = np.arcsin(
+        np.clip((np.asarray(y, np.float64) - p.fn) / p.cy, -1.0, 1.0)
+    )
+    phi = np.arcsin(np.clip((2.0 * t + np.sin(2.0 * t)) / math.pi, -1.0, 1.0))
+    ct = np.cos(t)
+    lam = np.where(
+        np.abs(ct) > 1e-12,
+        (np.asarray(x, np.float64) - p.fe) / (p.cx * np.maximum(ct, 1e-12)),
+        0.0,
+    )
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def moll_stage_list(p: MOLL) -> list[tuple[str, str]]:
+    """Staged (column, expr) pipeline from (lon, lat) columns to
+    (easting, northing) — dialect-neutral (sin/cos/radians/greatest
+    exist identically in Spark SQL and DuckDB). Each Newton stage is a
+    named column so neither engine re-expands the iteration
+    textually."""
+    stages = [
+        ("lam", f"radians(lon - {_sql_const(p.lon0)})"),
+        ("rhs", f"{_sql_const(math.pi)} * sin(radians(lat))"),
+        ("t0", "radians(lat)"),
+    ]
+    prev = "t0"
+    for it in range(MOLL_ITERS):
+        nxt = f"t{it + 1}"
+        stages.append(
+            (
+                nxt,
+                f"({prev} - (2.0E0 * {prev} + sin(2.0E0 * {prev}) - rhs) "
+                f"/ greatest(2.0E0 + 2.0E0 * cos(2.0E0 * {prev}), 1.0E-12))",
+            )
+        )
+        prev = nxt
+    stages.append(
+        ("easting", f"({_sql_const(p.fe)} + {_sql_const(p.cx)} * lam * cos({prev}))")
+    )
+    stages.append(
+        ("northing", f"({_sql_const(p.fn)} + {_sql_const(p.cy)} * sin({prev}))")
+    )
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# Equal Earth (EPSG:8857; PROJ +proj=eqearth; Savric, Patterson &
+# Jenny 2018 "The Equal Earth map projection", IJGIS). The EPSG:8857
+# definition is ellipsoidal: WGS84 latitude -> authalic latitude beta
+# (Snyder eq. 3-11/3-12 via q), then the published polynomial in the
+# parametric latitude theta with sin(theta) = (sqrt(3)/2) sin(beta),
+# scaled by the authalic radius Rq = a*sqrt(qp/2).
+
+EQE_A1 = 1.340264
+EQE_A2 = -0.081106
+EQE_A3 = 0.000893
+EQE_A4 = 0.003796
+EQE_M = math.sqrt(3.0) / 2.0
+
+
+class EQE:
+    def __init__(self, a: float = 6378137.0, inv_f: float = 298.257223563):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.qp = (1.0 - self.e2) * (
+            1.0 / (1.0 - self.e2)
+            - (1.0 / (2.0 * self.e))
+            * math.log((1.0 - self.e) / (1.0 + self.e))
+        )
+        self.rq = a * math.sqrt(self.qp / 2.0)
+
+
+EQE_REGISTRY = {8857: EQE()}
+
+
+def eqearth_forward(lon, lat, p: EQE):
+    """Geographic (deg) -> Equal Earth E/N, numpy twin of
+    eqearth_stage_list."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    q = (1.0 - p.e2) * (
+        s / (1.0 - p.e2 * s * s)
+        - (1.0 / (2.0 * p.e)) * np.log((1.0 - p.e * s) / (1.0 + p.e * s))
+    )
+    beta = np.arcsin(np.clip(q / p.qp, -1.0, 1.0))
+    theta = np.arcsin(EQE_M * np.sin(beta))
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    px = EQE_A1 + 3.0 * EQE_A2 * t2 + t6 * (7.0 * EQE_A3 + 9.0 * EQE_A4 * t2)
+    py = EQE_A1 + EQE_A2 * t2 + t6 * (EQE_A3 + EQE_A4 * t2)
+    x = p.rq * lam * np.cos(theta) / (EQE_M * px)
+    return x, p.rq * theta * py
+
+
+def eqearth_stage_list(p: EQE) -> list[tuple[str, str]]:
+    """Staged (column, expr) pipeline from (lon, lat) to (easting,
+    northing) — dialect-neutral (asin/ln are ~1-ulp cross-engine; the
+    dm quantization of the corner gates absorbs that, per the measured
+    libm-parity policy in CLAUDE.md)."""
+    e, e2, qp = _sql_const(p.e), _sql_const(p.e2), _sql_const(p.qp)
+    stages = [
+        ("lam", "radians(lon)"),
+        ("sphi", "sin(radians(lat))"),
+        (
+            "q",
+            f"({_sql_const(1.0 - p.e2)} * (sphi / (1.0E0 - {e2} * sphi * sphi)"
+            f" - {_sql_const(1.0 / (2.0 * p.e))} "
+            f"* ln((1.0E0 - {e} * sphi) / (1.0E0 + {e} * sphi))))",
+        ),
+        ("beta", f"asin(least(greatest(q / {qp}, -1.0E0), 1.0E0))"),
+        ("theta", f"asin({_sql_const(EQE_M)} * sin(beta))"),
+        ("t2", "(theta * theta)"),
+        ("t6", "(t2 * t2 * t2)"),
+        (
+            "easting",
+            f"({_sql_const(p.rq)} * lam * cos(theta) / ({_sql_const(EQE_M)} "
+            f"* ({_sql_const(EQE_A1)} + {_sql_const(3.0 * EQE_A2)} * t2 "
+            f"+ t6 * ({_sql_const(7.0 * EQE_A3)} "
+            f"+ {_sql_const(9.0 * EQE_A4)} * t2))))",
+        ),
+        (
+            "northing",
+            f"({_sql_const(p.rq)} * theta * ({_sql_const(EQE_A1)} "
+            f"+ {_sql_const(EQE_A2)} * t2 + t6 * ({_sql_const(EQE_A3)} "
+            f"+ {_sql_const(EQE_A4)} * t2)))",
+        ),
+    ]
+    return stages

@@ -459,3 +459,83 @@ def test_sinu_sql_twin_matches_numpy():
     x, y = srs.sinu_forward(lon, lat, p)
     assert np.abs(rows["e"] - x).max() < 1e-6
     assert np.abs(rows["n"] - y).max() < 1e-6
+
+
+def _quad_area(x, y):
+    # shoelace of a 4-corner quad given as arrays of shape (4,)
+    return 0.5 * abs(
+        sum(
+            x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i]
+            for i in range(4)
+        )
+    )
+
+
+def test_moll_analytic_goldens_and_roundtrip():
+    p = srs.MOLL_REGISTRY[54009]
+    # equator: theta=0 exactly, x = 2*sqrt(2)/pi * a * lam -> sqrt(2)*a
+    x, y = srs.moll_forward(np.array([90.0]), np.array([0.0]), p)
+    assert abs(x[0] - np.sqrt(2.0) * p.a) < 1e-6
+    assert abs(y[0]) < 1e-9
+    # pole: Newton converges instantly (residual 0 at t0), y = sqrt(2)*a
+    x, y = srs.moll_forward(np.array([0.0]), np.array([90.0]), p)
+    assert abs(y[0] - np.sqrt(2.0) * p.a) < 1e-6
+    # roundtrip over the domain
+    lon = (np.arange(80) * 73.1) % 359.8 - 179.9
+    lat = (np.arange(80) * 37.3) % 169.8 - 84.9
+    x, y = srs.moll_forward(lon, lat, p)
+    lon2, lat2 = srs.moll_inverse(x, y, p)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_moll_equal_area_property():
+    # Mollweide is equal-area on its sphere: projected quad area ==
+    # a^2 cos(phi) dlam dphi for small quads, at every latitude
+    p = srs.MOLL_REGISTRY[54009]
+    d = 1e-3
+    for lat0 in (0.0, 22.5, 45.0, 66.6, 80.0, -37.0):
+        lons = np.array([10.0, 10.0 + d, 10.0 + d, 10.0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = srs.moll_forward(lons, lats, p)
+        proj_area = _quad_area(x, y)
+        phi = np.radians(lat0 + d / 2.0)
+        true_area = p.a**2 * np.cos(phi) * np.radians(d) ** 2
+        assert abs(proj_area / true_area - 1.0) < 1e-4, lat0
+
+
+def test_eqearth_equal_area_property():
+    # Equal Earth via authalic latitude is equal-area on the WGS84
+    # ellipsoid: quad area == a^2 (1-e2) cos(phi)/(1-e2 sin^2 phi)^2
+    p = srs.EQE_REGISTRY[8857]
+    d = 1e-3
+    for lat0 in (0.0, 22.5, 45.0, 66.6, 80.0, -37.0):
+        lons = np.array([10.0, 10.0 + d, 10.0 + d, 10.0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = srs.eqearth_forward(lons, lats, p)
+        proj_area = _quad_area(x, y)
+        phi = np.radians(lat0 + d / 2.0)
+        s = np.sin(phi)
+        true_area = (
+            p.a**2
+            * (1.0 - p.e2)
+            * np.cos(phi)
+            / (1.0 - p.e2 * s * s) ** 2
+            * np.radians(d) ** 2
+        )
+        assert abs(proj_area / true_area - 1.0) < 1e-4, lat0
+
+
+def test_eqearth_shape_properties():
+    p = srs.EQE_REGISTRY[8857]
+    # y is odd and strictly increasing in lat; x is even in lat, odd in lon
+    lat = np.linspace(-89.9, 89.9, 101)
+    _, y = srs.eqearth_forward(np.zeros_like(lat), lat, p)
+    assert (np.diff(y) > 0).all()
+    assert np.abs(y + y[::-1]).max() < 1e-6
+    x1, _ = srs.eqearth_forward(np.full_like(lat, 30.0), lat, p)
+    x2, _ = srs.eqearth_forward(np.full_like(lat, -30.0), lat, p)
+    assert np.abs(x1 + x2).max() < 1e-6
+    # equator scale: x = Rq * lam / (M * A1)
+    x, _ = srs.eqearth_forward(np.array([1.0]), np.array([0.0]), p)
+    assert abs(x[0] - p.rq * np.radians(1.0) / (srs.EQE_M * srs.EQE_A1)) < 1e-6
