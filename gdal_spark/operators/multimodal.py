@@ -736,3 +736,77 @@ def oracle_tar_shard_layout(
         f"member_bytes "
         f"FROM sh"
     )
+
+
+# ---------------------------------------------------------------------------
+# dHash (gradient/difference hash, Krawetz 2013 "Kind of Like That"):
+# the second member of the perceptual-hash family. Where phash64
+# thresholds block means against the global mean, dHash compares each
+# block mean against its RIGHT neighbor — row-wise gradients survive
+# global brightness/contrast shifts that flip average-hash bits.
+# Integer-exact: the classic 9x8 downscale is expressed as 9 column
+# blocks x 8 row blocks of exact integer sums; bit(r,c) = 1 iff
+# mean(block[r,c+1]) > mean(block[r,c]), cross-multiplied so zero fp.
+
+
+def dhash64_int(images: DataFrame) -> DataFrame:
+    """(image_id, dhash_hi, dhash_lo) 32-bit halves of the 64-bit
+    gradient hash. mapInPandas decode, one pass, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                g = arr.sum(axis=2)  # 3x gray, exact int
+                yb = (np.arange(9, dtype=np.int64) * h) // 8
+                xb = (np.arange(10, dtype=np.int64) * w) // 9
+                bs = np.empty((8, 9), dtype=np.int64)
+                npx = np.empty((8, 9), dtype=np.int64)
+                for a in range(8):
+                    for b in range(9):
+                        blk = g[yb[a] : yb[a + 1], xb[b] : xb[b + 1]]
+                        bs[a, b] = blk.sum()
+                        npx[a, b] = blk.size
+                hi = lo = 0
+                for a in range(8):
+                    for b in range(8):
+                        k = a * 8 + b
+                        if bs[a, b + 1] * npx[a, b] > bs[a, b] * npx[a, b + 1]:
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                rows.append((image_id, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "dhash_hi", "dhash_lo"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, dhash_hi bigint, dhash_lo bigint"
+    )
+
+
+def oracle_dhash64(n: int, max_i: int) -> str:
+    """SQL replica: 8x9 integer block sums from the pixel function,
+    right-vs-left cross-multiplied comparison, packed halves."""
+    return (
+        f"WITH px AS (SELECT image_id, w, h, x, y, sum(val) AS g "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) GROUP BY 1, 2, 3, 4, 5), "
+        # yb[a] = (a*h)//8 -> row block a = (y*8 + 7) // h;
+        # xb[b] = (b*w)//9 -> col block b = (x*9 + 8) // w
+        f"blk AS (SELECT image_id, (y * 8 + 7) // h AS a, "
+        f"(x * 9 + 8) // w AS b, "
+        f"sum(g) AS bs, count(*) AS npx FROM px GROUP BY 1, 2, 3), "
+        f"bits AS (SELECT l.image_id, l.a * 8 + l.b AS k, "
+        f"cast(r.bs * l.npx > l.bs * r.npx as int) AS bit "
+        f"FROM blk l JOIN blk r ON r.image_id = l.image_id "
+        f"AND r.a = l.a AND r.b = l.b + 1 WHERE l.b < 8) "
+        f"SELECT image_id, "
+        f"cast(sum(CASE WHEN k >= 32 AND bit = 1 THEN 1::BIGINT << (k - 32) "
+        f"ELSE 0 END) as bigint) AS dhash_hi, "
+        f"cast(sum(CASE WHEN k < 32 AND bit = 1 THEN 1::BIGINT << k "
+        f"ELSE 0 END) as bigint) AS dhash_lo "
+        f"FROM bits GROUP BY 1"
+    )

@@ -106,3 +106,61 @@ def test_images_with_pixels(spark):
         else:
             assert codecs.psnr(ref, arr) >= 40.0
         assert r.caption == f"caption for img{r.i:08d}"
+
+
+def test_dhash_brute_force_and_brightness_invariance(spark):
+    from gdal_spark.operators import multimodal
+
+    df = synth.images_df(spark, 12, with_pixels=True)
+    out = (
+        multimodal.dhash64_int(df).toPandas().set_index("image_id")
+    )
+    assert len(out) == 12
+    for i in range(12):
+        rec = df.filter(f"i = {i}").collect()[0]
+        arr = codecs.decode_image(bytes(rec.bytes)).astype(np.int64)
+        h, w = arr.shape[:2]
+        g = arr.sum(axis=2)
+        yb = (np.arange(9) * h) // 8
+        xb = (np.arange(10) * w) // 9
+        bs = np.array(
+            [
+                [g[yb[a]: yb[a + 1], xb[b]: xb[b + 1]].sum() for b in range(9)]
+                for a in range(8)
+            ]
+        )
+        npx = np.array(
+            [
+                [
+                    (yb[a + 1] - yb[a]) * (xb[b + 1] - xb[b])
+                    for b in range(9)
+                ]
+                for a in range(8)
+            ]
+        )
+        want_hi = want_lo = 0
+        for a in range(8):
+            for b in range(8):
+                if bs[a, b + 1] * npx[a, b] > bs[a, b] * npx[a, b + 1]:
+                    k = a * 8 + b
+                    if k < 32:
+                        want_lo |= 1 << k
+                    else:
+                        want_hi |= 1 << (k - 32)
+        row = out.loc[rec.image_id]
+        assert (row.dhash_hi, row.dhash_lo) == (want_hi, want_lo), i
+        # gradient hashes are exactly invariant to a global brightness
+        # shift (the +c*npx_l*npx_r term cancels on both sides of the
+        # cross-multiplied comparison) — the property average-hash lacks
+        g2 = g + 3 * 17
+        bs2 = np.array(
+            [
+                [g2[yb[a]: yb[a + 1], xb[b]: xb[b + 1]].sum() for b in range(9)]
+                for a in range(8)
+            ]
+        )
+        for a in range(8):
+            for b in range(8):
+                assert (
+                    bs2[a, b + 1] * npx[a, b] > bs2[a, b] * npx[a, b + 1]
+                ) == (bs[a, b + 1] * npx[a, b] > bs[a, b] * npx[a, b + 1])
