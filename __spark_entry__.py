@@ -478,6 +478,12 @@ def _q_dhash(spark, sf_dir):
     return multimodal.dhash64_int(_pixel_images(spark, sf_dir, _PHASH_MAX_I))
 
 
+def _q_ahash(spark, sf_dir):
+    """Average hash — third member of the perceptual-hash family
+    (aHash/dHash/pHash), integer-exact 8x8 block-vs-global-mean."""
+    return multimodal.ahash64_int(_pixel_images(spark, sf_dir, _PHASH_MAX_I))
+
+
 _DEM_MAX_I = 16
 _DEM_W = 96
 
@@ -1141,7 +1147,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
-# dhash64, plus a re-verify sample of r02-r04 greens.
+# dhash64, ahash64, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1240,6 +1246,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frames,
         "phash64": _q_phash,
         "dhash64": _q_dhash,
+        "ahash64": _q_ahash,
         "color_relief": _q_color_relief,
         "tile_index": _q_tile_index,
         "merge_mosaic": _q_merge_mosaic,
@@ -2006,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": multimodal.oracle_frame_checksum(min(n, 4096), _MM_MAX_I),
         "phash64": multimodal.oracle_phash64(min(n, 4096), _PHASH_MAX_I),
         "dhash64": multimodal.oracle_dhash64(min(n, 4096), _PHASH_MAX_I),
+        "ahash64": multimodal.oracle_ahash64(min(n, 4096), _PHASH_MAX_I),
         "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),

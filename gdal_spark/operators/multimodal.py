@@ -810,3 +810,75 @@ def oracle_dhash64(n: int, max_i: int) -> str:
         f"ELSE 0 END) as bigint) AS dhash_lo "
         f"FROM bits GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# aHash (average hash, the third member of the perceptual-hash
+# family alongside phash64/dhash64): bit(r,c) = 1 iff the 8x8 block
+# mean exceeds the GLOBAL image mean. Complements dHash (row
+# gradients) and pHash (block-vs-global structure at a finer grid):
+# aHash is invariant to additive brightness shifts and positive
+# contrast scaling (both sides of the comparison shift/scale
+# together), but unlike dHash it is sensitive to low-frequency
+# vignettes. Integer-exact via cross-multiplication:
+#   bs[r,c] * total_npx > total_sum * npx[r,c]
+# so there is zero floating point anywhere.
+
+
+def ahash64_int(images: DataFrame) -> DataFrame:
+    """(image_id, ahash_hi, ahash_lo) 32-bit halves of the 64-bit
+    average hash. mapInPandas decode, one pass, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                g = arr.sum(axis=2)  # 3x gray, exact int
+                yb = (np.arange(9, dtype=np.int64) * h) // 8
+                xb = (np.arange(9, dtype=np.int64) * w) // 8
+                tot = int(g.sum())
+                npx_tot = h * w
+                hi = lo = 0
+                for a in range(8):
+                    for b in range(8):
+                        blk = g[yb[a] : yb[a + 1], xb[b] : xb[b + 1]]
+                        if int(blk.sum()) * npx_tot > tot * blk.size:
+                            k = a * 8 + b
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                rows.append((image_id, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "ahash_hi", "ahash_lo"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, ahash_hi bigint, ahash_lo bigint"
+    )
+
+
+def oracle_ahash64(n: int, max_i: int) -> str:
+    """SQL replica: 8x8 integer block sums vs per-image totals,
+    cross-multiplied comparison, packed halves."""
+    return (
+        f"WITH px AS (SELECT image_id, w, h, x, y, sum(val) AS g "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) GROUP BY 1, 2, 3, 4, 5), "
+        # yb[a] = (a*h)//8 -> row block a = (y*8 + 7) // h (same for x)
+        f"blk AS (SELECT image_id, (y * 8 + 7) // h AS a, "
+        f"(x * 8 + 7) // w AS b, "
+        f"sum(g) AS bs, count(*) AS npx FROM px GROUP BY 1, 2, 3), "
+        f"tot AS (SELECT image_id, cast(sum(bs) as bigint) AS ts, "
+        f"cast(sum(npx) as bigint) AS tn FROM blk GROUP BY 1), "
+        f"bits AS (SELECT blk.image_id, blk.a * 8 + blk.b AS k, "
+        f"cast(blk.bs * tot.tn > tot.ts * blk.npx as int) AS bit "
+        f"FROM blk JOIN tot ON tot.image_id = blk.image_id) "
+        f"SELECT image_id, "
+        f"cast(sum(CASE WHEN k >= 32 AND bit = 1 THEN 1::BIGINT << (k - 32) "
+        f"ELSE 0 END) as bigint) AS ahash_hi, "
+        f"cast(sum(CASE WHEN k < 32 AND bit = 1 THEN 1::BIGINT << k "
+        f"ELSE 0 END) as bigint) AS ahash_lo "
+        f"FROM bits GROUP BY 1"
+    )

@@ -164,3 +164,45 @@ def test_dhash_brute_force_and_brightness_invariance(spark):
                 assert (
                     bs2[a, b + 1] * npx[a, b] > bs2[a, b] * npx[a, b + 1]
                 ) == (bs[a, b + 1] * npx[a, b] > bs[a, b] * npx[a, b + 1])
+
+
+def test_ahash_brute_force_and_shift_invariance(spark):
+    from gdal_spark.operators import multimodal
+
+    df = synth.images_df(spark, 12, with_pixels=True)
+    out = multimodal.ahash64_int(df).toPandas().set_index("image_id")
+    assert len(out) == 12
+    for i in range(12):
+        rec = df.filter(f"i = {i}").collect()[0]
+        arr = codecs.decode_image(bytes(rec.bytes)).astype(np.int64)
+        h, w = arr.shape[:2]
+        g = arr.sum(axis=2)
+        yb = (np.arange(9) * h) // 8
+        xb = (np.arange(9) * w) // 8
+        tot, tn = int(g.sum()), h * w
+        want_hi = want_lo = 0
+        for a in range(8):
+            for b in range(8):
+                blk = g[yb[a]: yb[a + 1], xb[b]: xb[b + 1]]
+                if int(blk.sum()) * tn > tot * blk.size:
+                    k = a * 8 + b
+                    if k < 32:
+                        want_lo |= 1 << k
+                    else:
+                        want_hi |= 1 << (k - 32)
+        row = out.loc[rec.image_id]
+        assert (row.ahash_hi, row.ahash_lo) == (want_hi, want_lo), i
+        # aHash is exactly invariant to an additive brightness shift:
+        # bit = bs*TN > TS*npx, and shifting every pixel by c maps
+        # bs -> bs + c*npx, TS -> TS + c*TN, adding c*npx*TN to BOTH
+        # sides of the cross-multiplied comparison.
+        c = 3 * 17
+        g2 = g + c
+        tot2 = int(g2.sum())
+        for a in range(8):
+            for b in range(8):
+                blk = g[yb[a]: yb[a + 1], xb[b]: xb[b + 1]]
+                blk2 = g2[yb[a]: yb[a + 1], xb[b]: xb[b + 1]]
+                assert (int(blk2.sum()) * tn > tot2 * blk.size) == (
+                    int(blk.sum()) * tn > tot * blk.size
+                )
