@@ -360,6 +360,15 @@ def _q_geom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_ops.geom_fields(_oracle_polys(spark, sf_dir))
 
 
+def _q_geom_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::Centroid (area-weighted shoelace with hole
+    subtraction; SQLite-dialect ST_Centroid) over ALL synth kinds —
+    the concave kind discriminates it from the envelope center."""
+    return vector_ops.geom_centroid(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    )
+
+
 def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr -segmentize 1.5: vertex counts before/after."""
     return vector_ops.segmentize_counts(_oracle_polys(spark, sf_dir), 1.5)
@@ -1147,7 +1156,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
-# dhash64, ahash64, plus a re-verify sample of r02-r04 greens.
+# dhash64, ahash64, geom_centroid, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1225,6 +1234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_agg": _q_spatial_join_agg,
         "caption_roundtrip": _q_caption_roundtrip,
         "geom_fields": _q_geom_fields,
+        "geom_centroid": _q_geom_centroid,
         "segmentize": _q_segmentize,
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
@@ -1979,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
         "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
+        "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
         # simplify_dp intentionally has no oracle (recursive DP)
         "contour_crossings": contour.oracle_contour(96, 96),

@@ -907,3 +907,81 @@ def oracle_ogrsf_conformance(n_images: int, m: int) -> str:
         f"UNION ALL SELECT 'attr_filter_partition', "
         f"cast({m} as bigint), cast({m} as bigint), 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# geom_centroid — OGRGeometry::Centroid (ogr/ogrgeometry.cpp, which
+# delegates to GEOS GEOSGetCentroid; also the SQLite-dialect
+# ST_Centroid surface). Unlike geom_fields' envelope center this is
+# the AREA-WEIGHTED centroid: Cx = (1/6A) sum (x_i + x_{i+1}) *
+# (x_i*y_{i+1} - x_{i+1}*y_i), holes subtract their moments. The
+# synth kinds all have closed forms (symmetry for box/kgon/holed,
+# y - h/3 for the triangle, an exact box-minus-notch decomposition
+# for the concave "C"), so the oracle covers EVERY kind — concave is
+# the kind that discriminates area centroid from envelope center.
+
+_CEN_SCALE = 1e4  # 1e-4 deg (~10 m) accuracy-parity floor + half-grid eps
+
+
+def _ring_signed(r: np.ndarray):
+    """(signed_area, mx, my) shoelace integrals for one ring."""
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = 0.5 * float(cross.sum())
+    mx = float(((x + xn) * cross).sum()) / 6.0
+    my = float(((y + yn) * cross).sum()) / 6.0
+    return a, mx, my
+
+
+def geom_centroid(polys: DataFrame) -> DataFrame:
+    """(poly_id, cen_x_key, cen_y_key) area-weighted centroid,
+    floor(v * 1e4 + 5e-4) keys. Vectorized numpy over WKB rings in
+    mapInPandas; map-only, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                area = mx = my = 0.0
+                for k, ring in enumerate(wkb.polygon_rings(bytes(g))):
+                    a, rx, ry = _ring_signed(_ring_array(ring))
+                    s = 1.0 if k == 0 else -1.0  # holes subtract
+                    o = 1.0 if a >= 0 else -1.0  # orientation-normalize
+                    area += s * o * a
+                    mx += s * o * rx
+                    my += s * o * ry
+                rows.append(
+                    (
+                        poly_id,
+                        int(np.floor(mx / area * _CEN_SCALE + 5e-4)),
+                        int(np.floor(my / area * _CEN_SCALE + 5e-4)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "cen_x_key", "cen_y_key"]
+            )
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run, schema="poly_id string, cen_x_key bigint, cen_y_key bigint"
+    )
+
+
+def oracle_geom_centroid(m: int) -> str:
+    """Closed forms per kind. concave: box(2w x 2h) minus the notch
+    rectangle x in [cx-0.4w, cx+w], y in [cy-0.6h, cy+0.6h]; the
+    x-centroid shift is (1.68*0.3/2.32)*w = (63/290)*w."""
+    cenx = (
+        "CASE WHEN kind = 'concave' THEN cx - hw * 63.0E0 / 290.0E0 "
+        "ELSE cx END"
+    )
+    ceny = (
+        "CASE WHEN kind = 'triangle' THEN cy - hh / 3.0E0 ELSE cy END"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"cast(floor(({cenx}) * 10000.0E0 + 0.0005E0) as bigint) AS cen_x_key, "
+        f"cast(floor(({ceny}) * 10000.0E0 + 0.0005E0) as bigint) AS cen_y_key "
+        f"FROM p"
+    )

@@ -1402,3 +1402,40 @@ def test_adaptive_cells_bounds_extreme_skew(spark):
     assert counts["count"].max() <= 500, counts["count"].max()
     zooms = out.groupBy("cell_zoom").count().toPandas().set_index("cell_zoom")
     assert zooms.loc[16, "count"] == 18_000  # every hot row re-keyed
+
+
+def test_geom_centroid_offcenter_hole_and_concave(spark):
+    """Independent decomposition check for the two cases the synth
+    oracle can't discriminate by symmetry: an OFF-CENTER hole must
+    shift the centroid away from the hole, and the concave 'C' must
+    match its box-minus-notch closed form."""
+    from gdal_spark import wkb as wkbmod
+    from gdal_spark.operators import vector_ops
+
+    # unit square [0,2]x[0,2] with a 0.5x0.5 hole at upper-right
+    outer = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+    hole = [(1.25, 1.25), (1.75, 1.25), (1.75, 1.75), (1.25, 1.75)]
+    g_holed = wkbmod.encode_polygon(outer, [hole])
+    # concave C at center (5, 5), hw=2, hh=1
+    g_c = synth.kind_geom("concave", 5.0, 5.0, 2.0, 1.0, 0)
+    df = spark.createDataFrame(
+        [("holed", bytearray(g_holed)), ("cshape", bytearray(g_c))],
+        "poly_id string, geom_wkb binary",
+    )
+    out = {
+        r.poly_id: (r.cen_x_key, r.cen_y_key)
+        for r in vector_ops.geom_centroid(df).collect()
+    }
+    # holed: A = 4 - 0.25; moments: box (1,1)*4 minus hole (1.5,1.5)*0.25
+    ax = (4.0 * 1.0 - 0.25 * 1.5) / 3.75
+    assert out["holed"] == (
+        math.floor(ax * 1e4 + 5e-4),
+        math.floor(ax * 1e4 + 5e-4),
+    )
+    assert ax < 1.0  # shifted AWAY from the upper-right hole
+    # concave: cx - hw*63/290, cy
+    cx = 5.0 - 2.0 * 63.0 / 290.0
+    assert out["cshape"] == (
+        math.floor(cx * 1e4 + 5e-4),
+        math.floor(5.0 * 1e4 + 5e-4),
+    )
