@@ -369,6 +369,19 @@ def _q_geom_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_point_on_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::PointOnSurface (GEOS InteriorPointArea): widest
+    envelope-bisector scanline segment midpoint. The concave kind's
+    centroid lands INSIDE its notch (outside the polygon) — this is
+    the operator that guarantees an interior point. kgon excluded
+    (its crossings have no closed form; every other kind oracled)."""
+    return vector_ops.geom_point_on_surface(
+        synth.polygons_df(spark, synth.n_polygons(sf_dir)).filter(
+            F.col("kind") != "kgon"
+        )
+    )
+
+
 def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr -segmentize 1.5: vertex counts before/after."""
     return vector_ops.segmentize_counts(_oracle_polys(spark, sf_dir), 1.5)
@@ -1156,7 +1169,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
-# dhash64, ahash64, geom_centroid, plus a re-verify sample of r02-r04 greens.
+# dhash64, ahash64, geom_centroid, geom_point_on_surface, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1235,6 +1248,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_roundtrip": _q_caption_roundtrip,
         "geom_fields": _q_geom_fields,
         "geom_centroid": _q_geom_centroid,
+        "geom_point_on_surface": _q_point_on_surface,
         "segmentize": _q_segmentize,
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
@@ -1990,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
+        "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
         # simplify_dp intentionally has no oracle (recursive DP)
         "contour_crossings": contour.oracle_contour(96, 96),

@@ -985,3 +985,82 @@ def oracle_geom_centroid(m: int) -> str:
         f"cast(floor(({ceny}) * 10000.0E0 + 0.0005E0) as bigint) AS cen_y_key "
         f"FROM p"
     )
+
+
+# ---------------------------------------------------------------------------
+# geom_point_on_surface — OGRGeometry::PointOnSurface
+# (ogr/ogrgeometry.cpp, delegating to GEOS InteriorPointArea; SQLite
+# dialect ST_PointOnSurface). Algorithm (Klokan/GEOS): scan a
+# horizontal line through the bisector of the envelope's y range,
+# intersect it with all rings (even-odd), take the midpoint of the
+# WIDEST inside segment (tie -> leftmost, deterministic). This is
+# the operator you need precisely when the area centroid falls
+# OUTSIDE the polygon — the synth concave "C" is such a case: its
+# centroid x = cx - (63/290)*hw > cx - 0.4*hw lies inside the notch.
+
+def _scan_crossings(rings, y0: float) -> np.ndarray:
+    xs = []
+    for ring in rings:
+        r = _ring_array(ring)
+        a = r
+        b = np.roll(r, -1, axis=0)
+        ya, yb = a[:, 1], b[:, 1]
+        m = (np.minimum(ya, yb) <= y0) & (y0 < np.maximum(ya, yb))
+        xa, xb = a[m, 0], b[m, 0]
+        ya, yb = ya[m], yb[m]
+        xs.append(xa + (y0 - ya) * (xb - xa) / (yb - ya))
+    return np.sort(np.concatenate(xs)) if xs else np.empty(0)
+
+
+def geom_point_on_surface(polys: DataFrame) -> DataFrame:
+    """(poly_id, pos_x_key, pos_y_key) interior point via the
+    envelope-bisector scanline; floor(v * 1e4 + 5e-4) keys.
+    Map-only mapInPandas over WKB, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                rings = wkb.polygon_rings(bytes(g))
+                _, miny, _, maxy = wkb.envelope(bytes(g))
+                y0 = 0.5 * (miny + maxy)
+                xs = _scan_crossings(rings, y0)
+                # widest inside segment, tie -> leftmost
+                best_w, best_x = -1.0, 0.0
+                for i in range(0, len(xs) - 1, 2):
+                    w_ = xs[i + 1] - xs[i]
+                    if w_ > best_w + 1e-12:
+                        best_w, best_x = w_, 0.5 * (xs[i] + xs[i + 1])
+                rows.append(
+                    (
+                        poly_id,
+                        int(np.floor(best_x * _CEN_SCALE + 5e-4)),
+                        int(np.floor(y0 * _CEN_SCALE + 5e-4)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "pos_x_key", "pos_y_key"]
+            )
+
+    return polys.select("poly_id", "geom_wkb").mapInPandas(
+        run, schema="poly_id string, pos_x_key bigint, pos_y_key bigint"
+    )
+
+
+def oracle_point_on_surface(m: int) -> str:
+    """Closed forms (kgon excluded from the query's kind set): box/
+    hot_box/triangle -> (cx, cy); concave -> the section at y=cy is
+    [cx-hw, cx-0.4hw] (the notch removes the right side), midpoint
+    cx-0.7hw; holed -> two equal segments, leftmost midpoint
+    cx-0.7hw."""
+    posx = (
+        "CASE WHEN kind IN ('concave', 'holed') "
+        "THEN cx - 0.7E0 * hw ELSE cx END"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"cast(floor(({posx}) * 10000.0E0 + 0.0005E0) as bigint) AS pos_x_key, "
+        f"cast(floor(cy * 10000.0E0 + 0.0005E0) as bigint) AS pos_y_key "
+        f"FROM p WHERE kind != 'kgon'"
+    )

@@ -1439,3 +1439,38 @@ def test_geom_centroid_offcenter_hole_and_concave(spark):
         math.floor(cx * 1e4 + 5e-4),
         math.floor(5.0 * 1e4 + 5e-4),
     )
+
+
+def test_point_on_surface_always_interior(spark):
+    """The defining property (GEOS InteriorPointArea): the returned
+    point is inside the polygon for EVERY kind — including concave,
+    whose area centroid falls inside the notch (outside the
+    polygon), and holed, whose envelope center falls in the hole."""
+    from gdal_spark import geom as geommod
+    from gdal_spark.operators import vector_ops
+
+    polys = synth.polygons_df(spark, 64)
+    pdf = polys.toPandas().set_index("poly_id")
+    out = vector_ops.geom_point_on_surface(polys).collect()
+    assert len(out) == 64
+    n_centroid_outside = 0
+    cen = {
+        r.poly_id: (r.cen_x_key / 1e4, r.cen_y_key / 1e4)
+        for r in vector_ops.geom_centroid(polys).collect()
+    }
+    for r in out:
+        g = bytes(pdf.loc[r.poly_id, "geom_wkb"])
+        px = np.array([r.pos_x_key / 1e4])
+        py = np.array([r.pos_y_key / 1e4])
+        assert geommod.points_in_wkb(px, py, g)[0], (
+            r.poly_id,
+            pdf.loc[r.poly_id, "kind"],
+        )
+        cx, cy = cen[r.poly_id]
+        if not geommod.points_in_wkb(
+            np.array([cx]), np.array([cy]), g
+        )[0]:
+            n_centroid_outside += 1
+    # every 16th synth polygon is the concave "C" whose centroid
+    # lies in the notch — the case PointOnSurface exists for
+    assert n_centroid_outside >= 4
