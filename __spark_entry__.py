@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, geoloc, rpc, s2cell, streaming, synth, tablefmt
+from gdal_spark import gcp, geoloc, hexcell, rpc, s2cell, streaming, synth, tablefmt
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import mdim
@@ -1027,6 +1027,15 @@ def _q_s2_assign(spark, sf_dir):
     )
 
 
+def _q_hex_assign(spark, sf_dir):
+    """Hexagonal cell assignment (H3-style axial binning + cube
+    rounding, hexcell.py) — the hexagonal member of the cell-index
+    family; pure Catalyst, one shared dual-dialect SQL fragment."""
+    n = synth.n_images(sf_dir)
+    imgs = synth.images_df(spark, n).filter(f"i < {min(n, 4096)}")
+    return hexcell.assign_hex(imgs)
+
+
 def _q_ps_corners(spark, sf_dir):
     """Polar Stereographic corner transform (EPSG:3031, method 9829)
     — fourth projection family, pure Catalyst."""
@@ -1312,6 +1321,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ivfpq_topk,
         "s2_cell_assign": _q_s2_assign,
         "s2_density_topk": _q_s2_density,
+        "hex_cell_assign": _q_hex_assign,
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
@@ -2058,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "dither_fs_fixed": quantize.oracle_dither_fixed(min(n, 4096), 4),
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
         "s2_cell_assign": _s2_assign_sql(n, S2_LEVEL, min(n, 4096)),
+        "hex_cell_assign": hexcell.oracle_hex_assign(min(n, 4096)),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

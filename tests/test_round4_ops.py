@@ -1474,3 +1474,69 @@ def test_point_on_surface_always_interior(spark):
     # every 16th synth polygon is the concave "C" whose centroid
     # lies in the notch — the case PointOnSurface exists for
     assert n_centroid_outside >= 4
+
+
+# ---------------------------------------------------------------------------
+# hexagonal cell assignment (hexcell.py)
+
+
+def _hex_assign_py(lon, lat, size):
+    """Pure-python replay of hexcell.hex_fragments semantics."""
+    fq = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / size
+    fr = (2.0 * lat / 3.0) / size
+    fx, fz = fq, fr
+    fy = -fx - fz
+    rx, ry, rz = (math.floor(v + 0.5) for v in (fx, fy, fz))
+    dx, dy, dz = abs(rx - fx), abs(ry - fy), abs(rz - fz)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    return int(rx), int(rz)
+
+
+def test_hex_cube_round_is_nearest_center():
+    """Voronoi property: cube rounding assigns each point to the
+    nearest hex center in the Euclidean plane (strict for
+    general-position points; ties broken consistently)."""
+    from gdal_spark import hexcell
+
+    size = hexcell.HEX_SIZE_DEG
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(-10.0, 10.0, size=(500, 2))
+    for lon, lat in pts:
+        q, r = _hex_assign_py(lon, lat, size)
+        cx, cy = hexcell.hex_center(q, r, size)
+        d0 = (lon - cx) ** 2 + (lat - cy) ** 2
+        for dq in range(-2, 3):
+            for dr in range(-2, 3):
+                if dq == 0 and dr == 0:
+                    continue
+                ox, oy = hexcell.hex_center(q + dq, r + dr, size)
+                d1 = (lon - ox) ** 2 + (lat - oy) ** 2
+                assert d0 <= d1 + 1e-12, (lon, lat, q, r, dq, dr)
+
+
+def test_hex_assign_spark_matches_python_replay(spark):
+    """The staged Catalyst expressions reproduce the python replay
+    bit-for-bit, and packed hex_id is injective over (q, r)."""
+    from gdal_spark import hexcell
+
+    imgs = synth.images_df(spark, 512)
+    rows = hexcell.assign_hex(imgs).collect()
+    assert len(rows) == 512
+    seen = {}
+    pdf = imgs.select("image_id", "lon", "lat").toPandas().set_index("image_id")
+    for row in rows:
+        lon = float(pdf.loc[row.image_id, "lon"])
+        lat = float(pdf.loc[row.image_id, "lat"])
+        q, r = _hex_assign_py(lon, lat, hexcell.HEX_SIZE_DEG)
+        assert (row.hexq, row.hexr) == (q, r)
+        key = (row.hexq, row.hexr)
+        if key in seen:
+            assert seen[key] == row.hex_id
+        else:
+            seen[key] = row.hex_id
+    assert len(set(seen.values())) == len(seen)
