@@ -676,7 +676,19 @@ def main():
             "other direction — the low level runs 4x longer, so a "
             "neighbor burst during it inflates the ratio; that is why "
             "the MEDIAN (and since r4 the QUIET-host median) is the "
-            "claim and the best is context.\n\n"
+            "claim and the best is context. Note the anticorrelation "
+            "the quietest windows expose: the quietest attempt on "
+            "record (load1 0.4, steal symmetric to 0.3pp) produced "
+            "BOTH the highest absolute throughput ever measured "
+            "(3.30M img/s at 32 cores) AND a low raw 8->32 ratio "
+            "(0.565, same-window ALU probe 0.823) — a quiet box "
+            "disproportionately speeds the 8-core LOW leg (full "
+            "8-core turbo + the whole DRAM system to itself), which "
+            "is exactly the denominator of the ratio. Raw 8->32 on "
+            "this box is therefore highest on a MODERATELY loaded "
+            "host and lowest on an idle one; only the "
+            "same-window-probe-normalized figures are "
+            "load-invariant.\n\n"
             "This invocation:\n\n"
             "| pair | raw eff | ceiling | normalized | n_images |\n"
             "|---|---|---|---|---|\n"
