@@ -1027,6 +1027,16 @@ def _q_s2_assign(spark, sf_dir):
     )
 
 
+_BLUR_MAX_I = 32
+
+
+def _q_blur_laplacian(spark, sf_dir):
+    """Variance-of-Laplacian sharpness signal (curation.py) — decode
+    in a vectorized UDF, integer-exact moments, value-checked against
+    the tap-instantiated closed-form pixel oracle."""
+    return curation.blur_laplacian(_pixel_images(spark, sf_dir, _BLUR_MAX_I))
+
+
 def _q_hex_assign(spark, sf_dir):
     """Hexagonal cell assignment (H3-style axial binning + cube
     rounding, hexcell.py) — the hexagonal member of the cell-index
@@ -1178,7 +1188,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # zorder_layout, overview_rollup_updates, ogrsf_conformance,
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
-# dhash64, ahash64, geom_centroid, geom_point_on_surface, plus a re-verify sample of r02-r04 greens.
+# dhash64, ahash64, geom_centroid, geom_point_on_surface,
+# hex_cell_assign, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1322,6 +1333,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign": _q_s2_assign,
         "s2_density_topk": _q_s2_density,
         "hex_cell_assign": _q_hex_assign,
+        "blur_laplacian": _q_blur_laplacian,
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
@@ -2069,6 +2081,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
         "s2_cell_assign": _s2_assign_sql(n, S2_LEVEL, min(n, 4096)),
         "hex_cell_assign": hexcell.oracle_hex_assign(min(n, 4096)),
+        "blur_laplacian": curation.oracle_blur_laplacian(
+            min(n, 4096), _BLUR_MAX_I
+        ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

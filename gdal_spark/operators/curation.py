@@ -131,3 +131,81 @@ def oracle_keep_best_variant(
         f"image_id AS keep_image_id, pixels AS best_pixels "
         f"FROM r WHERE rk = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# blur detection: variance of the Laplacian (the classic sharpness
+# signal used to cut out-of-focus / heavily-smoothed images from
+# training corpora; Pech-Pacheco et al. 2000, "Diatom autofocusing in
+# brightfield microscopy"). 4-neighbor Laplacian 4c - up - down -
+# left - right over the INTERIOR of channel 0; per-image moments kept
+# as exact int64 partials (uint8 inputs, |lap| <= 1275), so the
+# variance comparison var_n2 >= t * n^2 never touches a float. At
+# 10^12 rows this is decode -> one numpy kernel -> 5 small columns
+# per image: map-only, zero shuffle before the final per-image rows.
+
+SHARP_VAR_MIN = 100  # variance-of-Laplacian threshold (int, exact)
+
+
+def blur_laplacian(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, lap_sum, lap_sumsq, var_n2, is_sharp) — one
+    row per image; var_n2 = n*Σlap² − (Σlap)² = variance × n²."""
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = ["image_id", "n_px", "lap_sum", "lap_sumsq", "var_n2", "is_sharp"]
+
+    def fn(arr):
+        a = arr[:, :, 0].astype(np.int64)
+        lap = (
+            4 * a[1:-1, 1:-1]
+            - a[:-2, 1:-1]
+            - a[2:, 1:-1]
+            - a[1:-1, :-2]
+            - a[1:-1, 2:]
+        )
+        n = int(lap.size)
+        s = int(lap.sum())
+        sq = int((lap * lap).sum())
+        var_n2 = n * sq - s * s
+        yield (n, s, sq, var_n2, int(var_n2 >= SHARP_VAR_MIN * n * n))
+
+    schema = (
+        "image_id string, n_px bigint, lap_sum bigint, lap_sumsq bigint, "
+        "var_n2 bigint, is_sharp int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_blur_laplacian(n_images: int, max_i: int) -> str:
+    """Closed-form replay: the Laplacian tap values come from
+    re-instantiating the synth pixel formula at the shifted tap
+    coordinates (no pixel self-join)."""
+    from ..synth import pixel_val_sql
+
+    def tap(xe, ye):
+        return pixel_val_sql(xe, ye)
+
+    lap = (
+        f"(4 * {tap('x', 'y')} - {tap('x - 1', 'y')} - {tap('x + 1', 'y')}"
+        f" - {tap('x', 'y - 1')} - {tap('x', 'y + 1')})"
+    )
+    return (
+        f"WITH cen AS (SELECT image_id, i, w, h, fmt, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x >= 1 AND x <= w - 2 "
+        f"AND y >= 1 AND y <= h - 2), "
+        f"lap AS (SELECT image_id, {lap} AS lap FROM cen) "
+        f"SELECT image_id, count(*) AS n_px, "
+        f"cast(sum(lap) as bigint) AS lap_sum, "
+        f"cast(sum(lap * lap) as bigint) AS lap_sumsq, "
+        f"cast(count(*) * sum(lap * lap) - sum(lap) * sum(lap) as bigint) "
+        f"AS var_n2, "
+        f"cast(count(*) * sum(lap * lap) - sum(lap) * sum(lap) >= "
+        f"{SHARP_VAR_MIN} * count(*) * count(*) as int) AS is_sharp "
+        f"FROM lap GROUP BY 1"
+    )

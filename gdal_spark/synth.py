@@ -170,14 +170,16 @@ def add_pixels(df):
 TWO_PI = 2.0 * np.pi
 
 
-def pixel_val_sql() -> str:
+def pixel_val_sql(xe: str = "x", ye: str = "y") -> str:
     """SQL expression for the decoded pixel value; expects columns
-    i, w, fmt, x, y, ch in scope."""
+    i, w, fmt, ch in scope plus x/y (or pass coordinate expressions
+    via xe/ye — kernel operators instantiate the formula at shifted
+    tap coordinates instead of self-joining the pixel table)."""
     arg = (
-        f"{flit(TWO_PI)} * (cast(x as double) / w + (i % 17) / 17.0E0 "
+        f"{flit(TWO_PI)} * (cast(({xe}) as double) / w + (i % 17) / 17.0E0 "
         f"+ ch / 3.0E0)"
     )
-    base = "((x * 3 + y * 5 + i * 7 + ch * 11) % 256)"
+    base = f"((({xe}) * 3 + ({ye}) * 5 + i * 7 + ch * 11) % 256)"
     raw = (
         f"cast(floor(greatest(0.0E0, least(255.0E0, {base} + 60.0E0 * "
         f"sin({arg})))) as bigint)"

@@ -1540,3 +1540,53 @@ def test_hex_assign_spark_matches_python_replay(spark):
         else:
             seen[key] = row.hex_id
     assert len(set(seen.values())) == len(seen)
+
+
+# ---------------------------------------------------------------------------
+# blur detection: variance of Laplacian (curation.blur_laplacian)
+
+
+def _lap_stats_brute(a):
+    """Per-pixel python loop ground truth over channel 0 interior."""
+    h, w = a.shape
+    laps = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            laps.append(
+                4 * int(a[y, x])
+                - int(a[y - 1, x]) - int(a[y + 1, x])
+                - int(a[y, x - 1]) - int(a[y, x + 1])
+            )
+    n = len(laps)
+    s = sum(laps)
+    sq = sum(v * v for v in laps)
+    return n, s, sq, n * sq - s * s
+
+
+def test_blur_laplacian_matches_bruteforce(spark):
+    from gdal_spark import codecs
+    from gdal_spark.operators.curation import blur_laplacian
+
+    imgs = synth.add_pixels(synth.images_df(spark, 8))
+    rows = {r.image_id: r for r in blur_laplacian(imgs).collect()}
+    raw = {r.image_id: bytes(r.bytes) for r in imgs.select("image_id", "bytes").collect()}
+    assert len(rows) == 8
+    for image_id, payload in raw.items():
+        a = codecs.decode_image(payload)[:, :, 0]
+        n, s, sq, var_n2 = _lap_stats_brute(a)
+        r = rows[image_id]
+        assert (r.n_px, r.lap_sum, r.lap_sumsq, r.var_n2) == (n, s, sq, var_n2)
+
+
+def test_blur_laplacian_flat_image_not_sharp():
+    """A constant image has zero Laplacian everywhere -> var 0 ->
+    is_sharp false; a checkerboard is maximally sharp."""
+    from gdal_spark.operators.curation import SHARP_VAR_MIN
+
+    flat = np.full((8, 8), 77, dtype=np.int64)
+    n, s, sq, var_n2 = _lap_stats_brute(flat)
+    assert (s, sq, var_n2) == (0, 0, 0)
+    assert not var_n2 >= SHARP_VAR_MIN * n * n
+    cb = ((np.add.outer(np.arange(8), np.arange(8)) % 2) * 255).astype(np.int64)
+    n, s, sq, var_n2 = _lap_stats_brute(cb)
+    assert var_n2 >= SHARP_VAR_MIN * n * n
