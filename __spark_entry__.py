@@ -1037,6 +1037,14 @@ def _q_blur_laplacian(spark, sf_dir):
     return curation.blur_laplacian(_pixel_images(spark, sf_dir, _BLUR_MAX_I))
 
 
+def _q_hsv_merge(spark, sf_dir):
+    """hsv_merge.py composite (hillshade intensity into color-relief
+    RGB) — one decode pass per image; checksum-gated against the
+    composed SQL replay (hillshade window + relief ladder + staged
+    hsv round-trip)."""
+    return enhance.hsv_merge(_pixel_images(spark, sf_dir, _DEM_MAX_I))
+
+
 def _q_hex_assign(spark, sf_dir):
     """Hexagonal cell assignment (H3-style axial binning + cube
     rounding, hexcell.py) — the hexagonal member of the cell-index
@@ -1334,6 +1342,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_density_topk": _q_s2_density,
         "hex_cell_assign": _q_hex_assign,
         "blur_laplacian": _q_blur_laplacian,
+        "hsv_merge": _q_hsv_merge,
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
@@ -2084,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "blur_laplacian": curation.oracle_blur_laplacian(
             min(n, 4096), _BLUR_MAX_I
         ),
+        "hsv_merge": enhance.oracle_hsv_merge(min(n, 4096), _DEM_MAX_I),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

@@ -355,6 +355,18 @@ def focal_tiled(spark, width: int, height: int, tile_px: int = 32) -> DataFrame:
 # oracle SQL
 
 
+def shade_sql() -> str:
+    """Hillshade (1..255 float) expression given Horn sums dxh, dyh in
+    scope — shared by the focal oracle and the hsv_merge composition."""
+    gx, gy = "(dxh * 1.0E0)", "(dyh * -1.0E0)"
+    c254 = (
+        f"(({flit(SIN_ALT_254)} - ({gy} * {flit(COS_AZ_COS_ALT_Z_254)} "
+        f"- {gx} * {flit(SIN_AZ_COS_ALT_Z_254)})) "
+        f"/ sqrt(1.0E0 + {flit(SQUARE_Z)} * ({gx} * {gx} + {gy} * {gy})))"
+    )
+    return f"(CASE WHEN {c254} <= 0.0E0 THEN 1.0E0 ELSE 1.0E0 + {c254} END)"
+
+
 def _feat_select(center: str = "c") -> str:
     """Feature key expressions given per-pixel aggregates dxh, dyh
     (Horn sums), center c, sum8, absdiff8, vmax, vmin in scope."""
@@ -367,13 +379,7 @@ def _feat_select(center: str = "c") -> str:
     )
     az0 = f"(CASE WHEN {az} = 360.0E0 THEN 0.0E0 ELSE {az} END)"
     aspect = f"(CASE WHEN {adx} = 0 AND {ady} = 0 THEN -9999.0E0 ELSE {az0} END)"
-    gx, gy = "(dxh * 1.0E0)", "(dyh * -1.0E0)"
-    c254 = (
-        f"(({flit(SIN_ALT_254)} - ({gy} * {flit(COS_AZ_COS_ALT_Z_254)} "
-        f"- {gx} * {flit(SIN_AZ_COS_ALT_Z_254)})) "
-        f"/ sqrt(1.0E0 + {flit(SQUARE_Z)} * ({gx} * {gx} + {gy} * {gy})))"
-    )
-    shade = f"(CASE WHEN {c254} <= 0.0E0 THEN 1.0E0 ELSE 1.0E0 + {c254} END)"
+    shade = shade_sql()
     k = flit(SCALE_KEY)
 
     def key(e):

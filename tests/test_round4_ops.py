@@ -1590,3 +1590,57 @@ def test_blur_laplacian_flat_image_not_sharp():
     cb = ((np.add.outer(np.arange(8), np.arange(8)) % 2) * 255).astype(np.int64)
     n, s, sq, var_n2 = _lap_stats_brute(cb)
     assert var_n2 >= SHARP_VAR_MIN * n * n
+
+
+# ---------------------------------------------------------------------------
+# hsv_merge (enhance._hsv_merge_bands)
+
+
+def test_hsv_merge_matches_colorsys():
+    """Independent check: python stdlib colorsys implements the same
+    HSV round-trip with different op order/scaling; results agree to
+    <=1 (truncation-boundary ulps)."""
+    import colorsys
+
+    from gdal_spark.operators.enhance import _hsv_merge_bands
+
+    rng = np.random.default_rng(7)
+    r, g, b = (rng.integers(0, 256, 400).astype(np.int64) for _ in range(3))
+    gray = rng.integers(1, 256, 400).astype(np.int64)
+    r2, g2, b2 = _hsv_merge_bands(r, g, b, gray)
+    for k in range(400):
+        if max(r[k], g[k], b[k]) == 0:
+            expect = (gray[k], gray[k], gray[k])
+        else:
+            h, s, _ = colorsys.rgb_to_hsv(
+                r[k] / 255.0, g[k] / 255.0, b[k] / 255.0
+            )
+            rr, gg, bb = colorsys.hsv_to_rgb(h, s, gray[k] / 255.0)
+            expect = (int(rr * 255.0), int(gg * 255.0), int(bb * 255.0))
+        got = (int(r2[k]), int(g2[k]), int(b2[k]))
+        assert all(abs(a - e) <= 1 for a, e in zip(got, expect)), (
+            k, (int(r[k]), int(g[k]), int(b[k]), int(gray[k])), got, expect
+        )
+
+
+def test_hsv_merge_invariants():
+    """V-replacement: output max channel == gray exactly; grey input
+    stays grey; the multiplicative identity gray*c/maxc holds to <=1."""
+    from gdal_spark.operators.enhance import _hsv_merge_bands
+
+    rng = np.random.default_rng(11)
+    r, g, b = (rng.integers(0, 256, 1000).astype(np.int64) for _ in range(3))
+    gray = rng.integers(1, 256, 1000).astype(np.int64)
+    r2, g2, b2 = _hsv_merge_bands(r, g, b, gray)
+    assert (np.maximum(r2, np.maximum(g2, b2)) == gray).all()
+    maxc = np.maximum(r, np.maximum(g, b))
+    for c, c2 in ((r, r2), (g, g2), (b, b2)):
+        ident = np.trunc(
+            gray * c / np.where(maxc == 0, 1, maxc)
+        ).astype(np.int64)
+        ident = np.where(maxc == 0, gray, ident)
+        assert np.abs(c2 - ident).max() <= 1
+    gr = np.full(16, 99, dtype=np.int64)
+    gv = np.arange(1, 17, dtype=np.int64) * 15
+    rr, gg, bb = _hsv_merge_bands(gr, gr, gr, gv)
+    assert (rr == gv).all() and (gg == gv).all() and (bb == gv).all()
