@@ -21,6 +21,7 @@ from gdal_spark.operators import mdim
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
 from gdal_spark.operators import cog as cogop
+from gdal_spark.operators import convfilter
 from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import bpe as bpeop
 from gdal_spark.operators import buffer as bufop
@@ -1341,8 +1342,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign": _q_s2_assign,
         "s2_density_topk": _q_s2_density,
         "hex_cell_assign": _q_hex_assign,
+        "hex_density_topk": lambda spark, sf_dir: hexcell.hex_density_topk(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         "blur_laplacian": _q_blur_laplacian,
         "hsv_merge": _q_hsv_merge,
+        # VRT KernelFilteredSource (vrtfilters.cpp:482) sharpen +
+        # normalized blur — decode once, vectorized numpy kernels
+        "kernel_filter": lambda spark, sf_dir: convfilter.kernel_filter(
+            _pixel_images(spark, sf_dir, _DEM_MAX_I)
+        ),
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
@@ -2090,10 +2099,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": ann.oracle_ivfpq_topk(),
         "s2_cell_assign": _s2_assign_sql(n, S2_LEVEL, min(n, 4096)),
         "hex_cell_assign": hexcell.oracle_hex_assign(min(n, 4096)),
+        "hex_density_topk": hexcell.oracle_hex_density(n),
         "blur_laplacian": curation.oracle_blur_laplacian(
             min(n, 4096), _BLUR_MAX_I
         ),
         "hsv_merge": enhance.oracle_hsv_merge(min(n, 4096), _DEM_MAX_I),
+        "kernel_filter": convfilter.oracle_kernel_filter(
+            min(n, 4096), _DEM_MAX_I
+        ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

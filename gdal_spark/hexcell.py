@@ -104,3 +104,27 @@ def oracle_hex_assign(n: int, size: float = HEX_SIZE_DEG) -> str:
         f"SELECT image_id, hexq, hexr, "
         f"cast({id_sql} as bigint) AS hex_id FROM ({sel})"
     )
+
+
+def hex_density_topk(images: DataFrame, k: int = 64,
+                     size: float = HEX_SIZE_DEG) -> DataFrame:
+    """Densest hex cells — hot-cell skew surfaced on the hexagonal
+    grid; map-only codegen assignment, one shuffle on hex_id."""
+    from pyspark.sql import functions as F
+
+    return (
+        assign_hex(images, size)
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy(F.desc("n_images"), "hex_id")
+        .limit(k)
+    )
+
+
+def oracle_hex_density(n: int, k: int = 64,
+                       size: float = HEX_SIZE_DEG) -> str:
+    return (
+        f"SELECT hex_id, cast(count(*) as bigint) AS n_images "
+        f"FROM ({oracle_hex_assign(n, size)}) GROUP BY hex_id "
+        f"ORDER BY n_images DESC, hex_id LIMIT {k}"
+    )

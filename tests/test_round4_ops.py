@@ -1644,3 +1644,26 @@ def test_hsv_merge_invariants():
     gv = np.arange(1, 17, dtype=np.int64) * 15
     rr, gg, bb = _hsv_merge_bands(gr, gr, gr, gv)
     assert (rr == gv).all() and (gg == gv).all() and (bb == gv).all()
+
+
+# ---------------------------------------------------------------------------
+# VRT kernel filter (convfilter._responses)
+
+
+def test_kernel_filter_matches_bruteforce():
+    """Per-pixel python loop over both kernels, including the
+    reference's normalize-by-kernel-sum division (vrtfilters.cpp
+    FilterData)."""
+    from gdal_spark.operators.convfilter import _responses
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (9, 12)).astype(np.int64)
+    sharpen, blur_key = _responses(a)
+    for y in range(1, 8):
+        for x in range(1, 11):
+            s = 5 * a[y, x] - a[y - 1, x] - a[y + 1, x] - a[y, x - 1] - a[y, x + 1]
+            win = sum(
+                int(a[y + dy, x + dx]) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            )
+            assert sharpen[y - 1, x - 1] == s
+            assert blur_key[y - 1, x - 1] == math.floor(win / 9.0 * 10000.0)
