@@ -1352,6 +1352,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_filter": lambda spark, sf_dir: convfilter.kernel_filter(
             _pixel_images(spark, sf_dir, _DEM_MAX_I)
         ),
+        # gdal_lut direct value lookup (samples/gdal_lut.py) —
+        # constant-folded literal array, map-only projection
+        "lut_apply": lambda spark, sf_dir: translate.lut_apply(
+            spark, min(synth.n_images(sf_dir), 4096), _CKS_MAX_I
+        ),
         "cell_hulls": _q_cell_hulls,
         "pct2rgb": _q_pct2rgb,
         "ps_corners": _q_ps_corners,
@@ -2107,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "kernel_filter": convfilter.oracle_kernel_filter(
             min(n, 4096), _DEM_MAX_I
         ),
+        "lut_apply": translate.oracle_lut_apply(min(n, 4096), _CKS_MAX_I),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

@@ -605,3 +605,49 @@ def oracle_gdal_create(
         f"cast({burn_case} as bigint) AS burn, "
         f"cast({w} as bigint) * {h} AS n_px, checksum FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_lut (osgeo_utils/samples/gdal_lut.py): direct value lookup —
+# pixel values inside the table map through it, values past the end
+# pass through unaltered ("Values not mapped by the lut file ... will
+# be left unaltered"). The table is a tiny constant -> both engines
+# get it as a folded literal array (Spark: Catalyst constant-folds
+# element_at over a literal; at 10^12 rows this is a map-only
+# projection fused into the scan, zero Python).
+
+# default table: squared-contrast stretch for the dark range 0..63
+DEFAULT_LUT = tuple((v * v) // 16 for v in range(64))
+
+
+def _lut_sql(dialect: str, lut) -> str:
+    vals = ", ".join(str(int(v)) for v in lut)
+    if dialect == "spark":
+        arr = f"array({vals})"
+        pick = f"element_at({arr}, cast(val + 1 as int))"
+    else:
+        pick = f"list_extract([{vals}], val + 1)"
+    return (
+        f"(CASE WHEN val < {len(lut)} THEN cast({pick} as bigint) "
+        f"ELSE val END)"
+    )
+
+
+def lut_apply(spark, n: int, max_i: int, lut=DEFAULT_LUT) -> DataFrame:
+    """(image_id, ch, y, n, out_sum) per scanline after LUT mapping —
+    pure Catalyst over the synth pixel CTE."""
+    px = synth.pixels_cte(n, max_i, "spark")
+    return spark.sql(
+        f"SELECT image_id, ch, y, count(*) AS n, "
+        f"cast(sum({_lut_sql('spark', lut)}) as bigint) AS out_sum "
+        f"FROM ({px}) GROUP BY 1, 2, 3"
+    )
+
+
+def oracle_lut_apply(n: int, max_i: int, lut=DEFAULT_LUT) -> str:
+    px = synth.pixels_cte(n, max_i, "duckdb")
+    return (
+        f"SELECT image_id, ch, y, count(*) AS n, "
+        f"cast(sum({_lut_sql('duckdb', lut)}) as bigint) AS out_sum "
+        f"FROM ({px}) GROUP BY 1, 2, 3"
+    )

@@ -1667,3 +1667,24 @@ def test_kernel_filter_matches_bruteforce():
             )
             assert sharpen[y - 1, x - 1] == s
             assert blur_key[y - 1, x - 1] == math.floor(win / 9.0 * 10000.0)
+
+
+# ---------------------------------------------------------------------------
+# gdal_lut (translate.lut_apply semantics)
+
+
+def test_lut_sql_semantics():
+    """In-range values map through the table, out-of-range pass
+    through — replayed in pure python against the SQL fragment via
+    duckdb."""
+    import duckdb
+
+    from gdal_spark.operators.translate import DEFAULT_LUT, _lut_sql
+
+    expr = _lut_sql("duckdb", DEFAULT_LUT)
+    got = duckdb.sql(
+        f"SELECT val, {expr} AS out FROM (SELECT unnest(range(0, 256)) AS val)"
+    ).fetchall()
+    for val, out in got:
+        expect = DEFAULT_LUT[val] if val < len(DEFAULT_LUT) else val
+        assert out == expect, (val, out, expect)
