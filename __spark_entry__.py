@@ -1198,7 +1198,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
 # dhash64, ahash64, geom_centroid, geom_point_on_surface,
-# hex_cell_assign, plus a re-verify sample of r02-r04 greens.
+# hex_cell_assign, hex_density_topk, blur_laplacian, hsv_merge,
+# kernel_filter, lut_apply, jpeg_blockiness, plus a re-verify sample
+# of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1346,6 +1348,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
         "blur_laplacian": _q_blur_laplacian,
+        # Wang-Bovik blockiness: 8-aligned boundary vs interior
+        # gradient partials — recompression detector for curation
+        "jpeg_blockiness": lambda spark, sf_dir: curation.jpeg_blockiness(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
         "hsv_merge": _q_hsv_merge,
         # VRT KernelFilteredSource (vrtfilters.cpp:482) sharpen +
         # normalized blur — decode once, vectorized numpy kernels
@@ -2113,6 +2120,9 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _DEM_MAX_I
         ),
         "lut_apply": translate.oracle_lut_apply(min(n, 4096), _CKS_MAX_I),
+        "jpeg_blockiness": curation.oracle_jpeg_blockiness(
+            min(n, 4096), _BLUR_MAX_I
+        ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),

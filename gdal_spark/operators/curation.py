@@ -209,3 +209,73 @@ def oracle_blur_laplacian(n_images: int, max_i: int) -> str:
         f"{SHARP_VAR_MIN} * count(*) * count(*) as int) AS is_sharp "
         f"FROM lap GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG blockiness estimate (Wang, Bovik & Evans 2000, "Blind
+# measurement of blocking artifacts in images"): compare the mean
+# absolute horizontal gradient ACROSS 8-aligned block boundaries
+# (x % 8 == 7 -> x+1) with the mean gradient elsewhere. Recompressed
+# / heavily-quantized images show boundary gradient >> interior
+# gradient. Kept as four exact int64 partials per image so the
+# blockiness ratio comparison b_sum * i_n > k * i_sum * b_n never
+# touches a float. Decode -> one numpy pass, map-only.
+
+BLOCKY_RATIO_X10 = 15  # boundary/interior mean-gradient ratio > 1.5
+
+
+def jpeg_blockiness(images: DataFrame) -> DataFrame:
+    """(image_id, b_n, b_sum, i_n, i_sum, is_blocky) — horizontal
+    |gradient| partials split at 8-aligned column boundaries,
+    channel 0."""
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = ["image_id", "b_n", "b_sum", "i_n", "i_sum", "is_blocky"]
+
+    def fn(arr):
+        a = arr[:, :, 0].astype(np.int64)
+        grad = np.abs(a[:, 1:] - a[:, :-1])
+        xs = np.arange(grad.shape[1], dtype=np.int64)
+        bmask = xs % 8 == 7
+        b_n = int(bmask.sum()) * grad.shape[0]
+        b_sum = int(grad[:, bmask].sum())
+        i_n = int((~bmask).sum()) * grad.shape[0]
+        i_sum = int(grad[:, ~bmask].sum())
+        blocky = int(
+            b_sum * i_n * 10 > BLOCKY_RATIO_X10 * i_sum * b_n and b_n > 0
+        )
+        yield (b_n, b_sum, i_n, i_sum, blocky)
+
+    schema = (
+        "image_id string, b_n bigint, b_sum bigint, i_n bigint, "
+        "i_sum bigint, is_blocky int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_jpeg_blockiness(n_images: int, max_i: int) -> str:
+    """Tap-instantiated gradient replay (|val(x+1) - val(x)|)."""
+    from ..synth import pixel_val_sql
+
+    grad = f"abs({pixel_val_sql('x + 1', 'y')} - {pixel_val_sql()})"
+    return (
+        f"WITH cen AS (SELECT image_id, i, w, h, fmt, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 255) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w - 1 AND y < h), "
+        f"g AS (SELECT image_id, x % 8 = 7 AS onb, {grad} AS grad "
+        f"FROM cen), "
+        f"agg AS (SELECT image_id, "
+        f"cast(sum(CASE WHEN onb THEN 1 ELSE 0 END) as bigint) AS b_n, "
+        f"cast(sum(CASE WHEN onb THEN grad ELSE 0 END) as bigint) AS b_sum, "
+        f"cast(sum(CASE WHEN onb THEN 0 ELSE 1 END) as bigint) AS i_n, "
+        f"cast(sum(CASE WHEN onb THEN 0 ELSE grad END) as bigint) AS i_sum "
+        f"FROM g GROUP BY 1) "
+        f"SELECT image_id, b_n, b_sum, i_n, i_sum, "
+        f"cast(b_sum * i_n * 10 > {BLOCKY_RATIO_X10} * i_sum * b_n "
+        f"AND b_n > 0 as int) AS is_blocky FROM agg"
+    )

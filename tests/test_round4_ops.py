@@ -1688,3 +1688,33 @@ def test_lut_sql_semantics():
     for val, out in got:
         expect = DEFAULT_LUT[val] if val < len(DEFAULT_LUT) else val
         assert out == expect, (val, out, expect)
+
+
+# ---------------------------------------------------------------------------
+# JPEG blockiness (curation.jpeg_blockiness)
+
+
+def test_blockiness_discriminates_quantized_grid():
+    """A raster with hard jumps exactly at 8-aligned column
+    boundaries reads blocky; a smooth ramp does not."""
+    from gdal_spark.operators.curation import BLOCKY_RATIO_X10
+
+    def partials(a):
+        a = a.astype(np.int64)
+        grad = np.abs(a[:, 1:] - a[:, :-1])
+        xs = np.arange(grad.shape[1])
+        bmask = xs % 8 == 7
+        return (
+            int(bmask.sum()) * grad.shape[0],
+            int(grad[:, bmask].sum()),
+            int((~bmask).sum()) * grad.shape[0],
+            int(grad[:, ~bmask].sum()),
+        )
+
+    blocky_img = np.repeat(np.arange(4) * 60, 8)[None, :].repeat(8, axis=0)
+    b_n, b_sum, i_n, i_sum = partials(blocky_img)
+    assert b_sum * i_n * 10 > BLOCKY_RATIO_X10 * i_sum * b_n
+
+    ramp = np.tile(np.arange(32) * 4, (8, 1))
+    b_n, b_sum, i_n, i_sum = partials(ramp)
+    assert not (b_sum * i_n * 10 > BLOCKY_RATIO_X10 * i_sum * b_n)
