@@ -1347,6 +1347,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density_topk": lambda spark, sf_dir: hexcell.hex_density_topk(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
+        # H3 polygonToCells (containsCenter mode) + the hex-keyed join
+        "hex_polyfill": lambda spark, sf_dir: hexcell.hex_polyfill(
+            spark, synth.n_polygons(sf_dir)
+        ),
+        "hex_spatial_join": lambda spark, sf_dir: hexcell.hex_spatial_join(
+            spark,
+            synth.images_df(spark, synth.n_images(sf_dir)),
+            synth.n_polygons(sf_dir),
+        ),
         "blur_laplacian": _q_blur_laplacian,
         # Wang-Bovik blockiness: 8-aligned boundary vs interior
         # gradient partials — recompression detector for curation
@@ -2112,6 +2121,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_cell_assign": _s2_assign_sql(n, S2_LEVEL, min(n, 4096)),
         "hex_cell_assign": hexcell.oracle_hex_assign(min(n, 4096)),
         "hex_density_topk": hexcell.oracle_hex_density(n),
+        "hex_polyfill": hexcell.oracle_hex_polyfill(m),
+        "hex_spatial_join": hexcell.oracle_hex_spatial_join(n, m),
         "blur_laplacian": curation.oracle_blur_laplacian(
             min(n, 4096), _BLUR_MAX_I
         ),

@@ -128,3 +128,140 @@ def oracle_hex_density(n: int, k: int = 64,
         f"FROM ({oracle_hex_assign(n, size)}) GROUP BY hex_id "
         f"ORDER BY n_images DESC, hex_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# H3-style polyfill + hex-keyed spatial join. Polyfill follows H3's
+# published semantics (gridDisk/polygonToCells "containsCenter" mode):
+# a hex belongs to a polygon's cover iff the HEX CENTER lies inside
+# the polygon. The join (point's hex == one of the polygon's cover
+# hexes) is therefore the H3 join — exact away from the boundary,
+# center-rule at it (tests pin both properties). This is the
+# BASELINE.json north-star composition: encode once, equi-join on the
+# cell key — no geometry evaluated at join time, no BNLJ.
+
+_SQRT3 = 1.7320508075688772
+
+# closed-form center containment for the SQL-PIP polygon kinds
+# (box / hot_box / triangle; params kind, cx, cy, hw, hh in scope)
+
+
+def _contain_sql(lon: str, lat: str) -> str:
+    return (
+        f"({lon} >= cx - hw AND {lon} <= cx + hw "
+        f"AND {lat} >= cy - hh AND {lat} <= cy + hh "
+        f"AND (kind <> 'triangle' OR ("
+        f"((cx + hw) - (cx - hw)) * ({lat} - (cy - hh)) >= 0 "
+        f"AND (cx - (cx + hw)) * ({lat} - (cy - hh)) "
+        f"- ((cy + hh) - (cy - hh)) * ({lon} - (cx + hw)) >= 0 "
+        f"AND ((cx - hw) - cx) * ({lat} - (cy + hh)) "
+        f"- ((cy - hh) - (cy + hh)) * ({lon} - cx) >= 0)))"
+    )
+
+
+def _range_fragments(size: float):
+    """(rmin, rmax, qmin, qmax, clon, clat) SQL fragments; qmin/qmax
+    expect hr in scope."""
+    from .synth import flit
+    import math
+
+    k_r = flit(1.5 * size)
+    k_q = flit(size * math.sqrt(3.0))
+    rmin = f"cast(floor((cy - hh) / {k_r}) as bigint) - 1"
+    rmax = f"cast(floor((cy + hh) / {k_r}) as bigint) + 1"
+    qmin = f"cast(floor((cx - hw) / {k_q} - hr / 2.0E0) as bigint) - 1"
+    qmax = f"cast(floor((cx + hw) / {k_q} - hr / 2.0E0) as bigint) + 1"
+    clon = f"({k_q} * (hq + hr / 2.0E0))"
+    clat = f"({k_r} * hr)"
+    return rmin, rmax, qmin, qmax, clon, clat
+
+
+_SQL_KINDS = "kind IN ('box', 'hot_box', 'triangle')"
+
+
+def _polyfill_cells_df(spark, m: int, size: float = HEX_SIZE_DEG):
+    """(j, hq, hr) cover cells for the SQL-PIP polygon kinds —
+    explode candidate rows/columns from the bbox, keep centers that
+    pass the exact containment test. Pure Catalyst."""
+    from . import synth
+
+    rmin, rmax, qmin, qmax, clon, clat = _range_fragments(size)
+    p = spark.sql(
+        f"SELECT * FROM ({synth.polygons_sql_cte(m, 'spark')}) "
+        f"WHERE {_SQL_KINDS}"
+    )
+    return (
+        p.selectExpr("*", f"explode(sequence({rmin}, {rmax})) AS hr")
+        .selectExpr("*", f"explode(sequence({qmin}, {qmax})) AS hq")
+        .selectExpr("*", f"{clon} AS clon", f"{clat} AS clat")
+        .where(_contain_sql("clon", "clat"))
+        .select("j", "hq", "hr")
+    )
+
+
+def hex_polyfill(spark, m: int, size: float = HEX_SIZE_DEG):
+    """(j, n_cells, qsum, rsum) per polygon — the polyfill cover
+    summarized to exact integers."""
+    from pyspark.sql import functions as F
+
+    return (
+        _polyfill_cells_df(spark, m, size)
+        .groupBy("j")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("hq").alias("qsum"),
+            F.sum("hr").alias("rsum"),
+        )
+    )
+
+
+def _oracle_polyfill_cells(m: int, size: float = HEX_SIZE_DEG) -> str:
+    from . import synth
+
+    rmin, rmax, qmin, qmax, clon, clat = _range_fragments(size)
+    return (
+        f"SELECT j, hq, hr FROM ("
+        f"SELECT *, {clon} AS clon, {clat} AS clat FROM ("
+        f"SELECT *, unnest(generate_series({qmin}, {qmax})) AS hq FROM ("
+        f"SELECT *, unnest(generate_series({rmin}, {rmax})) AS hr "
+        f"FROM (SELECT * FROM ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"WHERE {_SQL_KINDS}) p0) p1) p2) p3 "
+        f"WHERE {_contain_sql('clon', 'clat')}"
+    )
+
+
+def oracle_hex_polyfill(m: int, size: float = HEX_SIZE_DEG) -> str:
+    return (
+        f"SELECT j, count(*) AS n_cells, "
+        f"cast(sum(hq) as bigint) AS qsum, "
+        f"cast(sum(hr) as bigint) AS rsum "
+        f"FROM ({_oracle_polyfill_cells(m, size)}) GROUP BY j"
+    )
+
+
+def hex_spatial_join(spark, images: DataFrame, m: int,
+                     size: float = HEX_SIZE_DEG) -> DataFrame:
+    """(j, n_images): points joined to polygons purely on the hex
+    key — assign once, equi-join, aggregate. The scale path for the
+    10^12-image H3 join (cover side is tiny -> broadcast; no geometry
+    at join time)."""
+    from pyspark.sql import functions as F
+
+    pts = assign_hex(images, size)
+    cover = _polyfill_cells_df(spark, m, size)
+    joined = pts.join(
+        F.broadcast(cover),
+        (pts.hexq == cover.hq) & (pts.hexr == cover.hr),
+    )
+    return joined.groupBy("j").agg(F.count("*").alias("n_images"))
+
+
+def oracle_hex_spatial_join(n: int, m: int,
+                            size: float = HEX_SIZE_DEG) -> str:
+    return (
+        f"SELECT j, cast(count(*) as bigint) AS n_images "
+        f"FROM ({oracle_hex_assign(n, size)}) pts "
+        f"JOIN ({_oracle_polyfill_cells(m, size)}) cov "
+        f"ON pts.hexq = cov.hq AND pts.hexr = cov.hr "
+        f"GROUP BY j"
+    )

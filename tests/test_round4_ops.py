@@ -1718,3 +1718,75 @@ def test_blockiness_discriminates_quantized_grid():
     ramp = np.tile(np.arange(32) * 4, (8, 1))
     b_n, b_sum, i_n, i_sum = partials(ramp)
     assert not (b_sum * i_n * 10 > BLOCKY_RATIO_X10 * i_sum * b_n)
+
+
+# ---------------------------------------------------------------------------
+# hex polyfill + hex-keyed spatial join (hexcell)
+
+
+def test_hex_polyfill_cell_count_tracks_area(spark):
+    """containsCenter cover: n_cells * hex_area ~= polygon area for
+    boxes much larger than one hex (boundary effect bounded by the
+    perimeter band)."""
+    from gdal_spark import hexcell
+
+    m = 64
+    cells_pdf = hexcell._polyfill_cells_df(spark, m).toPandas()
+    hex_area = 1.5 * math.sqrt(3.0) * hexcell.HEX_SIZE_DEG ** 2
+    j, cx, cy, hw, hh = synth._poly_params(m)
+    checked = 0
+    for jj in range(m):
+        if synth.polygon_kind(jj) != "box" or min(hw[jj], hh[jj]) < 2.0:
+            continue
+        n_cells = int((cells_pdf["j"] == jj).sum())
+        area = 4.0 * hw[jj] * hh[jj]
+        # perimeter band of one hex diameter bounds the error
+        band = 2.0 * (2 * hw[jj] + 2 * hh[jj]) * 2.0 * hexcell.HEX_SIZE_DEG
+        assert abs(n_cells * hex_area - area) <= band, (jj, n_cells, area)
+        checked += 1
+    assert checked >= 5
+
+
+def test_hex_join_exact_away_from_boundary(spark):
+    """The hex-keyed join equals exact PIP for points farther than
+    one hex diameter from any box boundary (the H3 center-rule only
+    bends outcomes in the boundary band)."""
+    from gdal_spark import hexcell
+
+    n, m = 512, 64
+    imgs = synth.images_df(spark, n)
+    pts = hexcell.assign_hex(imgs)
+    cover = hexcell._polyfill_cells_df(spark, m)
+    got = {
+        (r.image_id, int(r.j))
+        for r in pts.join(
+            cover, (pts.hexq == cover.hq) & (pts.hexr == cover.hr)
+        ).select("image_id", "j").collect()
+    }
+    ipdf = imgs.select("image_id", "lon", "lat").toPandas()
+    j, cx, cy, hw, hh = synth._poly_params(m)
+    dia = 2.0 * hexcell.HEX_SIZE_DEG
+    n_interior = 0
+    for _, row in ipdf.iterrows():
+        for jj in range(m):
+            if synth.polygon_kind(jj) not in ("box", "hot_box"):
+                continue
+            dx = abs(row.lon - cx[jj])
+            dy = abs(row.lat - cy[jj])
+            if dx < hw[jj] - dia and dy < hh[jj] - dia:
+                assert (row.image_id, jj) in got, (row.image_id, jj)
+                n_interior += 1
+            elif dx > hw[jj] + dia or dy > hh[jj] + dia:
+                assert (row.image_id, jj) not in got
+    assert n_interior >= 3
+
+
+def test_hex_join_plan_is_broadcast_equi_join(spark):
+    from gdal_spark import hexcell
+
+    imgs = synth.images_df(spark, 256)
+    plan = hexcell.hex_spatial_join(spark, imgs, 64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
