@@ -1198,9 +1198,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # geom_buffer, geom_buffer_negative, geodesic_measures, dsir_select,
 # bpe_merges, bpe_encode, pii_scrub, moll_corners, eqearth_corners,
 # dhash64, ahash64, geom_centroid, geom_point_on_surface,
-# hex_cell_assign, hex_density_topk, blur_laplacian, hsv_merge,
-# kernel_filter, lut_apply, jpeg_blockiness, plus a re-verify sample
-# of r02-r04 greens.
+# hex_cell_assign, hex_density_topk, hex_polyfill, hex_spatial_join,
+# blur_laplacian, hsv_merge, kernel_filter, lut_apply,
+# jpeg_blockiness, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
