@@ -1315,6 +1315,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_hot": _q_tile_render_hot,
         "tile_overview_hot": _q_tile_overview_hot,
         "phash_neardup": _q_phash_neardup,
+        # visual near-dup families: canonical keeper per phash
+        # component (image analog of dedup_clusters)
+        "phash_clusters": lambda spark, sf_dir: multimodal.phash_clusters(
+            _pixel_images(spark, sf_dir, _PHASH_MAX_I)
+        ),
         # (b) new round-3 operators (16; with the 33 r01-only greens
         # above and embedding_neardup_exact below the window is
         # exactly 50)
@@ -2102,6 +2107,9 @@ def oracle_sql() -> dict[str, str]:
         "dhash64": multimodal.oracle_dhash64(min(n, 4096), _PHASH_MAX_I),
         "ahash64": multimodal.oracle_ahash64(min(n, 4096), _PHASH_MAX_I),
         "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
+        "phash_clusters": multimodal.oracle_phash_clusters(
+            min(n, 4096), _PHASH_MAX_I
+        ),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),
         "geoloc_transform": geoloc.oracle_geoloc_transform(n, _DEM_MAX_I),

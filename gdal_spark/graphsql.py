@@ -53,3 +53,61 @@ def pj_components_cte(
         )
         prev = f"r{k + 1}"
     return ",\n".join(parts), prev
+
+
+def label_components(nodes, pairs, max_merge_rounds: int = 30):
+    """Distributed connected components over (a, b) duplicate pairs:
+    (node, cluster_id, cluster_size, is_keeper) with cluster_id = min
+    node of the component (the keeper convention shared with the SQL
+    chain above). Neighbor-min propagation + pointer double-jump;
+    O(log n) rounds, each a full distributed job; label tables keep
+    the input's partitioning (fixpoint_parts)."""
+    from pyspark.sql import functions as F
+
+    nparts = fixpoint_parts(nodes)
+    pairs = pairs.selectExpr("a", "b").localCheckpoint(eager=True)
+    sym = (
+        pairs.unionAll(pairs.selectExpr("b AS a", "a AS b"))
+        .distinct()
+        .coalesce(nparts)
+        .localCheckpoint(eager=True)
+    )
+    roots = (
+        nodes.selectExpr("node", "node AS root")
+        .coalesce(nparts)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_merge_rounds):
+        nbr = (
+            sym.join(roots.selectExpr("node AS b", "root AS nroot"), "b")
+            .groupBy("a")
+            .agg(F.min("nroot").alias("min_nbr"))
+        )
+        half = roots.join(
+            nbr.selectExpr("a AS node", "min_nbr"), "node", "left"
+        ).selectExpr(
+            "node", "least(root, coalesce(min_nbr, root)) AS root"
+        ).coalesce(nparts).localCheckpoint(eager=True)
+        jump = half.selectExpr("node AS jn", "root AS jr")
+        new_roots = (
+            half.join(jump, F.col("root") == F.col("jn"), "left")
+            .selectExpr("node", "coalesce(jr, root) AS root")
+            .coalesce(nparts)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_roots.selectExpr("node", "root AS nr")
+            .join(roots, "node")
+            .filter("nr <> root")
+            .count()
+        )
+        roots = new_roots
+        if changed == 0:
+            break
+    sizes = roots.groupBy("root").agg(F.count("*").alias("cluster_size"))
+    return roots.join(sizes, "root").selectExpr(
+        "node",
+        "root AS cluster_id",
+        "cluster_size",
+        "cast(node = root as int) AS is_keeper",
+    )

@@ -459,66 +459,19 @@ def dedup_clusters(
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_keeper): components of
     the is_dup MinHash pair graph via distributed pointer-jumping
-    (iterated to fixpoint); singleton docs are their own cluster."""
-    from pyspark.sql import Window  # noqa: F401
+    (iterated to fixpoint; shared engine graphsql.label_components);
+    singleton docs are their own cluster."""
+    from ..graphsql import label_components
 
-    from ..graphsql import fixpoint_parts
-
-    nparts = fixpoint_parts(docs)
     pairs = (
         minhash_lsh_pairs(docs, **minhash_kwargs)
         .filter("is_dup = 1")
         .selectExpr("doc_a AS a", "doc_b AS b")
-        .localCheckpoint(eager=True)
     )
-    sym = (
-        pairs.unionAll(pairs.selectExpr("b AS a", "a AS b"))
-        .distinct()
-        .coalesce(nparts)
-        .localCheckpoint(eager=True)
-    )
-    roots = (
-        docs.selectExpr("doc_id AS node", "doc_id AS root")
-        .coalesce(nparts)
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_merge_rounds):
-        nbr = (
-            sym.join(roots.selectExpr("node AS b", "root AS nroot"), "b")
-            .groupBy("a")
-            .agg(F.min("nroot").alias("min_nbr"))
-        )
-        half = roots.join(
-            nbr.selectExpr("a AS node", "min_nbr"), "node", "left"
-        ).selectExpr(
-            "node", "least(root, coalesce(min_nbr, root)) AS root"
-        ).coalesce(nparts).localCheckpoint(eager=True)
-        jump = half.selectExpr("node AS jn", "root AS jr")
-        new_roots = (
-            half.join(jump, F.col("root") == F.col("jn"), "left")
-            .selectExpr("node", "coalesce(jr, root) AS root")
-            .coalesce(nparts)
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_roots.selectExpr("node", "root AS nr")
-            .join(roots, "node")
-            .filter("nr <> root")
-            .count()
-        )
-        roots = new_roots
-        if changed == 0:
-            break
-    sizes = roots.groupBy("root").agg(F.count("*").alias("cluster_size"))
-    return (
-        roots.join(sizes, "root")
-        .selectExpr(
-            "node AS doc_id",
-            "root AS cluster_id",
-            "cluster_size",
-            "cast(node = root as int) AS is_keeper",
-        )
-    )
+    nodes = docs.selectExpr("doc_id AS node")
+    return label_components(
+        nodes, pairs, max_merge_rounds=max_merge_rounds
+    ).withColumnRenamed("node", "doc_id")
 
 
 def oracle_dedup_clusters(**minhash_kwargs) -> str:
