@@ -1029,6 +1029,7 @@ def _q_s2_assign(spark, sf_dir):
 
 
 _BLUR_MAX_I = 32
+_PAN_WEIGHTS = (0.25, 0.5, 0.25)  # dyadic -> exact float literals
 
 
 def _q_blur_laplacian(spark, sf_dir):
@@ -1284,6 +1285,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
         "pansharpen": _q_pansharpen,
+        # gdal_pansharpen -w per-band weights (non-default knob gated)
+        "pansharpen_weighted": lambda spark, sf_dir: raster_misc.pansharpen(
+            _pixel_images(spark, sf_dir, _MM_MAX_I), weights=_PAN_WEIGHTS
+        ),
         "nearblack": _q_nearblack,
         "adaptive_cells": _q_adaptive_cells,
         "salted_density": _q_salted_density,
@@ -1896,6 +1901,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
+        # contrastive hard-negative mining (anti-label nearest)
+        "hard_negatives": lambda spark, sf_dir: ann.hard_negatives(
+            _embs(spark, sf_dir)
+        ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh": _q_minhash_lsh,
@@ -2082,6 +2091,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "calc_expr": translate.oracle_calc_halfsum(min(n, 4096), _MM_MAX_I),
         "pansharpen": raster_misc.oracle_pansharpen(min(n, 4096), _MM_MAX_I),
+        "pansharpen_weighted": raster_misc.oracle_pansharpen(
+            min(n, 4096), _MM_MAX_I, weights=_PAN_WEIGHTS
+        ),
         "nearblack": raster_misc.oracle_nearblack(min(n, 4096), _MM_MAX_I),
         # grid_idw intentionally has no oracle (fp accumulation order)
         "proximity_tiled": proximity.oracle_proximity(
@@ -2335,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.oracle_simhash(),
         "simhash_pairs": dedup.oracle_simhash_pairs(),
         "cosine_topk": ann.oracle_cosine_topk(),
+        "hard_negatives": ann.oracle_hard_negatives(),
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
         "ann_ivf_topk": ann.oracle_ann_ivf_topk(),
         "embedding_neardup_lsh": ann.oracle_embedding_neardup(),

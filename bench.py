@@ -68,6 +68,11 @@ HEADLINE = [
     "geom_buffer",
     "geodesic_measures",
     "dsir_select",
+    # round-4 final-session operators: the hex-keyed H3 join (the
+    # north-star composition on the hexagonal index) + image curation
+    "hex_spatial_join",
+    "hex_density_topk",
+    "hard_negatives",
 ]
 
 

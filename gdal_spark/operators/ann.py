@@ -1146,3 +1146,61 @@ def oracle_semdedup(
         "cast(rem.vec_id IS NULL as int) AS kept "
         "FROM items LEFT JOIN rem ON rem.vec_id = items.vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining (FaceNet, Schroff et al. 2015;
+# standard in CLIP-style training-data pipelines): for each anchor,
+# the k most-similar vectors whose CLASS LABEL differs — the
+# highest-loss negatives. Same broadcast + window shape as
+# cosine_topk with the anti-label predicate fused into the join; at
+# scale the anchor side is the tiny broadcast and the corpus is
+# scanned once.
+
+N_NEG_CLASSES = 7
+
+
+def hard_negatives(
+    emb: DataFrame, k: int = 5, n_queries: int = N_QUERIES,
+    n_classes: int = N_NEG_CLASSES,
+) -> DataFrame:
+    """(qid, rank, vec_id, cos_key) — top-k nearest with a different
+    label (label = vec_id % n_classes, the deterministic class)."""
+    v = _vectors(emb).withColumn(
+        "label", F.expr(f"vec_id % {n_classes}")
+    )
+    q = v.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "vs AS qv", "norm2 AS na", "label AS qlabel"
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .selectExpr(
+            "qid", "vec_id", "na", "norm2 AS nb",
+            f"{dot_sql('spark', 'qv', 'vs')} AS dot",
+        )
+        .selectExpr("qid", "vec_id", f"{cos_key_sql()} AS cos_key")
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_key"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_key")
+    )
+
+
+def oracle_hard_negatives(
+    k: int = 5, n_queries: int = N_QUERIES,
+    n_classes: int = N_NEG_CLASSES,
+) -> str:
+    return (
+        f"WITH v AS ({_vectors_cte()}), "
+        f"scored AS (SELECT q.vec_id AS qid, c.vec_id, q.na AS na, "
+        f"c.na AS nb, {dot_sql('duckdb', 'q.vs', 'c.vs')} AS dot "
+        f"FROM v q JOIN v c ON q.vec_id < {n_queries} "
+        f"AND c.vec_id % {n_classes} <> q.vec_id % {n_classes}), "
+        f"keyed AS (SELECT qid, vec_id, {cos_key_sql()} AS cos_key, "
+        f"row_number() OVER (PARTITION BY qid ORDER BY {cos_key_sql()} "
+        f"DESC, vec_id) AS rank FROM scored) "
+        f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
+        f"FROM keyed WHERE rank <= {k}"
+    )

@@ -29,17 +29,25 @@ PAN_OFFSET = 500_000
 W_BROVEY = 1.0 / 3.0
 
 
-def pansharpen_brovey(ms: np.ndarray, pan: np.ndarray) -> np.ndarray:
-    """(h, w, 3) uint8 multispectral + (h, w) pan -> sharpened uint8."""
+def pansharpen_brovey(ms: np.ndarray, pan: np.ndarray,
+                      weights=(W_BROVEY, W_BROVEY, W_BROVEY)) -> np.ndarray:
+    """(h, w, 3) uint8 multispectral + (h, w) pan -> sharpened uint8.
+    ``weights`` are the per-band pseudo-pan weights (gdal_pansharpen
+    -w; equal thirds = classic Brovey)."""
     msf = ms.astype(np.float64)
-    pseudo = msf[:, :, 0] * W_BROVEY + msf[:, :, 1] * W_BROVEY + msf[:, :, 2] * W_BROVEY
+    pseudo = (
+        msf[:, :, 0] * weights[0]
+        + msf[:, :, 1] * weights[1]
+        + msf[:, :, 2] * weights[2]
+    )
     factor = np.where(pseudo == 0.0, 0.0, pan.astype(np.float64) / np.where(pseudo == 0, 1, pseudo))
     out = msf * factor[:, :, None]
     return np.floor(np.clip(out, 0.0, 255.0) + 0.5).astype(np.uint8)
 
 
-def pansharpen(images: DataFrame) -> DataFrame:
-    """Per-image Brovey pansharpen against the synthetic pan
+def pansharpen(images: DataFrame,
+               weights=(W_BROVEY, W_BROVEY, W_BROVEY)) -> DataFrame:
+    """Per-image weighted-Brovey pansharpen against the synthetic pan
     companion (make_pixels(i + PAN_OFFSET) channel 0). Output:
     per-channel GDAL checksums of the sharpened image."""
     from .stats import gdal_checksum
@@ -52,7 +60,7 @@ def pansharpen(images: DataFrame) -> DataFrame:
             ):
                 ms = codecs.decode_image(bytes(payload))
                 pan = codecs.make_pixels(int(i) + PAN_OFFSET, int(w), int(h))[:, :, 0]
-                out = pansharpen_brovey(ms, pan)
+                out = pansharpen_brovey(ms, pan, weights)
                 for c in range(3):
                     rows.append((image_id, c, gdal_checksum(out[:, :, c])))
             yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
@@ -62,14 +70,15 @@ def pansharpen(images: DataFrame) -> DataFrame:
     )
 
 
-def oracle_pansharpen(n: int, max_i: int) -> str:
+def oracle_pansharpen(n: int, max_i: int,
+                      weights=(W_BROVEY, W_BROVEY, W_BROVEY)) -> str:
     val = synth.pixel_val_sql()
     pan_val = (
         val.replace("fmt", "'png'")  # pan companion is raw (lossless)
         .replace("i %", f"(i + {PAN_OFFSET}) %")
         .replace("i * 7", f"(i + {PAN_OFFSET}) * 7")
     )
-    w = synth.flit(W_BROVEY)
+    w0, w1, w2 = (synth.flit(float(x)) for x in weights)
     prime = (
         "(CASE ((y * w + x) % 11) "
         "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
@@ -85,8 +94,8 @@ def oracle_pansharpen(n: int, max_i: int) -> str:
         f"max(CASE WHEN ch = 2 THEN val END) AS v2 "
         f"FROM px GROUP BY 1, 2, 3, 4, 5, 6, 7), "
         f"fac AS (SELECT *, "
-        f"(cast(v0 as double) * {w} + cast(v1 as double) * {w} "
-        f"+ cast(v2 as double) * {w}) AS pseudo, "
+        f"(cast(v0 as double) * {w0} + cast(v1 as double) * {w1} "
+        f"+ cast(v2 as double) * {w2}) AS pseudo, "
         f"cast(({pan_val.replace('ch', '0')}) as double) AS pan FROM "
         f"(SELECT wide.*, 0 AS ch FROM wide)), "
         f"o AS (SELECT image_id, w, x, y, ch2 AS ch, "

@@ -1790,3 +1790,45 @@ def test_hex_join_plan_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining (ann.hard_negatives)
+
+
+def test_hard_negatives_bruteforce(spark):
+    """Every returned negative has a different label, and per anchor
+    the ranked list equals the numpy argsort of cosine over the
+    different-label subset."""
+    from tests.conftest import SF_DIR
+
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = ann.hard_negatives(emb, k=5, n_queries=4).collect()
+    vecs = {
+        r.vec_id: np.array(r.vs, dtype=np.int64)
+        for r in ann._vectors(emb).collect()
+    }
+    assert got
+    for qid in {r.qid for r in got}:
+        ranked = sorted(
+            (r for r in got if r.qid == qid), key=lambda r: r.rank
+        )
+        assert all(
+            r.vec_id % ann.N_NEG_CLASSES != qid % ann.N_NEG_CLASSES
+            for r in ranked
+        )
+        qv = vecs[qid]
+        na = float(qv @ qv)
+        cands = []
+        for vid, vv in vecs.items():
+            if vid % ann.N_NEG_CLASSES == qid % ann.N_NEG_CLASSES:
+                continue
+            nb = float(vv @ vv)
+            key = math.floor(
+                1e6 * float(qv @ vv) / (math.sqrt(na) * math.sqrt(nb))
+            )
+            cands.append((-key, vid))
+        cands.sort()
+        assert [r.vec_id for r in ranked] == [v for _, v in cands[:5]]
