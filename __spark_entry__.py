@@ -1372,6 +1372,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_blockiness": lambda spark, sf_dir: curation.jpeg_blockiness(
             _pixel_images(spark, sf_dir, _BLUR_MAX_I)
         ),
+        # Hasler-Susstrunk colorfulness: opponent-channel int partials
+        "colorfulness": lambda spark, sf_dir: curation.colorfulness(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
         "hsv_merge": _q_hsv_merge,
         # VRT KernelFilteredSource (vrtfilters.cpp:482) sharpen +
         # normalized blur — decode once, vectorized numpy kernels
@@ -2152,6 +2156,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lut_apply": translate.oracle_lut_apply(min(n, 4096), _CKS_MAX_I),
         "jpeg_blockiness": curation.oracle_jpeg_blockiness(
+            min(n, 4096), _BLUR_MAX_I
+        ),
+        "colorfulness": curation.oracle_colorfulness(
             min(n, 4096), _BLUR_MAX_I
         ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),

@@ -279,3 +279,93 @@ def oracle_jpeg_blockiness(n_images: int, max_i: int) -> str:
         f"cast(b_sum * i_n * 10 > {BLOCKY_RATIO_X10} * i_sum * b_n "
         f"AND b_n > 0 as int) AS is_blocky FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# colorfulness (Hasler & Süsstrunk 2003, "Measuring colourfulness in
+# natural images"): M = sqrt(s_rg^2 + s_yb^2) + 0.3*sqrt(m_rg^2 +
+# m_yb^2) over the opponent channels rg = R-G, yb = (R+G)/2 - B.
+# Greyscale/synthetic-looking images score low — a standard curation
+# cut. Opponent channels are kept as exact int64 partials (yb scaled
+# x2 to stay integer); the ONE float finisher is the same IEEE op
+# sequence on both engines, keyed at a 1e4 floor.
+
+def _colorfulness_key(n, s_rg, sq_rg, s_yb2, sq_yb2):
+    """Shared float finisher (python replica of the SQL text)."""
+    import math
+
+    var_rg = sq_rg / n - (s_rg / n) * (s_rg / n)
+    var_yb = (sq_yb2 / n - (s_yb2 / n) * (s_yb2 / n)) / 4.0
+    m_rg = s_rg / n
+    m_yb = (s_yb2 / n) / 2.0
+    m = math.sqrt(var_rg + var_yb) + 0.3 * math.sqrt(m_rg * m_rg + m_yb * m_yb)
+    return math.floor(m * 10000.0)
+
+
+def colorfulness(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, sum_rg, sumsq_rg, sum_yb2, sumsq_yb2,
+    color_key) per image."""
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = [
+        "image_id", "n_px", "sum_rg", "sumsq_rg", "sum_yb2", "sumsq_yb2",
+        "color_key",
+    ]
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        rg = a[:, :, 0] - a[:, :, 1]
+        yb2 = a[:, :, 0] + a[:, :, 1] - 2 * a[:, :, 2]
+        n = int(rg.size)
+        s_rg, sq_rg = int(rg.sum()), int((rg * rg).sum())
+        s_yb2, sq_yb2 = int(yb2.sum()), int((yb2 * yb2).sum())
+        yield (
+            n, s_rg, sq_rg, s_yb2, sq_yb2,
+            _colorfulness_key(n, s_rg, sq_rg, s_yb2, sq_yb2),
+        )
+
+    schema = (
+        "image_id string, n_px bigint, sum_rg bigint, sumsq_rg bigint, "
+        "sum_yb2 bigint, sumsq_yb2 bigint, color_key bigint"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_colorfulness(n_images: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    chan = {
+        c: f"({val.replace('ch * 11', f'{c} * 11').replace('ch / 3.0E0', f'{c} / 3.0E0')})"
+        for c in range(3)
+    }
+    finisher = (
+        "cast(floor((sqrt("
+        "(cast(sq_rg as double) / n - (cast(s_rg as double) / n) * (cast(s_rg as double) / n)) + "
+        "(cast(sq_yb2 as double) / n - (cast(s_yb2 as double) / n) * (cast(s_yb2 as double) / n)) / 4.0E0) "
+        "+ 0.3E0 * sqrt("
+        "(cast(s_rg as double) / n) * (cast(s_rg as double) / n) + "
+        "((cast(s_yb2 as double) / n) / 2.0E0) * ((cast(s_yb2 as double) / n) / 2.0E0))"
+        ") * 10000.0E0) as bigint)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, "
+        f"{chan[0]} - {chan[1]} AS rg, "
+        f"{chan[0]} + {chan[1]} - 2 * {chan[2]} AS yb2 "
+        f"FROM (SELECT img.*, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w AND y < h) q), "
+        f"agg AS (SELECT image_id, count(*) AS n, "
+        f"cast(sum(rg) as bigint) AS s_rg, "
+        f"cast(sum(rg * rg) as bigint) AS sq_rg, "
+        f"cast(sum(yb2) as bigint) AS s_yb2, "
+        f"cast(sum(yb2 * yb2) as bigint) AS sq_yb2 FROM px GROUP BY 1) "
+        f"SELECT image_id, n AS n_px, s_rg AS sum_rg, sq_rg AS sumsq_rg, "
+        f"s_yb2 AS sum_yb2, sq_yb2 AS sumsq_yb2, {finisher} AS color_key "
+        f"FROM agg"
+    )

@@ -1832,3 +1832,47 @@ def test_hard_negatives_bruteforce(spark):
             cands.append((-key, vid))
         cands.sort()
         assert [r.vec_id for r in ranked] == [v for _, v in cands[:5]]
+
+
+# ---------------------------------------------------------------------------
+# colorfulness (curation._colorfulness_key)
+
+
+def test_colorfulness_discriminates_grey_vs_saturated():
+    """Grey images score 0; a saturated red field scores high; the
+    key matches a float reference computation of the published
+    formula."""
+    from gdal_spark.operators.curation import _colorfulness_key
+
+    def partials(img):
+        a = img.astype(np.int64)
+        rg = a[:, :, 0] - a[:, :, 1]
+        yb2 = a[:, :, 0] + a[:, :, 1] - 2 * a[:, :, 2]
+        return (
+            rg.size, int(rg.sum()), int((rg * rg).sum()),
+            int(yb2.sum()), int((yb2 * yb2).sum()),
+        )
+
+    grey = np.full((8, 8, 3), 120, dtype=np.int64)
+    assert _colorfulness_key(*partials(grey)) == 0
+
+    red = np.zeros((8, 8, 3), dtype=np.int64)
+    red[:, :, 0] = 255
+    k_red = _colorfulness_key(*partials(red))
+    # reference float computation: sigma=0 (constant), mu_rg=255,
+    # mu_yb=127.5 -> M = 0.3*sqrt(255^2+127.5^2)
+    expect = math.floor(0.3 * math.sqrt(255.0**2 + 127.5**2) * 10000.0)
+    assert abs(k_red - expect) <= 1
+    assert k_red > 500000
+
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (16, 16, 3))
+    n, s_rg, sq_rg, s_yb2, sq_yb2 = partials(noisy)
+    # brute-force float formula over the raw channels
+    rg = (noisy[:, :, 0] - noisy[:, :, 1]).astype(np.float64)
+    yb = (noisy[:, :, 0] + noisy[:, :, 1]) / 2.0 - noisy[:, :, 2]
+    m = math.sqrt(rg.var() + yb.var()) + 0.3 * math.sqrt(
+        rg.mean() ** 2 + yb.mean() ** 2
+    )
+    got = _colorfulness_key(n, s_rg, sq_rg, s_yb2, sq_yb2)
+    assert abs(got - math.floor(m * 10000.0)) <= 2
