@@ -1201,7 +1201,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # dhash64, ahash64, geom_centroid, geom_point_on_surface,
 # hex_cell_assign, hex_density_topk, hex_polyfill, hex_spatial_join,
 # blur_laplacian, hsv_merge, kernel_filter, lut_apply,
-# jpeg_blockiness, plus a re-verify sample of r02-r04 greens.
+# jpeg_blockiness, phash_clusters, hard_negatives,
+# pansharpen_weighted, colorfulness, image_entropy, plus a re-verify
+# sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1376,6 +1378,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colorfulness": lambda spark, sf_dir: curation.colorfulness(
             _pixel_images(spark, sf_dir, _BLUR_MAX_I)
         ),
+        # Shannon-entropy low-information cut (order-free integer keys)
+        "image_entropy": lambda spark, sf_dir: curation.image_entropy(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
         "hsv_merge": _q_hsv_merge,
         # VRT KernelFilteredSource (vrtfilters.cpp:482) sharpen +
         # normalized blur — decode once, vectorized numpy kernels
@@ -1498,6 +1504,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (apps/gdaldem_lib.cpp:1663)
         "color_relief_nearest": lambda spark, sf_dir: (
             dem.color_relief_nearest(
+                _pixel_images(spark, sf_dir, _DEM_MAX_I)
+            )
+        ),
+        # -exact_color_entry: third gdaldem color-selection mode
+        "color_relief_exact": lambda spark, sf_dir: (
+            dem.color_relief_exact(
                 _pixel_images(spark, sf_dir, _DEM_MAX_I)
             )
         ),
@@ -2161,6 +2173,9 @@ def oracle_sql() -> dict[str, str]:
         "colorfulness": curation.oracle_colorfulness(
             min(n, 4096), _BLUR_MAX_I
         ),
+        "image_entropy": curation.oracle_image_entropy(
+            min(n, 4096), _BLUR_MAX_I
+        ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),
         "pct2rgb": quantize.oracle_dither_fixed(min(n, 4096), 4, rgb=True),
@@ -2280,6 +2295,9 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": textops.oracle_source_mix_sample(),
         "zonal_stats": rastop.oracle_zonal_stats(m, _RAST_GRID),
         "color_relief_nearest": dem.oracle_color_relief_nearest(
+            min(n, 4096), _DEM_MAX_I
+        ),
+        "color_relief_exact": dem.oracle_color_relief_exact(
             min(n, 4096), _DEM_MAX_I
         ),
         "pack_sequences": textops.oracle_pack_sequences(),

@@ -369,3 +369,74 @@ def oracle_colorfulness(n_images: int, max_i: int) -> str:
         f"s_yb2 AS sum_yb2, sq_yb2 AS sumsq_yb2, {finisher} AS color_key "
         f"FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-image Shannon entropy (the low-entropy cut: flat / synthetic /
+# single-color images carry little signal; standard alongside the
+# gzip-ratio text cut in public corpus-curation recipes). 256-bin
+# exact histogram of channel 0; the per-BIN contribution
+# floor(1e6 * -(c/n)*log2(c/n)) is integer-keyed BEFORE the sum, so
+# the reduction is order-independent (float Σ over bins would not
+# be). log2 = ln/ln2 with the same literal on both engines.
+
+def image_entropy(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, n_bins, entropy_key) — entropy_key =
+    Σ_bins floor(-1e6 (c/n) log2(c/n)) ≈ 1e6 * H(bits)."""
+    import math
+
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    ln2 = math.log(2.0)
+    cols = ["image_id", "n_px", "n_bins", "entropy_key"]
+
+    def fn(arr):
+        v = arr[:, :, 0].reshape(-1).astype(np.int64)
+        n = int(v.size)
+        hist = np.bincount(v, minlength=256)
+        key = 0
+        bins = 0
+        for c in hist:
+            c = int(c)
+            if c == 0:
+                continue
+            bins += 1
+            p = c / n
+            key += math.floor(-1e6 * p * (math.log(p) / ln2))
+        yield (n, bins, key)
+
+    schema = (
+        "image_id string, n_px bigint, n_bins bigint, entropy_key bigint"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_image_entropy(n_images: int, max_i: int) -> str:
+    import math
+
+    from .. import synth
+    from ..synth import flit
+
+    val = synth.pixel_val_sql()
+    ln2 = flit(math.log(2.0))
+    return (
+        f"WITH px AS (SELECT image_id, {val} AS val "
+        f"FROM (SELECT img.*, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w AND y < h) q), "
+        f"hist AS (SELECT image_id, val, count(*) AS c, "
+        f"sum(count(*)) OVER (PARTITION BY image_id) AS n "
+        f"FROM px GROUP BY 1, 2), "
+        f"keyed AS (SELECT image_id, n, "
+        f"cast(floor(-1000000.0E0 * (cast(c as double) / n) * "
+        f"(ln(cast(c as double) / n) / {ln2})) as bigint) AS k "
+        f"FROM hist) "
+        f"SELECT image_id, cast(max(n) as bigint) AS n_px, "
+        f"count(*) AS n_bins, cast(sum(k) as bigint) AS entropy_key "
+        f"FROM keyed GROUP BY 1"
+    )

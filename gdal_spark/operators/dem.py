@@ -1176,3 +1176,63 @@ def hillshade_params(
         - (y * 254.0 * cos_az_cos_alt_z - x * 254.0 * sin_az_cos_alt_z)
     ) / np.sqrt(1.0 + zs * zs * (x * x + y * y))
     return np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)
+
+
+def color_relief_exact_band(dem: np.ndarray, ramp=COLOR_RAMP) -> np.ndarray:
+    """(h, w) values -> (h, w, 3) uint8: EXACT ramp entries only,
+    everything else black — gdaldem color-relief -exact_color_entry
+    (apps/gdaldem_lib.cpp COLOR_SELECTION_EXACT_ENTRY)."""
+    v = dem.astype(np.int64)
+    out = np.zeros((*dem.shape, 3), dtype=np.uint8)
+    for rv, rc in ramp:
+        m = v == rv
+        for c in range(3):
+            out[m, c] = rc[c]
+    return out
+
+
+def color_relief_exact(images: DataFrame, ramp=COLOR_RAMP) -> DataFrame:
+    """Per-image exact-entry color relief of channel 0; per-output-
+    channel GDAL checksums (all-integer, bit-exact oracle). Completes
+    the reference's three color-selection modes (interpolate /
+    nearest / exact)."""
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                demb = codecs.decode_image(bytes(payload))[:, :, 0]
+                rgb = color_relief_exact_band(demb, ramp)
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(rgb[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_color_relief_exact(n: int, max_i: int, ramp=COLOR_RAMP) -> str:
+    def chan(c):
+        cases = " ".join(
+            f"WHEN val = {rv} THEN {rc[c]}" for rv, rc in ramp
+        )
+        return f"(CASE {cases} ELSE 0 END)"
+
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, val FROM "
+        f"({synth.pixels_cte(n, max_i, 'duckdb')}) WHERE ch = 0), "
+        f"o AS (SELECT image_id, w, x, y, c AS channel, "
+        f"CASE c WHEN 0 THEN {chan(0)} WHEN 1 THEN {chan(1)} "
+        f"ELSE {chan(2)} END AS oval FROM px, range(0, 3) t(c)) "
+        f"SELECT image_id, cast(channel as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM o GROUP BY 1, 2"
+    )

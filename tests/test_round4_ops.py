@@ -1876,3 +1876,33 @@ def test_colorfulness_discriminates_grey_vs_saturated():
     )
     got = _colorfulness_key(n, s_rg, sq_rg, s_yb2, sq_yb2)
     assert abs(got - math.floor(m * 10000.0)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# image entropy (curation.image_entropy key math)
+
+
+def test_entropy_key_properties():
+    """Flat image -> 0 bits; uniform 256-value image -> ~8e6 key;
+    key tracks scipy-free reference computation."""
+    import math as _m
+
+    ln2 = _m.log(2.0)
+
+    def key_of(hist, n):
+        key = 0
+        for c in hist:
+            if c == 0:
+                continue
+            p = c / n
+            key += _m.floor(-1e6 * p * (_m.log(p) / ln2))
+        return key
+
+    assert key_of([64], 64) == 0
+    uni = [1] * 256
+    k = key_of(uni, 256)
+    assert abs(k - 8_000_000) <= 256  # floor slack, one per bin
+    half = [2] * 128
+    k2 = key_of(half, 256)
+    assert abs(k2 - 7_000_000) <= 128
+    assert k2 < k
