@@ -1287,6 +1287,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_scale": _q_translate_scale,
         "calc_expr": _q_calc_expr,
         "pansharpen": _q_pansharpen,
+        # ComputeStatistics nodata-exclusion branch
+        "band_stats_nodata": lambda spark, sf_dir: stats.band_stats_nodata(
+            _pixel_images(spark, sf_dir, _STATS_MAX_I)
+        ),
         # gdal_pansharpen -w per-band weights (non-default knob gated)
         "pansharpen_weighted": lambda spark, sf_dir: raster_misc.pansharpen(
             _pixel_images(spark, sf_dir, _MM_MAX_I), weights=_PAN_WEIGHTS
@@ -2175,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_entropy": curation.oracle_image_entropy(
             min(n, 4096), _BLUR_MAX_I
+        ),
+        "band_stats_nodata": stats.oracle_band_stats_nodata(
+            min(n, 4096), _STATS_MAX_I
         ),
         "s2_density_topk": _s2_density_sql(n, S2_DENSITY_LEVEL, 64),
         "cell_hulls": hullop.oracle_cell_hulls(n),

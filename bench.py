@@ -684,8 +684,9 @@ def main():
             "claim and the best is context. Note the anticorrelation "
             "the quietest windows expose: the quietest attempt on "
             "record (load1 0.4, steal symmetric to 0.3pp) produced "
-            "BOTH the highest absolute throughput ever measured "
-            "(3.30M img/s at 32 cores) AND a low raw 8->32 ratio "
+            "BOTH a then-record absolute throughput (3.30M img/s at "
+            "32 cores; later burst-window legs reached 3.47M) AND a "
+            "low raw 8->32 ratio "
             "(0.565, same-window ALU probe 0.823) — a quiet box "
             "disproportionately speeds the 8-core LOW leg (full "
             "8-core turbo + the whole DRAM system to itself), which "

@@ -173,3 +173,56 @@ def checksums(images: DataFrame) -> DataFrame:
         lambda it: _decode_iter(it, fn, cols),
         schema="image_id string, channel int, cks int",
     )
+
+
+NODATA_DEFAULT = 2  # jpeg-quantized rasters hit it often, never fully
+
+
+def band_stats_nodata(
+    images: DataFrame, nodata: int = NODATA_DEFAULT
+) -> DataFrame:
+    """Per-image/channel exact moments EXCLUDING the nodata value —
+    GDALRasterBand::ComputeStatistics' bGotNoDataValue branch
+    (gcore/gdalrasterband.cpp: pixels equal to the band nodata are
+    skipped from count/sum/min/max). Same partial shape as
+    band_stats; n_px counts only valid pixels."""
+    cols = ["image_id", "channel", "n_px", "sum_v", "sum_sq", "min_v", "max_v"]
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        for ch in range(a.shape[2]):
+            v = a[:, :, ch].reshape(-1)
+            v = v[v != nodata]
+            if v.size == 0:
+                continue  # GDAL: CE_Failure, no stats row
+            yield (
+                ch,
+                int(v.size),
+                int(v.sum()),
+                int((v.astype(np.float64) ** 2).sum()),
+                int(v.min()),
+                int(v.max()),
+            )
+
+    schema = (
+        "image_id string, channel int, n_px bigint, sum_v bigint, "
+        "sum_sq bigint, min_v int, max_v int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_band_stats_nodata(
+    n: int, max_i: int, nodata: int = NODATA_DEFAULT
+) -> str:
+    from .. import synth
+
+    px = synth.pixels_cte(n, max_i, "duckdb")
+    return (
+        f"SELECT image_id, cast(ch as int) AS channel, "
+        f"count(*) AS n_px, cast(sum(val) as bigint) AS sum_v, "
+        f"cast(sum(val * val) as bigint) AS sum_sq, "
+        f"cast(min(val) as int) AS min_v, cast(max(val) as int) AS max_v "
+        f"FROM ({px}) WHERE val <> {nodata} GROUP BY 1, 2"
+    )
