@@ -1202,8 +1202,9 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # hex_cell_assign, hex_density_topk, hex_polyfill, hex_spatial_join,
 # blur_laplacian, hsv_merge, kernel_filter, lut_apply,
 # jpeg_blockiness, phash_clusters, hard_negatives,
-# pansharpen_weighted, colorfulness, image_entropy, plus a re-verify
-# sample of r02-r04 greens.
+# pansharpen_weighted, colorfulness, image_entropy,
+# color_relief_exact, band_stats_nodata, plus a re-verify sample of
+# r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
