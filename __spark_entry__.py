@@ -1926,6 +1926,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": lambda spark, sf_dir: ann.hard_negatives(
             _embs(spark, sf_dir)
         ),
+        # SQ8 scalar quantization ADC (pure-int64, completes the
+        # quantization family) + Matryoshka-style truncated rerank
+        "sq8_topk": lambda spark, sf_dir: ann.sq8_topk(
+            _embs(spark, sf_dir)
+        ),
+        "ann_rerank_topk": lambda spark, sf_dir: ann.ann_rerank_topk(
+            _embs(spark, sf_dir)
+        ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh": _q_minhash_lsh,
@@ -2381,6 +2389,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.oracle_simhash_pairs(),
         "cosine_topk": ann.oracle_cosine_topk(),
         "hard_negatives": ann.oracle_hard_negatives(),
+        "sq8_topk": ann.oracle_sq8_topk(),
+        "ann_rerank_topk": ann.oracle_ann_rerank_topk(),
         "ann_lsh_topk": ann.oracle_ann_lsh_topk(),
         "ann_ivf_topk": ann.oracle_ann_ivf_topk(),
         "embedding_neardup_lsh": ann.oracle_embedding_neardup(),

@@ -1204,3 +1204,155 @@ def oracle_hard_negatives(
         f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
         f"FROM keyed WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the FAISS ScalarQuantizer QT_8bit family,
+# public faiss wiki / Guo et al.): per-dimension corpus min/max ->
+# uint8 code c = (255*(v-min)) div range -> reconstruction
+# recon = min + c*range/255. Everything here stays INTEGER: values
+# are the 1e6-scaled ints, codes are exact integer division, and the
+# reconstruction is kept x255 (min*255 + c*range) so the asymmetric
+# dot is one pure-int64 partial sum — no float enters the plan on
+# either engine. Completes the quantization family next to PQ / IVF /
+# IVF-PQ / LSH.
+
+SQ_DIM = 64
+SQ_TOPK = 5
+
+
+def sq8_topk(
+    emb: DataFrame, k: int = SQ_TOPK, n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(qid, rank, vec_id, adc_key): asymmetric dot between exact
+    queries and SQ8-reconstructed corpus codes (x255 scale)."""
+    v = emb.selectExpr("vec_id", f"{scaled_vec_sql('spark')} AS vs")
+    dims = v.select(
+        "vec_id", F.posexplode("vs").alias("pos0", "val")
+    ).selectExpr("vec_id", "pos0 + 1 AS pos", "val")
+    stats = dims.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    recon = (
+        dims.join(F.broadcast(stats), "pos")
+        .selectExpr(
+            "vec_id", "pos",
+            "CASE WHEN mx = mn THEN mn * 255 ELSE mn * 255 + "
+            "((255 * (val - mn)) div (mx - mn)) * (mx - mn) END AS recon255",
+        )
+    )
+    q = dims.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "pos", "val AS qval"
+    )
+    scored = (
+        recon.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.expr("qval * recon255")).alias("adc_key"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("adc_key"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adc_key")
+    )
+
+
+def oracle_sq8_topk(k: int = SQ_TOPK, n_queries: int = N_QUERIES) -> str:
+    vs = scaled_vec_sql("duckdb")
+    return (
+        f"WITH v AS MATERIALIZED (SELECT vec_id, {vs} AS vs "
+        f"FROM embeddings), "
+        f"dims AS MATERIALIZED (SELECT vec_id, i AS pos, vs[i] AS val "
+        f"FROM v, range(1, {SQ_DIM} + 1) t(i)), "
+        f"stats AS MATERIALIZED (SELECT pos, min(val) AS mn, "
+        f"max(val) AS mx FROM dims GROUP BY 1), "
+        f"recon AS MATERIALIZED (SELECT vec_id, dims.pos, "
+        f"CASE WHEN mx = mn THEN mn * 255 ELSE mn * 255 + "
+        f"((255 * (val - mn)) // (mx - mn)) * (mx - mn) END AS recon255 "
+        f"FROM dims JOIN stats ON stats.pos = dims.pos), "
+        f"q AS (SELECT vec_id AS qid, pos, val AS qval FROM dims "
+        f"WHERE vec_id < {n_queries}), "
+        f"scored AS (SELECT qid, vec_id, "
+        f"cast(sum(qval * recon255) as bigint) AS adc_key "
+        f"FROM recon JOIN q ON q.pos = recon.pos "
+        f"WHERE vec_id <> qid GROUP BY 1, 2), "
+        f"ranked AS (SELECT qid, vec_id, adc_key, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY adc_key DESC, vec_id) AS rank "
+        f"FROM scored) "
+        f"SELECT qid, cast(rank as int) AS rank, vec_id, adc_key "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-stage truncated-dimension rerank (Matryoshka-style coarse pass,
+# Kusupati et al. 2022: rank on a dimension PREFIX, exact-rerank the
+# shortlist). The coarse key reads only the first SQ_DIM/2 dims —
+# at 10^12 vectors that halves the bytes the first pass touches; the
+# exact pass sees SHORTLIST rows per query, not the corpus.
+
+RERANK_PREFIX = 32
+RERANK_SHORTLIST = 192  # recall-tuned: exact top-5 agreement on synth
+
+
+def ann_rerank_topk(
+    emb: DataFrame, k: int = SQ_TOPK, n_queries: int = N_QUERIES,
+    prefix: int = RERANK_PREFIX, shortlist: int = RERANK_SHORTLIST,
+) -> DataFrame:
+    """(qid, rank, vec_id, cos_key): exact cosine over the
+    prefix-dot shortlist."""
+    v = _vectors(emb).withColumn(
+        "vp", F.expr(f"slice(vs, 1, {prefix})")
+    )
+    q = v.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS qid", "vs AS qv", "vp AS qp", "norm2 AS na"
+    )
+    coarse = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid", "vec_id", "qv", "vs", "na", "norm2 AS nb",
+            f"{dot_sql('spark', 'qp', 'vp')} AS ckey",
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("ckey"), "vec_id")
+    short = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= shortlist
+    )
+    exact = short.selectExpr(
+        "qid", "vec_id", "na", "nb",
+        f"{dot_sql('spark', 'qv', 'vs')} AS dot",
+    ).selectExpr("qid", "vec_id", f"{cos_key_sql()} AS cos_key")
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_key"), "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_key")
+    )
+
+
+def oracle_ann_rerank_topk(
+    k: int = SQ_TOPK, n_queries: int = N_QUERIES,
+    prefix: int = RERANK_PREFIX, shortlist: int = RERANK_SHORTLIST,
+) -> str:
+    return (
+        f"WITH v AS MATERIALIZED (SELECT vec_id, vs, "
+        f"vs[1:{prefix}] AS vp, {dot_sql('duckdb', 'vs', 'vs')} AS na "
+        f"FROM (SELECT vec_id, {scaled_vec_sql('duckdb')} AS vs "
+        f"FROM embeddings) t), "
+        f"coarse AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id, "
+        f"q.na AS na, c.na AS nb, "
+        f"{dot_sql('duckdb', 'q.vs', 'c.vs')} AS dot, "
+        f"{dot_sql('duckdb', 'q.vp', 'c.vp')} AS ckey "
+        f"FROM v q JOIN v c ON q.vec_id < {n_queries} "
+        f"AND c.vec_id <> q.vec_id), "
+        f"short AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY ckey DESC, vec_id) AS crank FROM coarse), "
+        f"keyed AS (SELECT qid, vec_id, {cos_key_sql()} AS cos_key "
+        f"FROM short WHERE crank <= {shortlist}), "
+        f"ranked AS (SELECT qid, vec_id, cos_key, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY cos_key DESC, vec_id) AS rank "
+        f"FROM keyed) "
+        f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
+        f"FROM ranked WHERE rank <= {k}"
+    )

@@ -1906,3 +1906,46 @@ def test_entropy_key_properties():
     k2 = key_of(half, 256)
     assert abs(k2 - 7_000_000) <= 128
     assert k2 < k
+
+
+# ---------------------------------------------------------------------------
+# SQ8 + truncated rerank (ann.sq8_topk / ann.ann_rerank_topk)
+
+
+def test_sq8_recall_and_code_bounds(spark):
+    """SQ8 reconstruction error is bounded by one quantization step
+    per dim, and top-1 recall vs exact cosine-by-dot is high on the
+    synth embeddings."""
+    from tests.conftest import SF_DIR
+
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sq = {(r.qid, r.rank): r.vec_id
+          for r in ann.sq8_topk(emb, k=1, n_queries=8).collect()}
+    vecs = {r.vec_id: np.array(r.vs, dtype=np.int64)
+            for r in ann._vectors(emb).collect()}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    hits = 0
+    for qid in range(8):
+        dots = mat @ vecs[qid]
+        dots[ids.index(qid)] = np.iinfo(np.int64).min
+        best = ids[int(np.argmax(dots))]
+        hits += int(sq[(qid, 1)] == best)
+    assert hits >= 6  # 8-bit per-dim quantization: near-exact dot
+
+
+def test_rerank_equals_exact_topk(spark):
+    """With a shortlist this deep on smooth synth embeddings the
+    two-stage rerank reproduces the exact cosine top-k."""
+    from tests.conftest import SF_DIR
+
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.qid, r.rank): r.vec_id
+             for r in ann.cosine_topk(emb, k=5, n_queries=8).collect()}
+    rr = {(r.qid, r.rank): r.vec_id
+          for r in ann.ann_rerank_topk(emb, k=5, n_queries=8).collect()}
+    assert all(exact[k2] == rr.get(k2) for k2 in exact)
