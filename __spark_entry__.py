@@ -1203,8 +1203,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # blur_laplacian, hsv_merge, kernel_filter, lut_apply,
 # jpeg_blockiness, phash_clusters, hard_negatives,
 # pansharpen_weighted, colorfulness, image_entropy,
-# color_relief_exact, band_stats_nodata, plus a re-verify sample of
-# r02-r04 greens.
+# color_relief_exact, band_stats_nodata, sq8_topk, ann_rerank_topk,
+# mixup_pairs, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1331,6 +1331,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # component (image analog of dedup_clusters)
         "phash_clusters": lambda spark, sf_dir: multimodal.phash_clusters(
             _pixel_images(spark, sf_dir, _PHASH_MAX_I)
+        ),
+        # mixup blend with deterministic same-size partner (exact int)
+        "mixup_pairs": lambda spark, sf_dir: multimodal.mixup_pairs(
+            _pixel_images(spark, sf_dir, _MM_MAX_I)
         ),
         # (b) new round-3 operators (16; with the 33 r01-only greens
         # above and embedding_neardup_exact below the window is
@@ -2150,6 +2154,9 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup": multimodal.oracle_phash_neardup(min(n, 4096), _PHASH_MAX_I),
         "phash_clusters": multimodal.oracle_phash_clusters(
             min(n, 4096), _PHASH_MAX_I
+        ),
+        "mixup_pairs": multimodal.oracle_mixup_pairs(
+            min(n, 4096), _MM_MAX_I
         ),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),
         "dem_tri_riley": dem.oracle_tri_riley(min(n, 4096), _DEM_MAX_I),

@@ -925,3 +925,69 @@ SELECT r.node AS image_id, r.root AS cluster_id, s.cluster_size,
        cast(r.node = r.root as int) AS is_keeper
 FROM {final} r JOIN sizes s ON s.root = r.root
 """
+
+
+# ---------------------------------------------------------------------------
+# mixup augmentation (Zhang et al. 2018, "mixup: Beyond Empirical
+# Risk Minimization"): blended = lam*A + (1-lam)*B with a
+# deterministic same-size partner (the raw synth raster at
+# i + MIXUP_OFFSET — the pansharpen-companion pattern). lam = 1/2
+# keeps the blend EXACT integer ((a + b) div 2, floor); per-channel
+# GDAL checksums gate it. Decode -> one numpy add per image,
+# map-only.
+
+MIXUP_OFFSET = 900_000
+
+
+def mixup_pairs(images: DataFrame) -> DataFrame:
+    """(image_id, channel, cks) of floor((A + partner) / 2)."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import codecs
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, i, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["i"], pdf["w"], pdf["h"]
+            ):
+                a = codecs.decode_image(bytes(payload)).astype(np.int64)
+                b = codecs.make_pixels(
+                    int(i) + MIXUP_OFFSET, int(w), int(h)
+                ).astype(np.int64)
+                out = (a + b) // 2
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(out[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "i", "w", "h", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_mixup_pairs(n: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    # partner: raw (png-branch) synth pixels at i + MIXUP_OFFSET
+    pval = (
+        val.replace("fmt", "'png'")
+        .replace("i %", f"(i + {MIXUP_OFFSET}) %")
+        .replace("i * 7", f"(i + {MIXUP_OFFSET}) * 7")
+    )
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, ch, "
+        f"(val + ({pval})) // 2 AS oval "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')})) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM px GROUP BY 1, 2"
+    )
