@@ -1204,7 +1204,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # jpeg_blockiness, phash_clusters, hard_negatives,
 # pansharpen_weighted, colorfulness, image_entropy,
 # color_relief_exact, band_stats_nodata, sq8_topk, ann_rerank_topk,
-# mixup_pairs, plus a re-verify sample of r02-r04 greens.
+# mixup_pairs, cutmix_pairs, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1334,6 +1334,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # mixup blend with deterministic same-size partner (exact int)
         "mixup_pairs": lambda spark, sf_dir: multimodal.mixup_pairs(
+            _pixel_images(spark, sf_dir, _MM_MAX_I)
+        ),
+        "cutmix_pairs": lambda spark, sf_dir: multimodal.cutmix_pairs(
             _pixel_images(spark, sf_dir, _MM_MAX_I)
         ),
         # (b) new round-3 operators (16; with the 33 r01-only greens
@@ -2156,6 +2159,9 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _PHASH_MAX_I
         ),
         "mixup_pairs": multimodal.oracle_mixup_pairs(
+            min(n, 4096), _MM_MAX_I
+        ),
+        "cutmix_pairs": multimodal.oracle_cutmix_pairs(
             min(n, 4096), _MM_MAX_I
         ),
         "dem_images": dem.oracle_dem_images(min(n, 4096), _DEM_MAX_I),

@@ -991,3 +991,66 @@ def oracle_mixup_pairs(n: int, max_i: int) -> str:
         f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
         f"FROM px GROUP BY 1, 2"
     )
+
+
+def cutmix_pairs(images: DataFrame) -> DataFrame:
+    """CutMix (Yun et al. 2019): paste the partner's centered
+    half-width x half-height box into the image — deterministic box,
+    exact integers. (image_id, channel, cks)."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import codecs
+    from .stats import gdal_checksum
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, i, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["i"], pdf["w"], pdf["h"]
+            ):
+                a = codecs.decode_image(bytes(payload)).astype(np.int64)
+                b = codecs.make_pixels(
+                    int(i) + MIXUP_OFFSET, int(w), int(h)
+                ).astype(np.int64)
+                w_, h_ = int(w), int(h)
+                x0, x1 = w_ // 4, w_ // 4 + w_ // 2
+                y0, y1 = h_ // 4, h_ // 4 + h_ // 2
+                out = a.copy()
+                out[y0:y1, x0:x1, :] = b[y0:y1, x0:x1, :]
+                for c in range(3):
+                    rows.append((image_id, c, gdal_checksum(out[:, :, c])))
+            yield pd.DataFrame(rows, columns=["image_id", "channel", "cks"])
+
+    return images.select("image_id", "i", "w", "h", "bytes").mapInPandas(
+        run, schema="image_id string, channel bigint, cks bigint"
+    )
+
+
+def oracle_cutmix_pairs(n: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    pval = (
+        val.replace("fmt", "'png'")
+        .replace("i %", f"(i + {MIXUP_OFFSET}) %")
+        .replace("i * 7", f"(i + {MIXUP_OFFSET}) * 7")
+    )
+    inbox = (
+        "(x >= w // 4 AND x < w // 4 + w // 2 "
+        "AND y >= h // 4 AND y < h // 4 + h // 2)"
+    )
+    prime = (
+        "(CASE ((y * w + x) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH px AS (SELECT image_id, w, x, y, ch, "
+        f"CASE WHEN {inbox} THEN ({pval}) ELSE val END AS oval "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')})) "
+        f"SELECT image_id, cast(ch as bigint) AS channel, "
+        f"cast(sum(oval % {prime}) % 65536 as bigint) AS cks "
+        f"FROM px GROUP BY 1, 2"
+    )
