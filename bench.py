@@ -84,6 +84,21 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     qs = entrymod.queries()
     times: dict[str, float] = {}
+
+    # window-quality instrumentation: hypervisor steal during the
+    # timed section. The shared host's steal bursts (measured 15%+
+    # in otherwise-quiet windows, invisible to loadavg) are the
+    # dominant cross-run variance — recording the in-window figure
+    # lets any recorded run be judged against BENCH/HEADLINE_r4.md's
+    # low-steal reference totals.
+    def _cpu_snap():
+        try:
+            v = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return v[7], sum(v)
+        except OSError:  # pragma: no cover
+            return 0, 0
+
+    steal0, total0 = _cpu_snap()
     # warm the JVM once (excluded from timings)
     qs["tile_assign_merc"](spark, sf_dir).count()
     # ... and the Python/Arrow worker pool: since the r3 JVM-refine
@@ -114,6 +129,11 @@ def run_bench(sf_dir: str, cores: int) -> dict:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    steal1, total1 = _cpu_snap()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0 else None
+    )
     n_img = synth.n_images(sf_dir)
     result = {
         "metric": "headline_total",
@@ -125,6 +145,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "sf": synth.sf_name(sf_dir),
         "cores": cores,
         "n_images": n_img,
+        "steal_pct": steal_pct,
         "images_per_sec": round(
             n_img / (times["tile_assign_merc"] + times["spatial_join_pip"]), 1
         ),
