@@ -1949,3 +1949,32 @@ def test_rerank_equals_exact_topk(spark):
     rr = {(r.qid, r.rank): r.vec_id
           for r in ann.ann_rerank_topk(emb, k=5, n_queries=8).collect()}
     assert all(exact[k2] == rr.get(k2) for k2 in exact)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes for the final-session operators
+
+
+def test_sq8_plan_no_cartesian(spark):
+    from tests.conftest import SF_DIR
+
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = ann.sq8_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # stats + query dims ride broadcasts; codes join them map-side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hex_polyfill_plan_is_pure_codegen(spark):
+    """No Python/Arrow stage anywhere in the polyfill plan — the
+    cover build fuses into codegen like s2_cell_assign."""
+    from gdal_spark import hexcell
+
+    plan = hexcell._polyfill_cells_df(spark, 64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
+                   "MapInPandas"):
+        assert marker not in plan, marker
+    assert "*(1)" in plan  # whole-stage codegen span
