@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "embedding_neardup_exact": "exact baseline; scale path = _lsh",
     "knn_sites": "cell-ring candidate join; tiny site table broadcast",
     "point_probe": "footprint-interval join on a 32-row site table",
+    "point_probe_bilinear": "same 32-row site footprint join as point_probe",
     "geom_distance": "near-pair candidates via padded-envelope join",
     "rasterize_rows": "broadcast-DIM envelope join (tiles stream); "
     "10^12-scale path = covering-cell equi-join (rasterize.py docstring)",
@@ -103,7 +104,8 @@ def audit(names=None, sf_dir=None):
     md = Path(__file__).resolve().parent.parent / "BENCH"
     md.mkdir(exist_ok=True)
     lines = [
-        "# Physical-plan audit (headline queries)\n",
+        "# Physical-plan audit\n",
+        f"{len(names)} queries audited (pass names or default to bench HEADLINE).\n",
         "Markers per executed plan; BNLJ/cartesian allowed ONLY for the",
         "documented exact baselines (each has a registered scale path).\n",
         "| query | BHJ | SMJ | SHJ | cart | BNLJ | shuffles | py stages | codegen spans |",
