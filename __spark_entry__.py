@@ -1204,7 +1204,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # jpeg_blockiness, phash_clusters, hard_negatives,
 # pansharpen_weighted, colorfulness, image_entropy,
 # color_relief_exact, band_stats_nodata, sq8_topk, ann_rerank_topk,
-# mixup_pairs, cutmix_pairs, plus a re-verify sample of r02-r04 greens.
+# mixup_pairs, cutmix_pairs, resume_antijoin, plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1812,6 +1812,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": lambda spark, sf_dir: tablefmt.time_travel_query(
             spark, synth.n_images(sf_dir)
         ),
+        # resumable-run anti-join: partial commits + lineage, then
+        # plan MINUS committed keys (the north rule's resume path)
+        "resume_antijoin": lambda spark, sf_dir: tablefmt.resume_query(
+            spark, synth.n_images(sf_dir)
+        ),
         # gdalmdimtranslate -subset/-scaleaxes view over a (t,y,x)
         # cube table + GDALMDArray::Transpose index projection
         "mdim_translate": lambda spark, sf_dir: mdim.mdim_translate(spark),
@@ -2193,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
             min(n, 4096), _DEM_MAX_I
         ),
         "lut_apply": translate.oracle_lut_apply(min(n, 4096), _CKS_MAX_I),
+        "resume_antijoin": tablefmt.oracle_resume(_ORACLE_N_IMAGES),
         "jpeg_blockiness": curation.oracle_jpeg_blockiness(
             min(n, 4096), _BLUR_MAX_I
         ),

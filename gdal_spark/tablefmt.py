@@ -211,3 +211,61 @@ def oracle_time_travel(n: int) -> str:
         f"cast(sum(cast(w as bigint) * h) as bigint) AS sum_px "
         f"FROM img WHERE i < {2 * b} GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated resume query: commit a PARTIAL run (batches 0..1 of a
+# 4-batch plan, with per-partition lineage metrics), then anti-join
+# the full plan against the committed keys — exactly the north rule's
+# "resumable from checkpoint" semantics (gdal2tiles --resume /
+# Iceberg job restart). The remaining-work summary is closed-form
+# from the synth CTE, so commit -> lineage -> anti-join all sit under
+# the value-hash gate.
+
+
+def resume_query(spark, n: int) -> DataFrame:
+    import shutil
+
+    from . import synth
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_rs_")
+    try:
+        log = SnapshotLog(root)
+        b = max(n // 8, 4)
+        imgs = spark.sql(synth.images_cte(n, "spark"))
+        for k in range(2):  # the interrupted run got through 2 of 4
+            log.append(
+                imgs.where(f"i >= {k * b} AND i < {(k + 1) * b}").select(
+                    "i", "image_id", "w", "h"
+                ),
+                metrics={"batch": k},
+            )
+        plan = imgs.where(f"i < {4 * b}")
+        todo = resume_filter(plan, spark, log, ["image_id"])
+        out = (
+            todo.selectExpr(f"i div {b} AS batch", "i",
+                            "cast(w as bigint) * h AS px")
+            .groupBy("batch")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("i").cast("bigint").alias("sum_i"),
+                F.sum("px").cast("bigint").alias("sum_px"),
+            )
+        )
+        rows = out.collect()  # materialize before the log dir vanishes
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def oracle_resume(n: int) -> str:
+    from . import synth
+
+    b = max(n // 8, 4)
+    return (
+        f"WITH img AS ({synth.images_cte(n, 'duckdb')}) "
+        f"SELECT i // {b} AS batch, count(*) AS n_rows, "
+        f"cast(sum(i) as bigint) AS sum_i, "
+        f"cast(sum(cast(w as bigint) * h) as bigint) AS sum_px "
+        f"FROM img WHERE i >= {2 * b} AND i < {4 * b} GROUP BY 1"
+    )
