@@ -351,7 +351,13 @@ def main():
         #     this pair measures the box, not the code (the numpy
         #     ceiling probe quantifies that).
         # 8x32 runs FIRST (the contested gate gets the freshest window)
-        pairs = [(8, 32, SCALING_N), (2, 8, 48_000_000)]
+        # SPARK_GRAFT_SCALING_N overrides the 8x32 size here, at pair
+        # construction — the per-leg subprocess env is rebuilt from the
+        # pair tuple, so exporting it around `--scaling` is otherwise a
+        # no-op. Sized so the fixed ~2.5 s per-job cost stays <8% of
+        # the 32-core leg as the engine gets faster.
+        n_hi = int(os.environ.get("SPARK_GRAFT_SCALING_N", SCALING_N))
+        pairs = [(8, 32, n_hi), (2, 8, 48_000_000)]
         if "--scaling-report" in sys.argv:
             # re-aggregate BENCH/runs.jsonl and rewrite BASELINE.md
             # without running new attempts (narrative-only edits)
