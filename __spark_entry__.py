@@ -14,9 +14,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, geoloc, hexcell, rpc, s2cell, streaming, synth, tablefmt
+from gdal_spark import gcp, geohash, geoloc, hexcell, rpc, s2cell, streaming, synth, tablefmt
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
-from gdal_spark.operators import compare, curation, dissolve, enhance, lineref
+from gdal_spark.operators import clipscore, compare, curation, dissolve, enhance, lineref
+from gdal_spark.operators import percentile as pctl
 from gdal_spark.operators import mdim
 from gdal_spark.operators import contour, multimodal, ogrsql, proximity, quantize
 from gdal_spark.operators import overlay, predicates, raster_misc, reproject
@@ -1909,6 +1910,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ),
+        # global SSIM (Wang et al. 2004, single window) vs the 8-level
+        # luminance quantization — exact int64 moments, one shared
+        # IEEE finisher
+        "ssim_global": lambda spark, sf_dir: curation.ssim_global(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
+        # geohash base32 cell assignment (string + interleaved-int
+        # shuffle key) — pure-Catalyst fixed-point encode
+        "geohash_assign": lambda spark, sf_dir: geohash.assign_geohash(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # parent-cell density straight off the hash prefix (the
+        # geohash prefix-containment rollup)
+        "geohash_density": lambda spark, sf_dir: geohash.geohash_density_topk(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
+        # LAION CLIP-score gate: integer-exact image-text cosine per
+        # pair + keep flag (cosine >= 0.28)
+        "clip_score": lambda spark, sf_dir: clipscore.clip_score_filter(
+            _embs(spark, sf_dir)
+        ),
+        # LAION-Aesthetics linear probe: map-only frozen-weight cosine
+        # + decile bucket, zero shuffles
+        "aesthetic_probe": lambda spark, sf_dir: clipscore.aesthetic_probe(
+            _embs(spark, sf_dir)
+        ),
+        # exact distributed percentiles, no global sort (2-pass
+        # histogram + order-statistic refinement)
+        "exact_percentiles": lambda spark, sf_dir: pctl.exact_percentiles(
+            spark, _docs(spark, sf_dir)
+        ),
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -2208,6 +2240,14 @@ def oracle_sql() -> dict[str, str]:
         "image_entropy": curation.oracle_image_entropy(
             min(n, 4096), _BLUR_MAX_I
         ),
+        "ssim_global": curation.oracle_ssim_global(
+            min(n, 4096), _BLUR_MAX_I
+        ),
+        "geohash_assign": geohash.oracle_geohash_assign(n),
+        "geohash_density": geohash.oracle_geohash_density(n),
+        "clip_score": clipscore.oracle_clip_score(),
+        "aesthetic_probe": clipscore.oracle_aesthetic_probe(),
+        "exact_percentiles": pctl.oracle_exact_percentiles(),
         "band_stats_nodata": stats.oracle_band_stats_nodata(
             min(n, 4096), _STATS_MAX_I
         ),

@@ -440,3 +440,94 @@ def oracle_image_entropy(n_images: int, max_i: int) -> str:
         f"count(*) AS n_bins, cast(sum(k) as bigint) AS entropy_key "
         f"FROM keyed GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# global SSIM (Wang-Bovik-Sheikh-Simoncelli 2004, single global
+# window): the structural-similarity gate a re-encode/compression
+# pipeline applies alongside the PSNR invariant (compare.py). The
+# distorted signal here is the deterministic 8-level luminance
+# quantization y = (x // 8) * 8 of channel 0 — the fixture stand-in
+# for "same image after lossy re-encode". All six moments (n, sx, sy,
+# sxx, syy, sxy) are exact int64 partials; ONE shared-literal IEEE
+# float finisher turns them into floor(1e6 * SSIM), so the key is
+# bit-identical across engines and immune to summation order.
+
+SSIM_C1 = "6.5025E0"    # (0.01 * 255)^2
+SSIM_C2 = "58.5225E0"   # (0.03 * 255)^2
+
+
+def _ssim_finisher_sql() -> str:
+    """Expects n, sx, sy, sxx, syy, sxy in scope."""
+    mx = "(cast(sx as double) / n)"
+    my = "(cast(sy as double) / n)"
+    vx = f"(cast(sxx as double) / n - {mx} * {mx})"
+    vy = f"(cast(syy as double) / n - {my} * {my})"
+    cxy = f"(cast(sxy as double) / n - {mx} * {my})"
+    num = f"((2.0E0 * {mx} * {my} + {SSIM_C1}) * (2.0E0 * {cxy} + {SSIM_C2}))"
+    den = f"(({mx} * {mx} + {my} * {my} + {SSIM_C1}) * ({vx} + {vy} + {SSIM_C2}))"
+    return f"cast(floor(1000000.0E0 * {num} / {den}) as bigint)"
+
+
+def _ssim_key(n, sx, sy, sxx, syy, sxy):
+    """Python replica of the SQL finisher (same IEEE sequence)."""
+    import math
+
+    mx = sx / n
+    my = sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    num = (2.0 * mx * my + 6.5025) * (2.0 * cxy + 58.5225)
+    den = (mx * mx + my * my + 6.5025) * (vx + vy + 58.5225)
+    return math.floor(1000000.0 * num / den)
+
+
+def ssim_global(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, sx, sy, sxx, syy, sxy, ssim_key) — decode
+    once, exact integer moments of (x, y=(x//8)*8) on channel 0;
+    map-only."""
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = ["image_id", "n_px", "sx", "sy", "sxx", "syy", "sxy", "ssim_key"]
+
+    def fn(arr):
+        x = arr[:, :, 0].astype(np.int64)
+        y = (x // 8) * 8
+        n = int(x.size)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        yield (n, sx, sy, sxx, syy, sxy, _ssim_key(n, sx, sy, sxx, syy, sxy))
+
+    schema = (
+        "image_id string, n_px bigint, sx bigint, sy bigint, sxx bigint, "
+        "syy bigint, sxy bigint, ssim_key bigint"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_ssim_global(n_images: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    return (
+        f"WITH px AS (SELECT image_id, {val} AS x, "
+        f"cast(floor({val} / 8.0E0) as bigint) * 8 AS y "
+        f"FROM (SELECT img.*, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w AND y < h) q), "
+        f"agg AS (SELECT image_id, count(*) AS n, "
+        f"cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy, "
+        f"cast(sum(x * x) as bigint) AS sxx, "
+        f"cast(sum(y * y) as bigint) AS syy, "
+        f"cast(sum(x * y) as bigint) AS sxy FROM px GROUP BY 1) "
+        f"SELECT image_id, n AS n_px, sx, sy, sxx, syy, sxy, "
+        f"{_ssim_finisher_sql()} AS ssim_key FROM agg"
+    )
