@@ -1205,7 +1205,10 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # jpeg_blockiness, phash_clusters, hard_negatives,
 # pansharpen_weighted, colorfulness, image_entropy,
 # color_relief_exact, band_stats_nodata, sq8_topk, ann_rerank_topk,
-# mixup_pairs, cutmix_pairs, resume_antijoin, plus a re-verify sample of r02-r04 greens.
+# mixup_pairs, cutmix_pairs, resume_antijoin,
+# ssim_global, geohash_assign, geohash_density, clip_score,
+# aesthetic_probe, exact_percentiles,
+# plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
     "embedding_neardup_lsh",
@@ -1941,6 +1944,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_percentiles": lambda spark, sf_dir: pctl.exact_percentiles(
             spark, _docs(spark, sf_dir)
         ),
+        # near-monochrome gate: exact pairwise channel-SAD partials
+        "gray_gate": lambda spark, sf_dir: curation.grayscale_gate(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
+        # Otsu 1979 optimal binarization threshold per image
+        "otsu_threshold": lambda spark, sf_dir: curation.otsu_threshold(
+            _pixel_images(spark, sf_dir, _BLUR_MAX_I)
+        ),
+        # 8-neighbor geohash ring (kNN seed / cross-border blocking),
+        # antimeridian wrap + polar clamp, pure Catalyst
+        "geohash_neighbors": lambda spark, sf_dir: geohash.geohash_neighbors(
+            synth.images_df(spark, min(synth.n_images(sf_dir), 4096))
+        ),
         # --- then: driver-green in r02, still locally gated every
         #     round ---
         "events_tumbling_window": lambda spark, sf_dir: streaming.windowed_event_stats(
@@ -2248,6 +2264,13 @@ def oracle_sql() -> dict[str, str]:
         "clip_score": clipscore.oracle_clip_score(),
         "aesthetic_probe": clipscore.oracle_aesthetic_probe(),
         "exact_percentiles": pctl.oracle_exact_percentiles(),
+        "gray_gate": curation.oracle_grayscale_gate(
+            min(n, 4096), _BLUR_MAX_I
+        ),
+        "otsu_threshold": curation.oracle_otsu_threshold(
+            min(n, 4096), _BLUR_MAX_I
+        ),
+        "geohash_neighbors": geohash.oracle_geohash_neighbors(min(n, 4096)),
         "band_stats_nodata": stats.oracle_band_stats_nodata(
             min(n, 4096), _STATS_MAX_I
         ),

@@ -62,23 +62,39 @@ def geohash_fragments(precision: int = GH_PRECISION):
             f"as bigint)",
         ),
     ]
-    char_exprs = []
-    id_terms = []
+    enc_stages, gh_sql, ghid_sql = _encode_stages(precision)
+    return stages + enc_stages, gh_sql, ghid_sql
+
+
+def _encode_stages(
+    precision: int,
+    lon_col: str = "ghlon",
+    lat_col: str = "ghlat",
+    prefix: str = "ghc",
+):
+    """Interleave two already-quantized fixed-point ints into the
+    base32 hash: per-char stage list + (gh, gh_id) output exprs.
+    Parametrized over the source columns so the neighbor encode can
+    run over shifted (nx, ny) in the same pipeline."""
+    lon_bits, lat_bits = _bits(precision)
+    stages, char_exprs, id_terms = [], [], []
     for c in range(precision):
         bit_terms = []
         for j in range(5):
             t = 5 * c + j  # global bit position, MSB-first
             if t % 2 == 0:
-                src, nbits, k = "ghlon", lon_bits, t // 2
+                src, nbits, k = lon_col, lon_bits, t // 2
             else:
-                src, nbits, k = "ghlat", lat_bits, (t - 1) // 2
+                src, nbits, k = lat_col, lat_bits, (t - 1) // 2
             shift = 1 << (nbits - 1 - k)
             bit = f"(cast(floor({src} / {shift}.0E0) as bigint) % 2)"
             bit_terms.append(f"{bit} * {1 << (4 - j)}")
         code = " + ".join(bit_terms)
-        stages.append((f"ghc{c}", f"cast({code} as bigint)"))
-        char_exprs.append(f"substr('{GH_ALPHABET}', cast(ghc{c} + 1 as int), 1)")
-        id_terms.append(f"ghc{c} * {1 << (5 * (precision - 1 - c))}")
+        stages.append((f"{prefix}{c}", f"cast({code} as bigint)"))
+        char_exprs.append(
+            f"substr('{GH_ALPHABET}', cast({prefix}{c} + 1 as int), 1)"
+        )
+        id_terms.append(f"{prefix}{c} * {1 << (5 * (precision - 1 - c))}")
     gh_sql = f"concat({', '.join(char_exprs)})"
     ghid_sql = f"cast({' + '.join(id_terms)} as bigint)"
     return stages, gh_sql, ghid_sql
@@ -176,3 +192,74 @@ def geohash_encode_py(lon: float, lat: float, precision: int = GH_PRECISION) -> 
             out.append(GH_ALPHABET[code])
             code = 0
     return "".join(out)
+
+
+# --------------------------------------------------------------- neighbors
+
+OFFSETS_8 = (
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+)
+
+
+def _neighbor_stages(precision: int):
+    """Stage list for the shifted cell: nx wraps in longitude
+    (antimeridian-adjacent cells ARE neighbors), ny clamps at the
+    poles (rows past the pole are filtered out by the caller).
+    Expects ghlon/ghlat/dx/dy in scope."""
+    lon_bits, lat_bits = _bits(precision)
+    m = 1 << lon_bits
+    return [
+        ("nx", f"cast((ghlon + dx + {m}) % {m} as bigint)"),
+        ("ny", "cast(ghlat + dy as bigint)"),
+    ], (1 << lat_bits)
+
+
+def geohash_neighbors(
+    images: DataFrame, precision: int = GH_PRECISION
+) -> DataFrame:
+    """(image_id, gh, dx, dy, ngh, ngh_id): the 8 adjacent cells of
+    each row's geohash cell — the ring-expansion primitive (kNN seed
+    rings, near-dup blocking across cell borders). Map-only pure
+    Catalyst: quantize once, explode the 8 literal offsets, re-encode
+    the shifted (nx, ny). Longitude wraps across the antimeridian;
+    latitude rows past a pole are dropped (polar cells have 5
+    neighbors)."""
+    stages, gh_sql, _ = geohash_fragments(precision)
+    nstages, lat_cells = _neighbor_stages(precision)
+    enc, ngh_sql, nghid_sql = _encode_stages(precision, "nx", "ny", "nbc")
+    df = images.selectExpr("image_id", "lon", "lat")
+    for name, sql in stages:
+        df = df.selectExpr("*", f"{sql} AS {name}")
+    off = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in OFFSETS_8
+    )
+    df = df.selectExpr("*", f"inline(array({off}))")
+    for name, sql in nstages:
+        df = df.selectExpr("*", f"{sql} AS {name}")
+    df = df.where(f"ny >= 0 AND ny < {lat_cells}")
+    for name, sql in enc:
+        df = df.selectExpr("*", f"{sql} AS {name}")
+    return df.selectExpr(
+        "image_id", f"{gh_sql} AS gh", "cast(dx as int) AS dx",
+        "cast(dy as int) AS dy", f"{ngh_sql} AS ngh", f"{nghid_sql} AS ngh_id",
+    )
+
+
+def oracle_geohash_neighbors(n: int, precision: int = GH_PRECISION) -> str:
+    from . import synth
+
+    stages, gh_sql, _ = geohash_fragments(precision)
+    nstages, lat_cells = _neighbor_stages(precision)
+    enc, ngh_sql, nghid_sql = _encode_stages(precision, "nx", "ny", "nbc")
+    sel = f"SELECT image_id, lon, lat FROM ({synth.images_cte(n, 'duckdb')})"
+    for name, sql in stages:
+        sel = f"SELECT *, {sql} AS {name} FROM ({sel})"
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in OFFSETS_8)
+    sel = f"SELECT * FROM ({sel}) CROSS JOIN (VALUES {offs}) o(dx, dy)"
+    for name, sql in nstages + enc:
+        sel = f"SELECT *, {sql} AS {name} FROM ({sel})"
+    return (
+        f"SELECT image_id, {gh_sql} AS gh, cast(dx as int) AS dx, "
+        f"cast(dy as int) AS dy, {ngh_sql} AS ngh, {nghid_sql} AS ngh_id "
+        f"FROM ({sel}) WHERE ny >= 0 AND ny < {lat_cells}"
+    )

@@ -531,3 +531,162 @@ def oracle_ssim_global(n_images: int, max_i: int) -> str:
         f"SELECT image_id, n AS n_px, sx, sy, sxx, syy, sxy, "
         f"{_ssim_finisher_sql()} AS ssim_key FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# grayscale / near-monochrome gate: the "is this actually a color
+# image" cut of web-scale image curation (grayscale scans, line art
+# and logos are down-weighted or routed separately in LAION-style
+# recipes). Exact integer partials of the pairwise channel SADs —
+# sum |R-G|, |G-B|, |R-B| — plus the per-image max channel spread;
+# the headline key is floor(1e4 * meanPairwiseSAD). Map-only.
+
+GRAY_KEY_MAX = 80_000  # mean pairwise channel diff <= 8.0 -> grayscale
+
+
+def grayscale_gate(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, sad_rg, sad_gb, sad_rb, max_diff, gray_key,
+    is_gray) — one decode, exact int64 SAD partials."""
+    import math
+
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = [
+        "image_id", "n_px", "sad_rg", "sad_gb", "sad_rb",
+        "max_diff", "gray_key", "is_gray",
+    ]
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        drg = np.abs(a[:, :, 0] - a[:, :, 1])
+        dgb = np.abs(a[:, :, 1] - a[:, :, 2])
+        drb = np.abs(a[:, :, 0] - a[:, :, 2])
+        n = int(a.shape[0] * a.shape[1])
+        sad = (int(drg.sum()), int(dgb.sum()), int(drb.sum()))
+        key = math.floor(10000.0 * float(sum(sad)) / (3.0 * float(n)))
+        yield (
+            n, *sad,
+            int(max(drg.max(), dgb.max(), drb.max())),
+            key, int(key <= GRAY_KEY_MAX),
+        )
+
+    schema = (
+        "image_id string, n_px bigint, sad_rg bigint, sad_gb bigint, "
+        "sad_rb bigint, max_diff bigint, gray_key bigint, is_gray int"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_grayscale_gate(n_images: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    chan = {
+        c: f"({val.replace('ch * 11', f'{c} * 11').replace('ch / 3.0E0', f'{c} / 3.0E0')})"
+        for c in range(3)
+    }
+    return (
+        f"WITH px AS (SELECT image_id, "
+        f"abs({chan[0]} - {chan[1]}) AS drg, "
+        f"abs({chan[1]} - {chan[2]}) AS dgb, "
+        f"abs({chan[0]} - {chan[2]}) AS drb "
+        f"FROM (SELECT img.*, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w AND y < h) q), "
+        f"agg AS (SELECT image_id, count(*) AS n, "
+        f"cast(sum(drg) as bigint) AS sad_rg, "
+        f"cast(sum(dgb) as bigint) AS sad_gb, "
+        f"cast(sum(drb) as bigint) AS sad_rb, "
+        f"cast(max(greatest(drg, dgb, drb)) as bigint) AS max_diff "
+        f"FROM px GROUP BY 1), "
+        f"k AS (SELECT *, cast(floor(10000.0E0 * "
+        f"cast(sad_rg + sad_gb + sad_rb as double) / "
+        f"(3.0E0 * cast(n as double))) as bigint) AS gray_key FROM agg) "
+        f"SELECT image_id, n AS n_px, sad_rg, sad_gb, sad_rb, max_diff, "
+        f"gray_key, cast(gray_key <= {GRAY_KEY_MAX} as int) AS is_gray "
+        f"FROM k"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Otsu threshold (Otsu 1979): the optimal global binarization
+# threshold per image — maximize between-class variance over the
+# channel-0 histogram. Ordering statistic: q(t) = |S*w0 - n*s0| /
+# sqrt(w0*(n-w0)), a monotone transform of the between-class variance
+# whose integer numerator fits int64 exactly (|S*w0 - n*s0| <= 1.2e12
+# at 65536 px), so converting to double is EXACT and sqrt/divide are
+# correctly rounded identically on both engines (numpy sqrt == libm,
+# measured — see build notes). Argmax tie-break: smallest t; absent
+# histogram bins inherit the previous bin's (w0, s0) so the first
+# index of any tied run is always a populated bin on both sides.
+
+
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """(image_id, threshold, w0, s0, otsu_key) — per-image Otsu
+    binarization threshold on channel 0; map-only."""
+    import numpy as np
+
+    from .stats import _decode_iter
+
+    cols = ["image_id", "threshold", "w0", "s0", "otsu_key"]
+
+    def fn(arr):
+        x = arr[:, :, 0].astype(np.int64).ravel()
+        n = int(x.size)
+        s = int(x.sum())
+        hist = np.bincount(x, minlength=256)
+        w0 = np.cumsum(hist)
+        s0 = np.cumsum(hist * np.arange(256, dtype=np.int64))
+        valid = (w0 > 0) & (w0 < n)
+        if not valid.any():
+            return
+        d = np.abs(s * w0 - n * s0).astype(np.float64)
+        q = d / np.sqrt((w0 * (n - w0)).astype(np.float64))
+        q[~valid] = -1.0
+        t = int(np.argmax(q))  # first max -> smallest-t tie-break
+        yield (t, int(w0[t]), int(s0[t]), int(np.floor(q[t])))
+
+    schema = (
+        "image_id string, threshold int, w0 bigint, s0 bigint, "
+        "otsu_key bigint"
+    )
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols), schema=schema
+    )
+
+
+def oracle_otsu_threshold(n_images: int, max_i: int) -> str:
+    from .. import synth
+
+    val = synth.pixel_val_sql()
+    return (
+        f"WITH px AS (SELECT image_id, {val} AS v "
+        f"FROM (SELECT img.*, 0 AS ch, x, y "
+        f"FROM ({images_cte(n_images, 'duckdb')}) img, "
+        f"range(0, 256) tx(x), range(0, 256) ty(y) "
+        f"WHERE img.i < {max_i} AND x < w AND y < h) qq), "
+        f"tot AS (SELECT image_id, count(*) AS n, "
+        f"cast(sum(v) as bigint) AS s FROM px GROUP BY 1), "
+        f"hist AS (SELECT image_id, v AS t, count(*) AS c "
+        f"FROM px GROUP BY 1, 2), "
+        f"cum AS (SELECT image_id, t, "
+        f"sum(c) OVER (PARTITION BY image_id ORDER BY t "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w0, "
+        f"sum(t * c) OVER (PARTITION BY image_id ORDER BY t "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0 "
+        f"FROM hist), "
+        f"sc AS (SELECT cum.image_id, t, w0, s0, "
+        f"cast(abs(s * w0 - n * s0) as double) / "
+        f"sqrt(cast(w0 * (n - w0) as double)) AS q "
+        f"FROM cum JOIN tot USING (image_id) WHERE w0 > 0 AND w0 < n), "
+        f"r AS (SELECT *, row_number() OVER (PARTITION BY image_id "
+        f"ORDER BY q DESC, t ASC) AS rn FROM sc) "
+        f"SELECT image_id, cast(t as int) AS threshold, "
+        f"cast(w0 as bigint) AS w0, cast(s0 as bigint) AS s0, "
+        f"cast(floor(q) as bigint) AS otsu_key FROM r WHERE rn = 1"
+    )

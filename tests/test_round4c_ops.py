@@ -167,3 +167,172 @@ def test_exact_percentiles_small_and_skewed(spark):
     for p in (1, 50, 99):
         r = -(-p * n // 100)
         assert got[p] == vals[r - 1]
+
+
+# --------------------------------------------------------- geohash ring
+
+
+def _gh_bounds(gh):
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh:
+        code = geohash.GH_ALPHABET.index(ch)
+        for j in range(4, -1, -1):
+            bit = (code >> j) & 1
+            if even:
+                mid = (lo_lon + hi_lon) / 2.0
+                if bit:
+                    lo_lon = mid
+                else:
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2.0
+                if bit:
+                    lo_lat = mid
+                else:
+                    hi_lat = mid
+            even = not even
+    return lo_lon, hi_lon, lo_lat, hi_lat
+
+
+def _gh_neighbor_py(gh, dx, dy):
+    """Decode cell bounds, shift the center by one cell, re-encode.
+    Returns None past a pole; wraps longitude."""
+    lo_lon, hi_lon, lo_lat, hi_lat = _gh_bounds(gh)
+    cx = (lo_lon + hi_lon) / 2.0 + dx * (hi_lon - lo_lon)
+    cy = (lo_lat + hi_lat) / 2.0 + dy * (hi_lat - lo_lat)
+    if cy < -90.0 or cy > 90.0:
+        return None
+    if cx >= 180.0:
+        cx -= 360.0
+    elif cx < -180.0:
+        cx += 360.0
+    return geohash.geohash_encode_py(cx, cy, len(gh))
+
+
+def test_geohash_neighbors_brute(spark):
+    imgs = synth.images_df(spark, 48)
+    got = geohash.geohash_neighbors(imgs).collect()
+    by_img = {}
+    for r in got:
+        by_img.setdefault(r.image_id, {})[(r.dx, r.dy)] = (r.gh, r.ngh)
+    assert len(by_img) == 48
+    for image_id, nbrs in by_img.items():
+        for (dx, dy), (gh, ngh) in nbrs.items():
+            exp = _gh_neighbor_py(gh, dx, dy)
+            assert exp == ngh, (gh, dx, dy, ngh, exp)
+
+
+def test_geohash_neighbors_polar_and_wrap(spark):
+    df = spark.createDataFrame(
+        [("pole", 10.0, 89.999), ("anti", 179.999, 0.0)],
+        "image_id string, lon double, lat double",
+    )
+    rows = geohash.geohash_neighbors(df).collect()
+    pole = [r for r in rows if r.image_id == "pole"]
+    anti = [r for r in rows if r.image_id == "anti"]
+    # top lat row: the 3 dy=+1 neighbors are dropped
+    assert len(pole) == 5 and all(r.dy <= 0 for r in pole)
+    # antimeridian: dx=+1 wraps to a hash on the west edge
+    assert len(anti) == 8
+    for r in anti:
+        assert r.ngh == _gh_neighbor_py(r.gh, r.dx, r.dy)
+    east = {r.ngh for r in anti if r.dx == 1}
+    # wrapped neighbors decode to cells touching lon = -180
+    for gh in east:
+        lo_lon, _, _, _ = _gh_bounds(gh)
+        assert lo_lon == -180.0
+
+
+# ------------------------------------------------------- grayscale gate
+
+
+def test_grayscale_gate_brute(spark):
+    from gdal_spark import codecs
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 5"))
+    meta = synth.images_df(spark, 64).filter("i < 5").toPandas()
+    got = curation.grayscale_gate(imgs).toPandas().set_index("image_id")
+    for _, row in meta.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(row.i), int(row.w), int(row.h)),
+                row.fmt,
+            )
+        ).astype(np.int64)
+        drg = np.abs(arr[:, :, 0] - arr[:, :, 1])
+        g = got.loc[row.image_id]
+        assert g.sad_rg == drg.sum()
+        assert g.max_diff == max(
+            drg.max(),
+            np.abs(arr[:, :, 1] - arr[:, :, 2]).max(),
+            np.abs(arr[:, :, 0] - arr[:, :, 2]).max(),
+        )
+    # synthetic images are colorful by construction
+    assert got.is_gray.sum() == 0
+
+
+def test_grayscale_gate_flags_true_grayscale(spark):
+    from gdal_spark import codecs
+
+    a = np.tile(np.arange(64, dtype=np.uint8).reshape(64, 1, 1), (1, 32, 3))
+    payload = codecs.encode_image(a, "png")
+    df = spark.createDataFrame(
+        [("g0", bytearray(payload))], "image_id string, bytes binary"
+    )
+    r = curation.grayscale_gate(df).collect()[0]
+    assert r.is_gray == 1 and r.gray_key == 0 and r.max_diff == 0
+
+
+# ---------------------------------------------------------------- Otsu
+
+
+def test_otsu_threshold_exact_rational_argmax(spark):
+    """The double-ordered argmax must equal the EXACT rational argmax
+    of the between-class variance (Fraction arithmetic)."""
+    from fractions import Fraction
+
+    from gdal_spark import codecs
+
+    imgs = synth.add_pixels(synth.images_df(spark, 64).filter("i < 6"))
+    meta = synth.images_df(spark, 64).filter("i < 6").toPandas()
+    got = curation.otsu_threshold(imgs).toPandas().set_index("image_id")
+    for _, row in meta.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(row.i), int(row.w), int(row.h)),
+                row.fmt,
+            )
+        )
+        x = arr[:, :, 0].astype(np.int64).ravel()
+        n, s = int(x.size), int(x.sum())
+        hist = np.bincount(x, minlength=256)
+        w0 = np.cumsum(hist)
+        s0 = np.cumsum(hist * np.arange(256, dtype=np.int64))
+        best_t, best = None, Fraction(-1)
+        for t in range(256):
+            if 0 < w0[t] < n:
+                sc = Fraction(
+                    int(s * w0[t] - n * s0[t]) ** 2,
+                    int(w0[t]) * (n - int(w0[t])),
+                )
+                if sc > best:
+                    best, best_t = sc, t
+        g = got.loc[row.image_id]
+        assert g.threshold == best_t
+        assert g.w0 == w0[best_t] and g.s0 == s0[best_t]
+
+
+def test_otsu_bimodal_splits_the_modes(spark):
+    from gdal_spark import codecs
+
+    a = np.zeros((32, 32, 3), dtype=np.uint8)
+    a[:16] = 40
+    a[16:] = 200
+    df = spark.createDataFrame(
+        [("b0", bytearray(codecs.encode_image(a, "png")))],
+        "image_id string, bytes binary",
+    )
+    r = curation.otsu_threshold(df).collect()[0]
+    assert 40 <= r.threshold < 200
+    assert r.w0 == 16 * 32  # the low mode exactly
