@@ -185,8 +185,7 @@ def make_pip_udf():
     return pip
 
 
-def spatial_join(
-    points: DataFrame,
+def prepare_spatial_join(
     polys: DataFrame,
     join_zoom: int = DEFAULT_JOIN_ZOOM,
     min_zoom: int = DEFAULT_MIN_ZOOM,
@@ -196,22 +195,19 @@ def spatial_join(
     broadcast: bool | None = None,
     broadcast_max_rows: int = 2_000_000,
     poly_count_hint: int | None = None,
-    point_cols: list[str] | None = None,
     poly_cols: list[str] | None = None,
-    engine: str = "sql",
     refine: str = "jvm",
-) -> DataFrame:
-    """Inner PIP join: rows = (point, polygon) pairs where the point
-    lies inside the polygon (even-odd rule).
+) -> "PreparedSpatialJoin":
+    """Build the polygon side of the PIP join ONCE (adaptive cell
+    cover + localCheckpoint + zoom-level set + broadcast hints) and
+    return a reusable prober.
 
-    refine='jvm' (default) evaluates the exact ray cast as a Catalyst
-    higher-order expression over pre-decoded edge arrays — the whole
-    join stays JVM-side with zero Arrow traffic (the scale path on a
-    memory-bandwidth-bound host). refine='arrow' is the vectorized
-    pandas-UDF kernel (same arithmetic, bit-identical output)."""
-    point_cols = point_cols or [
-        c for c in points.columns if c not in (lon_col, lat_col)
-    ]
+    A production pipeline joins a static polygon layer against many
+    point batches; preparing the layer amortizes the cover build and
+    its zoom-set action across every probe. That driver-side serial
+    prefix idles (cores-1)/cores of the cluster per batch — exactly
+    the Amdahl term that erodes N->4N scaling on short batches
+    (profiled: ~1 s of a 20 s 32-core leg before this split)."""
     poly_cols = poly_cols or [c for c in polys.columns if c != "geom_wkb"]
 
     env_cols = ["env_minx", "env_miny", "env_maxx", "env_maxy"]
@@ -261,89 +257,180 @@ def spatial_join(
         geom_cells = F.broadcast(geom_cells)
         all_cells = F.broadcast(all_cells)
 
-    # point side: cell at join_zoom (pandas UDF per north star), then
-    # ancestors via pure int arithmetic, exploded on a narrow projection.
-    # The explode is pruned to the zoom levels ACTUALLY PRESENT in the
-    # polygon cover (one tiny action on the checkpointed cover table):
-    # a point's z-cell can only match covers at z, so absent levels are
-    # dead rows — for a typical small-polygon layer this cuts the probe
-    # traffic from (join_zoom - min_zoom + 1)x to 1-2x, which is the
-    # difference between bandwidth-bound and compute-bound at full
-    # parallelism. Cell ids pack the zoom in the top bits (grid.pack_cell).
+    # The probe's explode is pruned to the zoom levels ACTUALLY
+    # PRESENT in the polygon cover (one tiny action on the
+    # checkpointed cover table): a point's z-cell can only match
+    # covers at z, so absent levels are dead rows — for a typical
+    # small-polygon layer this cuts the probe traffic from
+    # (join_zoom - min_zoom + 1)x to 1-2x, which is the difference
+    # between bandwidth-bound and compute-bound at full parallelism.
+    # Cell ids pack the zoom in the top bits (grid.pack_cell).
     meta = pcells.agg(
         F.collect_set(F.expr("shiftright(cell_id, 58)")).alias("zs")
     ).first()
     zs = sorted(meta["zs"] or []) or [join_zoom]
-    pts = assign_cells(
-        points, join_zoom, grid_kind="geodetic", lon_col=lon_col,
-        lat_col=lat_col, engine=engine,
+    return PreparedSpatialJoin(
+        rect_cells, geom_cells, all_cells, zs, join_zoom,
+        lon_col, lat_col, poly_cols, refine, pcells,
     )
-    levels = [
-        F.expr(
-            cell_id_sql(
-                f"(tile_x >> {join_zoom - z})", f"(tile_y >> {join_zoom - z})", z
+
+
+class PreparedSpatialJoin:
+    """The polygon side of a PIP join, prepared once and probed many
+    times (see ``prepare_spatial_join``). Holds the checkpointed cell
+    cover (the reference keeps its blocks alive), the pruned zoom set
+    and the broadcast-hinted branch tables; ``probe`` is pure plan
+    construction — no driver-side actions."""
+
+    def __init__(
+        self, rect_cells, geom_cells, all_cells, zs, join_zoom,
+        lon_col, lat_col, poly_cols, refine, pcells,
+    ):
+        self.rect_cells = rect_cells
+        self.geom_cells = geom_cells
+        self.all_cells = all_cells
+        self.zs = zs
+        self.join_zoom = join_zoom
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.poly_cols = poly_cols
+        self.refine = refine
+        self._pcells = pcells  # keeps checkpoint blocks referenced
+
+    def probe(
+        self,
+        points: DataFrame,
+        point_cols: list[str] | None = None,
+        engine: str = "sql",
+    ) -> DataFrame:
+        """Inner PIP join of ``points`` against the prepared polygon
+        layer: rows = (point, polygon) pairs where the point lies
+        inside the polygon (even-odd rule)."""
+        lon_col, lat_col = self.lon_col, self.lat_col
+        join_zoom, refine = self.join_zoom, self.refine
+        point_cols = point_cols or [
+            c for c in points.columns if c not in (lon_col, lat_col)
+        ]
+        # point side: cell at join_zoom, then ancestors via pure int
+        # arithmetic, exploded on a narrow projection (a semi-join
+        # pattern: image payload bytes never shuffle).
+        pts = assign_cells(
+            points, join_zoom, grid_kind="geodetic", lon_col=lon_col,
+            lat_col=lat_col, engine=engine,
+        )
+        levels = [
+            F.expr(
+                cell_id_sql(
+                    f"(tile_x >> {join_zoom - z})",
+                    f"(tile_y >> {join_zoom - z})",
+                    z,
+                )
             )
-        )
-        for z in zs
-    ]
-    if len(levels) == 1:
-        # single-zoom cover: no explode stage at all
-        pts = pts.select(
-            lon_col, lat_col, *point_cols, levels[0].alias("cell_id")
-        )
-    else:
-        pts = pts.select(
-            lon_col, lat_col, *point_cols,
-            F.explode(F.array(*levels)).alias("cell_id"),
-        )
+            for z in self.zs
+        ]
+        if len(levels) == 1:
+            # single-zoom cover: no explode stage at all
+            pts = pts.select(
+                lon_col, lat_col, *point_cols, levels[0].alias("cell_id")
+            )
+        else:
+            pts = pts.select(
+                lon_col, lat_col, *point_cols,
+                F.explode(F.array(*levels)).alias("cell_id"),
+            )
 
-    # envelope reject, JVM-side (FilterGeometry's bbox fast path,
-    # ogrlayer.cpp:1468) — cuts the refine input before any Python
-    def bbox(df: DataFrame) -> DataFrame:
-        return df.filter(
-            (F.col(lon_col) >= F.col("env_minx"))
-            & (F.col(lon_col) <= F.col("env_maxx"))
-            & (F.col(lat_col) >= F.col("env_miny"))
-            & (F.col(lat_col) <= F.col("env_maxy"))
-        )
+        # envelope reject, JVM-side (FilterGeometry's bbox fast path,
+        # ogrlayer.cpp:1468) — cuts the refine input before any Python
+        def bbox(df: DataFrame) -> DataFrame:
+            return df.filter(
+                (F.col(lon_col) >= F.col("env_minx"))
+                & (F.col(lon_col) <= F.col("env_maxx"))
+                & (F.col(lat_col) >= F.col("env_miny"))
+                & (F.col(lat_col) <= F.col("env_maxy"))
+            )
 
-    out_cols = [lon_col, lat_col, *point_cols, *poly_cols]
-    if refine == "jvm_fused":
-        # single-probe variant: one scan of the point side, but the
-        # whole candidate stream (including rectangle candidates) pays
-        # the CodegenFallback eval of the higher-order PIP — measured
-        # 1.5x slower than the two-branch default on the synth layer
-        # (rect-heavy hot cell). Useful when the layer is
-        # overwhelmingly non-rect.
-        cand = bbox(pts.join(all_cells, "cell_id", "inner"))
+        out_cols = [lon_col, lat_col, *point_cols, *self.poly_cols]
+        if refine == "jvm_fused":
+            # single-probe variant: one scan of the point side, but the
+            # whole candidate stream (including rectangle candidates)
+            # pays the CodegenFallback eval of the higher-order PIP —
+            # measured 1.5x slower than the two-branch default on the
+            # synth layer (rect-heavy hot cell). Useful when the layer
+            # is overwhelmingly non-rect.
+            cand = bbox(pts.join(self.all_cells, "cell_id", "inner"))
+            refined = cand.filter(
+                F.expr(f"is_rect OR ({pip_parity_expr(lon_col, lat_col)})")
+            )
+            return refined.select(*out_cols)
+        rect_out = bbox(
+            pts.join(self.rect_cells, "cell_id", "inner")
+        ).select(*out_cols)
+        if refine == "jvm":
+            # two probes (rect codegen fast path / edge-walk refine),
+            # each against its own narrow broadcast: the point
+            # generation is re-run per branch but is pure codegen
+            # (cheap); keeping the rectangle majority out of the
+            # interpreted refine dominates. The HEAVY refine branch
+            # goes first in the union: both branches run in one stage
+            # in partition order, so heavy-first lets the cheap rect
+            # tasks fill the scheduler tail instead of an all-heavy
+            # final wave (profiled 4.5x task-duration spread in the
+            # combined stage at 32 cores).
+            cand = bbox(pts.join(self.geom_cells, "cell_id", "inner"))
+            refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
+            return refined.select(*out_cols).unionAll(rect_out)
+        cand = bbox(pts.join(self.geom_cells, "cell_id", "inner"))
+        # homogenize Arrow batches by polygon (local sort, no shuffle)
+        # so the refine factorization sees few distinct geometries per
+        # batch
+        cand = cand.sortWithinPartitions("geom_wkb")
+        pip = make_pip_udf()
         refined = cand.filter(
-            F.expr(f"is_rect OR ({pip_parity_expr(lon_col, lat_col)})")
+            pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
         )
-        return refined.select(*out_cols)
-    rect_out = bbox(pts.join(rect_cells, "cell_id", "inner")).select(*out_cols)
-    if refine == "jvm":
-        # two probes (rect codegen fast path / edge-walk refine), each
-        # against its own narrow broadcast: the point generation is
-        # re-run per branch but is pure codegen (cheap); keeping the
-        # rectangle majority out of the interpreted refine dominates.
-        # The HEAVY refine branch goes first in the union: both
-        # branches run in one stage in partition order, so heavy-first
-        # lets the cheap rect tasks fill the scheduler tail instead of
-        # an all-heavy final wave (profiled 4.5x task-duration spread
-        # in the combined stage at 32 cores).
-        cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
-        refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
-        return refined.select(*out_cols).unionAll(rect_out)
-    cand = bbox(pts.join(geom_cells, "cell_id", "inner"))
-    # homogenize Arrow batches by polygon (local sort, no shuffle)
-    # so the refine factorization sees few distinct geometries per
-    # batch
-    cand = cand.sortWithinPartitions("geom_wkb")
-    pip = make_pip_udf()
-    refined = cand.filter(
-        pip(F.col(lon_col), F.col(lat_col), F.col("geom_wkb"))
-    )
-    return rect_out.unionAll(refined.select(*out_cols))
+        return rect_out.unionAll(refined.select(*out_cols))
+
+
+def spatial_join(
+    points: DataFrame,
+    polys: DataFrame,
+    join_zoom: int = DEFAULT_JOIN_ZOOM,
+    min_zoom: int = DEFAULT_MIN_ZOOM,
+    max_cells: int = 64,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
+    poly_count_hint: int | None = None,
+    point_cols: list[str] | None = None,
+    poly_cols: list[str] | None = None,
+    engine: str = "sql",
+    refine: str = "jvm",
+) -> DataFrame:
+    """Inner PIP join: rows = (point, polygon) pairs where the point
+    lies inside the polygon (even-odd rule).
+
+    refine='jvm' (default) evaluates the exact ray cast as a Catalyst
+    higher-order expression over pre-decoded edge arrays — the whole
+    join stays JVM-side with zero Arrow traffic (the scale path on a
+    memory-bandwidth-bound host). refine='arrow' is the vectorized
+    pandas-UDF kernel (same arithmetic, bit-identical output).
+
+    One-shot convenience over prepare_spatial_join().probe(); repeated
+    probes against the same layer should prepare once."""
+    return prepare_spatial_join(
+        polys,
+        join_zoom=join_zoom,
+        min_zoom=min_zoom,
+        max_cells=max_cells,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        broadcast=broadcast,
+        broadcast_max_rows=broadcast_max_rows,
+        poly_count_hint=poly_count_hint,
+        poly_cols=poly_cols,
+        refine=refine,
+    ).probe(points, point_cols=point_cols, engine=engine)
 
 
 def spatial_join_bruteforce(

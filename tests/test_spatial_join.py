@@ -105,3 +105,32 @@ def test_spatial_join_shuffle_path_equals_broadcast(spark):
     assert {(r.i, r.poly_id) for r in a.collect()} == {
         (r.i, r.poly_id) for r in b.collect()
     }
+
+
+def test_prepared_join_probe_matches_one_shot_and_is_reusable(spark):
+    from gdal_spark.operators.spatial_join import prepare_spatial_join
+
+    n_img, n_poly = 1024, 32
+    imgs = synth.images_df(spark, n_img)
+    polys = synth.polygons_df(spark, n_poly)
+    one_shot = {
+        (r.i, r.poly_id)
+        for r in spatial_join(
+            imgs, polys, point_cols=["i"], poly_cols=["poly_id"]
+        ).collect()
+    }
+
+    prep = prepare_spatial_join(polys, poly_cols=["poly_id"], poly_count_hint=n_poly)
+    # two probes against the same prepared layer: identical results,
+    # and a second point batch reuses the cover without rebuilding it
+    assert {
+        (r.i, r.poly_id) for r in prep.probe(imgs, point_cols=["i"]).collect()
+    } == one_shot
+    assert {
+        (r.i, r.poly_id) for r in prep.probe(imgs, point_cols=["i"]).collect()
+    } == one_shot
+    other = synth.images_df(spark, 256)
+    exp = expected_pairs(synth.images_pdf(256), synth.polygons_pdf(n_poly))
+    assert {
+        (r.i, r.poly_id) for r in prep.probe(other, point_cols=["i"]).collect()
+    } == exp
