@@ -1559,6 +1559,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": lambda spark, sf_dir: (
             ann.embedding_gram(_embs(spark, sf_dir))
         ),
+        # PCA dominant component: exact integer scatter (from the gram
+        # reduction) -> quantized power iteration -> map-only
+        # projection with the axis broadcast as a literal
+        "pca_pc1": lambda spark, sf_dir: (
+            ann.pca_pc1(_embs(spark, sf_dir))
+        ),
         # SemDeDup (Abbas et al. 2023): k-means clusters + within-
         # cluster cosine prune, keep-farthest-from-centroid survivor
         "semdedup": lambda spark, sf_dir: (
@@ -2404,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "ar_bucket_batches": multimodal.oracle_ar_bucket_batches(n),
         "crop_to_cutline": reproject.oracle_crop_to_cutline_grid(n),
         "embedding_gram": ann.oracle_embedding_gram(),
+        "pca_pc1": ann.oracle_pca_pc1(),
         "semdedup": ann.oracle_semdedup(),
         "cutline_blend": warp.oracle_cutline_blend(
             min(n, 4096), _CKS_MAX_I

@@ -1356,3 +1356,178 @@ def oracle_ann_rerank_topk(
         f"SELECT qid, cast(rank as int) AS rank, vec_id, cos_key "
         f"FROM ranked WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA dominant component by integer power iteration on the EXACT
+# centered scatter matrix (the classic distributed-PCA recipe: one
+# pass of map-side Gram partials -> a d x d driver-side eigensolve ->
+# a map-only projection; cf. Halko, Martinsson, Tropp 2011 §4 for why
+# the d x d reduction is the only communication PCA needs). The
+# scatter matrix comes from ``embedding_gram`` (exact int64 second
+# moments), and every subsequent step — quantization, matrix-vector
+# products, renormalization, sign fix, projection — is integer
+# arithmetic with floor-division semantics shared between numpy and
+# the SQL oracle, so the dominant axis and every per-vector score are
+# bit-replayable by DuckDB from the raw table. Corpus-scale posture:
+# the gram reduce moves (d+1)^2/2 partials per Arrow batch (never a
+# vector shuffle), the iteration touches a d x d table only, and the
+# projection is a map-only scan with the axis broadcast as a literal.
+#
+# Near-isotropic spectra (the synth embeddings sit at lambda1/lambda2
+# ~ 1.07) would need ~90 plain power rounds, so the iteration first
+# SQUARES the quantized scatter PCA_SQUARINGS times — B <- quant(B B)
+# raises the eigengap to the 2^k power (lambda-ratio 0.93 -> 0.93^64
+# ~ 0.01) — then runs PCA_ITERS matvec rounds. d x d x d integer
+# products per squaring, trivial at d = 64 on driver and oracle both.
+
+PCA_SQUARINGS = 6
+PCA_ITERS = 3
+PCA_NORM = 1_000_000
+
+
+def _fdiv_sql(a: str, b: str) -> str:
+    """Floor division (b > 0) in truncating-division dialects —
+    matches numpy's // for int64."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) "
+        f"ELSE -(((-({a})) + ({b}) - 1) // ({b})) END)"
+    )
+
+
+def pca_pc1(
+    emb: DataFrame,
+    iters: int = PCA_ITERS,
+    squarings: int = PCA_SQUARINGS,
+) -> DataFrame:
+    """(vec_id, pc1): each embedding's integer score along the
+    dominant eigenvector of the exact centered scatter matrix.
+
+    The gram collect is d^2-sized (4 KB at d=64) regardless of corpus
+    size — the same driver-side reduction shape as a Lloyd centroid
+    update; ``iters`` / ``squarings`` are the run-scale knobs."""
+    import numpy as np
+
+    g = embedding_gram(emb).toPandas()
+    d = DIM
+    G = np.zeros((d + 1, d + 1), dtype=np.int64)
+    G[g["j"].to_numpy(), g["k"].to_numpy()] = g["gram"].to_numpy()
+    n = int(G[0, 0]) // (GRAM_SCALE * GRAM_SCALE)
+    s = G[0, 1:] // GRAM_SCALE  # exact: G[0,j] = GRAM_SCALE * sum vj
+    Cu = np.triu(G[1:, 1:])
+    C = Cu + Cu.T - np.diag(np.diag(Cu))
+    C = n * C - np.outer(s, s)
+    q = max(1, int(np.abs(C).max()) // PCA_NORM)
+    cq = C // q  # numpy // floors — matches _fdiv_sql
+    for _ in range(squarings):
+        B = cq @ cq
+        qb = max(1, int(np.abs(B).max()) // PCA_NORM)
+        cq = B // qb
+    v = np.full(d, PCA_NORM, dtype=np.int64)
+    for _ in range(iters):
+        w = cq @ v
+        qw = max(1, int(np.abs(w).max()) // PCA_NORM)
+        v = w // qw
+    jmax = int(np.argmax(np.abs(v)))  # first max == (abs DESC, j ASC)
+    if v[jmax] < 0:
+        v = -v
+    off = int(np.dot(v, s)) // n  # Python // floors — matches _fdiv_sql
+    lits = ", ".join(f"{int(x)}L" for x in v)
+    return emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> cast(floor(cast(x as double) * "
+        f"{GRAM_SCALE}.0E0) as bigint)) AS v4",
+    ).selectExpr(
+        "vec_id",
+        f"aggregate(zip_with(v4, array({lits}), (x, y) -> x * y), "
+        f"cast(0 as bigint), (acc, x) -> acc + x) - ({off}) AS pc1",
+    )
+
+
+def oracle_pca_pc1(
+    iters: int = PCA_ITERS, squarings: int = PCA_SQUARINGS
+) -> str:
+    """Full DuckDB replay from the raw embeddings table: gram ->
+    centered scatter -> quantize -> ``squarings`` matrix-squaring
+    rounds -> ``iters`` matvec/renorm rounds (MATERIALIZED — chained
+    CTEs re-expand otherwise) -> sign fix -> map-only projection."""
+    lam = f"x -> cast(floor(cast(x as double) * {GRAM_SCALE}.0E0) as bigint)"
+    ctes = [
+        f"va AS MATERIALIZED (SELECT vec_id, list_prepend(cast({GRAM_SCALE} "
+        f"as bigint), list_transform(embedding, {lam})) AS vs FROM embeddings)",
+        f"ea AS (SELECT vec_id, unnest(vs) AS val, "
+        f"unnest(range(0, {DIM + 1})) AS j FROM va)",
+        "g AS MATERIALIZED (SELECT a.j AS j, b.j AS k, "
+        "cast(sum(a.val * b.val) as bigint) AS gram "
+        "FROM ea a JOIN ea b ON a.vec_id = b.vec_id AND a.j <= b.j "
+        "GROUP BY 1, 2)",
+        f"nn AS (SELECT gram // {GRAM_SCALE * GRAM_SCALE} AS n FROM g "
+        f"WHERE j = 0 AND k = 0)",
+        f"sv AS (SELECT k - 1 AS j, gram // {GRAM_SCALE} AS s FROM g "
+        f"WHERE j = 0 AND k >= 1)",
+        # full symmetric centered scatter (j, k in 0..d-1)
+        "ch AS (SELECT j - 1 AS j, k - 1 AS k, gram FROM g WHERE j >= 1)",
+        "cf AS (SELECT j, k, gram FROM ch UNION ALL "
+        "SELECT k, j, gram FROM ch WHERE j <> k)",
+        "cs AS MATERIALIZED (SELECT cf.j, cf.k, "
+        "(SELECT n FROM nn) * cf.gram - a.s * b.s AS val "
+        "FROM cf JOIN sv a ON a.j = cf.j JOIN sv b ON b.j = cf.k)",
+        f"qq AS (SELECT greatest(1, max(abs(val)) // {PCA_NORM}) AS q "
+        f"FROM cs)",
+        f"cq AS MATERIALIZED (SELECT j, k, "
+        f"{_fdiv_sql('val', '(SELECT q FROM qq)')} AS val FROM cs)",
+        f"v0 AS (SELECT cast(r.range as bigint) AS j, "
+        f"cast({PCA_NORM} as bigint) AS val FROM range(0, {DIM}) r)",
+    ]
+    mat = "cq"
+    for t in range(1, squarings + 1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT a.j AS j, b.k AS k, "
+            f"cast(sum(a.val * b.val) as bigint) AS val "
+            f"FROM {mat} a JOIN {mat} b ON a.k = b.j GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"qb{t} AS (SELECT greatest(1, max(abs(val)) // {PCA_NORM}) "
+            f"AS q FROM b{t})"
+        )
+        ctes.append(
+            f"bq{t} AS MATERIALIZED (SELECT j, k, "
+            f"{_fdiv_sql('val', f'(SELECT q FROM qb{t})')} AS val "
+            f"FROM b{t})"
+        )
+        mat = f"bq{t}"
+    prev = "v0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT {mat}.j AS j, "
+            f"cast(sum({mat}.val * {prev}.val) as bigint) AS val "
+            f"FROM {mat} JOIN {prev} ON {prev}.j = {mat}.k GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT greatest(1, max(abs(val)) // {PCA_NORM}) "
+            f"AS q FROM w{t})"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT j, "
+            f"{_fdiv_sql('val', f'(SELECT q FROM m{t})')} AS val FROM w{t})"
+        )
+        prev = f"v{t}"
+    ctes += [
+        f"sg AS (SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END AS sgn "
+        f"FROM {prev} ORDER BY abs(val) DESC, j LIMIT 1)",
+        f"vf AS MATERIALIZED (SELECT j, val * (SELECT sgn FROM sg) AS val "
+        f"FROM {prev})",
+        "od AS (SELECT cast(sum(vf.val * sv.s) as bigint) AS vd "
+        "FROM vf JOIN sv ON sv.j = vf.j)",
+        f"ofs AS (SELECT {_fdiv_sql('vd', '(SELECT n FROM nn)')} AS off "
+        f"FROM od)",
+        "ax AS (SELECT list(val ORDER BY j) AS axis FROM vf)",
+        f"e4 AS (SELECT vec_id, list_transform(embedding, {lam}) AS v4 "
+        f"FROM embeddings)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT vec_id, cast(list_dot_product(v4, "
+        "(SELECT axis FROM ax)) as bigint) - (SELECT off FROM ofs) AS pc1 "
+        "FROM e4"
+    )

@@ -1978,3 +1978,26 @@ def test_hex_polyfill_plan_is_pure_codegen(spark):
                    "MapInPandas"):
         assert marker not in plan, marker
     assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_pca_pc1_matches_float_eigensolver(spark):
+    """The integer power-iteration axis must agree with numpy's float
+    eigensolver: per-vector scores correlate ~1 with the float PCA
+    projection (sign-fixed), and beat every coordinate axis."""
+    from gdal_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = ann.pca_pc1(emb).toPandas().sort_values("vec_id")
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    X = np.stack(pdf["embedding"].values).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    axis = evecs[:, -1]
+    ref = Xc @ axis
+    corr = np.corrcoef(got["pc1"].to_numpy(dtype=np.float64), ref)[0, 1]
+    assert abs(corr) > 0.999
+    # dominant axis explains more variance than any coordinate axis
+    assert ref.var() >= Xc.var(axis=0).max() - 1e-9
+    assert got["pc1"].to_numpy(dtype=np.float64).var() > 0
