@@ -1827,6 +1827,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": lambda spark, sf_dir: tablefmt.resume_query(
             spark, synth.n_images(sf_dir)
         ),
+        # MERGE INTO (Iceberg v2 copy-on-write upsert / ogrupdate.py):
+        # matched keys replaced, unmatched inserted, files holding no
+        # matched key survive untouched into the next snapshot
+        "merge_upsert": lambda spark, sf_dir: tablefmt.merge_upsert_query(
+            spark, synth.n_images(sf_dir)
+        ),
         # gdalmdimtranslate -subset/-scaleaxes view over a (t,y,x)
         # cube table + GDALMDArray::Transpose index projection
         "mdim_translate": lambda spark, sf_dir: mdim.mdim_translate(spark),
@@ -2253,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lut_apply": translate.oracle_lut_apply(min(n, 4096), _CKS_MAX_I),
         "resume_antijoin": tablefmt.oracle_resume(_ORACLE_N_IMAGES),
+        "merge_upsert": tablefmt.oracle_merge_upsert(_ORACLE_N_IMAGES),
         "jpeg_blockiness": curation.oracle_jpeg_blockiness(
             min(n, 4096), _BLUR_MAX_I
         ),

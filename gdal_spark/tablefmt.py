@@ -269,3 +269,119 @@ def oracle_resume(n: int) -> str:
         f"cast(sum(cast(w as bigint) * h) as bigint) AS sum_px "
         f"FROM img WHERE i >= {2 * b} AND i < {4 * b} GROUP BY 1"
     )
+
+# ---------------------------------------------------------------------------
+# MERGE INTO — copy-on-write upsert (Iceberg spec.md v2 row-level
+# operations, copy-on-write mode; the ogrupdate.py semantics: source
+# rows replace target rows sharing a key, unmatched source rows are
+# inserted). File-granular rewrite, exactly Iceberg's COW: data files
+# holding NO matched key survive into the next snapshot untouched;
+# only touched files are rewritten (their unmatched rows + nothing
+# else), and the source is appended as new files. At 10^12 rows the
+# rewrite cost is proportional to the files the merge touches, never
+# the table.
+
+
+def merge_upsert(
+    spark, log: SnapshotLog, source: DataFrame, key_cols: list[str],
+    metrics: dict | None = None,
+) -> int:
+    """UPSERT ``source`` into the table by ``key_cols``; commits and
+    returns the new snapshot id."""
+    files = log.files_as_of()
+    if not files:
+        return log.append(source, op="merge", metrics=metrics)
+    src = source.localCheckpoint(eager=True)  # read once, join twice
+    skeys = src.select(*key_cols).distinct()
+    from urllib.parse import unquote, urlparse
+
+    tgt = spark.read.parquet(*files).withColumn(
+        "_file", F.input_file_name()
+    )
+    touched = {
+        unquote(urlparse(r["_file"]).path)
+        for r in tgt.join(skeys, key_cols, "left_semi")
+        .select("_file").distinct().collect()
+    }
+    # survivors: rows of touched files whose key does NOT match
+    untouched_files = [f for f in files if f not in touched]
+    nxt_dir = tempfile.mkdtemp(dir=log.data, prefix="s")
+    keep = (
+        spark.read.parquet(*sorted(touched)).join(
+            skeys, key_cols, "left_anti"
+        )
+        if touched
+        else None
+    )
+    out = src if keep is None else keep.unionByName(src)
+    out.write.mode("overwrite").parquet(nxt_dir)
+    new_files = [
+        os.path.join(nxt_dir, f)
+        for f in os.listdir(nxt_dir)
+        if f.endswith(".parquet")
+    ]
+    summary = {
+        "op_files_rewritten": len(touched),
+        "op_files_kept": len(untouched_files),
+        "added_files": len(new_files),
+        **(metrics or {}),
+    }
+    return log.commit(untouched_files + new_files, "merge", summary)
+
+
+# oracle-gated merge query: two appended batches (i in [0, 2b)), then
+# MERGE a source covering [b, 3b) with a modified payload — rows in
+# [b, 2b) are updated in place, [2b, 3b) inserted, [0, b) carried by
+# untouched files. The final table state is closed-form from the
+# synth CTE.
+
+
+def merge_upsert_query(spark, n: int) -> DataFrame:
+    import shutil
+
+    from . import synth
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_mg_")
+    try:
+        log = SnapshotLog(root)
+        b = max(n // 8, 4)
+        imgs = spark.sql(synth.images_cte(n, "spark"))
+        for k in range(2):
+            log.append(
+                imgs.where(f"i >= {k * b} AND i < {(k + 1) * b}").select(
+                    "i", "image_id", "w", "h"
+                ),
+                metrics={"batch": k},
+            )
+        source = imgs.where(f"i >= {b} AND i < {3 * b}").selectExpr(
+            "i", "image_id", "w + 7 AS w", "h"
+        )
+        merge_upsert(spark, log, source, ["image_id"])
+        out = (
+            read_as_of(spark, log)
+            .selectExpr(f"i div {b} AS batch", "i", "w")
+            .groupBy("batch")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("i").cast("bigint").alias("sum_i"),
+                F.sum("w").cast("bigint").alias("sum_w"),
+            )
+        )
+        rows = out.collect()  # materialize before the log dir vanishes
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def oracle_merge_upsert(n: int) -> str:
+    from . import synth
+
+    b = max(n // 8, 4)
+    return (
+        f"WITH img AS ({synth.images_cte(n, 'duckdb')}) "
+        f"SELECT i // {b} AS batch, count(*) AS n_rows, "
+        f"cast(sum(i) as bigint) AS sum_i, "
+        f"cast(sum(CASE WHEN i >= {b} THEN w + 7 ELSE w END) as bigint) "
+        f"AS sum_w "
+        f"FROM img WHERE i < {3 * b} GROUP BY 1"
+    )

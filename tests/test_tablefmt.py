@@ -76,3 +76,43 @@ def test_optimistic_commit_retry(spark, log):
         )
     sid = log.commit(log.files_as_of(0), "append", {})
     assert sid == 2  # lost the race on v1, retried and won v2
+
+
+def test_merge_upsert_cow_file_granular(spark, log):
+    sel = ["i", "image_id", "w", "h"]
+    for k in range(2):
+        log.append(_batch(spark, k).select(*sel), metrics={"batch": k})
+    before = set(log.files_as_of())
+    # source: update keys of batch 1, insert batch 2
+    source = (
+        spark.sql(synth.images_cte(64, "spark"))
+        .where("i >= 8 AND i < 24")
+        .selectExpr("i", "image_id", "w + 7 AS w", "h")
+    )
+    sid = tablefmt.merge_upsert(spark, log, source, ["image_id"])
+    after = set(log.files_as_of(sid))
+    # files holding a matched key were rewritten -> gone; every other
+    # pre-merge file (incl. empty part files) survives BY PATH
+    touched = {
+        f for f in before
+        if spark.read.parquet(f).where("i >= 8 AND i < 24").count() > 0
+    }
+    b0 = before - touched
+    assert touched and b0
+    assert not touched & after
+    assert b0 <= after
+    tbl = tablefmt.read_as_of(spark, log, sid).toPandas()
+    assert len(tbl) == 24 and tbl["image_id"].is_unique
+    pdf = synth.images_pdf(64)
+    exp_w = {
+        r.image_id: (r.w + 7 if r.i >= 8 else r.w)
+        for r in pdf.itertuples() if r.i < 24
+    }
+    got_w = dict(zip(tbl["image_id"], tbl["w"]))
+    assert got_w == exp_w
+    s = log.snapshot(sid)["summary"]
+    assert s["op_files_kept"] == len(b0) and s["op_files_rewritten"] >= 1
+    # merge into an EMPTY table is a plain insert
+    fresh = tablefmt.SnapshotLog(log.root + "_fresh")
+    tablefmt.merge_upsert(spark, fresh, source, ["image_id"])
+    assert tablefmt.read_as_of(spark, fresh).count() == 16
