@@ -1286,6 +1286,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_agg": _q_spatial_join_agg,
         "caption_roundtrip": _q_caption_roundtrip,
         "geom_fields": _q_geom_fields,
+        # OGR SQL special-field pseudo-columns (ogr_gensql.cpp:
+        # FID / OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA /
+        # OGR_STYLE) with canonical micro-degree WKT serialization
+        "ogr_special_fields": lambda spark, sf_dir: (
+            vector_ops.ogr_special_fields(_oracle_polys(spark, sf_dir))
+        ),
         "geom_centroid": _q_geom_centroid,
         "geom_point_on_surface": _q_point_on_surface,
         "segmentize": _q_segmentize,
@@ -2179,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": streaming.ORACLE_WINDOWED,
         "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
+        "ogr_special_fields": vector_ops.oracle_ogr_special_fields(m),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),

@@ -1064,3 +1064,105 @@ def oracle_point_on_surface(m: int) -> str:
         f"cast(floor(cy * 10000.0E0 + 0.0005E0) as bigint) AS pos_y_key "
         f"FROM p WHERE kind != 'kgon'"
     )
+
+
+# ---------------------------------------------------------------------------
+# OGR SQL special fields (ogr/ogrsf_frmts/generic/ogr_gensql.cpp
+# SpecialFieldNames: FID, OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA,
+# OGR_STYLE) — pseudo-columns any OGR SQL SELECT can reference
+# alongside attributes. WKT is canonicalized to integer micro-degree
+# coordinates (floor(x * 1e6)) so the serialized string is
+# engine-independent; OGR_STYLE has no source on the synth layer and
+# follows the house '' sentinel for absent values. ``big_area`` is
+# the classic `WHERE OGR_GEOM_AREA > t` predicate as a flag column.
+
+
+def ogr_special_fields(polys: DataFrame) -> DataFrame:
+    """(fid, poly_id, geom_type, geom_wkt, area_key, ogr_style,
+    big_area) over the oracle-subset kinds."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for j, poly_id, g in zip(
+                pdf["j"], pdf["poly_id"], pdf["geom_wkb"]
+            ):
+                rings = [
+                    _ring_array(r) for r in wkb.polygon_rings(bytes(g))
+                ]
+                area = shoelace_area(rings[0]) - sum(
+                    shoelace_area(r) for r in rings[1:]
+                )
+                area_key = int(np.floor(area * 1e3 + 1e-6))
+                parts = []
+                for r in rings:
+                    pts = [
+                        f"{int(np.floor(x * 1e6))} {int(np.floor(y * 1e6))}"
+                        for x, y in r
+                    ]
+                    pts.append(pts[0])  # closed ring in WKT
+                    parts.append("(" + ", ".join(pts) + ")")
+                rows.append(
+                    (
+                        int(j),
+                        poly_id,
+                        "POLYGON",
+                        "POLYGON (" + ", ".join(parts) + ")",
+                        area_key,
+                        "",
+                        int(area_key > 50_000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["fid", "poly_id", "geom_type", "geom_wkt",
+                         "area_key", "ogr_style", "big_area"],
+            )
+
+    return (
+        polys.filter("kind IN ('box', 'hot_box', 'triangle')")
+        .select("j", "poly_id", "geom_wkb")
+        .mapInPandas(
+            run,
+            schema="fid bigint, poly_id string, geom_type string, "
+            "geom_wkt string, area_key bigint, ogr_style string, "
+            "big_area int",
+        )
+    )
+
+
+def oracle_ogr_special_fields(m: int) -> str:
+    """Closed-form replay: ring vertex order matches
+    synth.kind_geom (box CCW from SW corner; triangle SW, SE, apex)."""
+
+    def mi(e: str) -> str:
+        return f"cast(floor(({e}) * 1000000.0E0) as bigint)"
+
+    x1, x2 = mi("cx - hw"), mi("cx + hw")
+    y1, y2 = mi("cy - hh"), mi("cy + hh")
+    xm = mi("cx")
+    box_wkt = (
+        f"concat('POLYGON ((', {x1}, ' ', {y1}, ', ', {x2}, ' ', {y1}, "
+        f"', ', {x2}, ' ', {y2}, ', ', {x1}, ' ', {y2}, ', ', "
+        f"{x1}, ' ', {y1}, '))')"
+    )
+    tri_wkt = (
+        f"concat('POLYGON ((', {x1}, ' ', {y1}, ', ', {x2}, ' ', {y1}, "
+        f"', ', {xm}, ' ', {y2}, ', ', {x1}, ' ', {y1}, '))')"
+    )
+    area = (
+        "cast(floor(CASE WHEN kind = 'triangle' "
+        "THEN 0.5E0 * (2.0E0 * hw) * (2.0E0 * hh) "
+        "ELSE 4.0E0 * hw * hh END * 1000.0E0 + 0.000001E0) as bigint)"
+    )
+    return (
+        f"WITH p AS ({synth.polygons_sql_cte(m, 'duckdb')}) "
+        f"SELECT j AS fid, "
+        f"concat('poly', lpad(cast(j as varchar), 4, '0')) AS poly_id, "
+        f"'POLYGON' AS geom_type, "
+        f"CASE WHEN kind = 'triangle' THEN {tri_wkt} ELSE {box_wkt} END "
+        f"AS geom_wkt, "
+        f"{area} AS area_key, '' AS ogr_style, "
+        f"cast({area} > 50000 as int) AS big_area "
+        f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
+    )

@@ -2001,3 +2001,40 @@ def test_pca_pc1_matches_float_eigensolver(spark):
     # dominant axis explains more variance than any coordinate axis
     assert ref.var() >= Xc.var(axis=0).max() - 1e-9
     assert got["pc1"].to_numpy(dtype=np.float64).var() > 0
+
+
+def test_ogr_special_fields_wkt_roundtrip(spark):
+    """geom_wkt parses back to the source ring (micro-degree floor of
+    the WKB coordinates), fid is the feature index, and the
+    OGR_GEOM_AREA flag matches the shoelace of the parsed ring."""
+    from gdal_spark import wkb as wkbmod
+    from gdal_spark.operators import vector_ops
+
+    polys = synth.polygons_df(spark, 64)
+    got = vector_ops.ogr_special_fields(polys).toPandas()
+    src = synth.polygons_pdf(64)
+    src = src[src["kind"].isin(["box", "hot_box", "triangle"])]
+    assert sorted(got["fid"]) == sorted(src["j"])
+    assert set(got["geom_type"]) == {"POLYGON"}
+    by_id = dict(zip(src["poly_id"], src["geom_wkb"]))
+    for _, r in got.iterrows():
+        ring = np.array(
+            [
+                [float(t.split()[0]), float(t.split()[1])]
+                for t in r["geom_wkt"][len("POLYGON (("):-2].split(", ")
+            ]
+        )
+        assert (ring[0] == ring[-1]).all()  # closed
+        raw = np.array(
+            [
+                [x, y]
+                for x, y in vector_ops._ring_array(
+                    wkbmod.polygon_rings(bytes(by_id[r["poly_id"]]))[0]
+                )
+            ]
+        )
+        assert np.array_equal(ring[:-1], np.floor(raw * 1e6))
+        area_ud = abs(vector_ops.shoelace_area(raw))
+        assert r["big_area"] == int(
+            int(np.floor(area_ud * 1e3 + 1e-6)) > 50_000
+        )
