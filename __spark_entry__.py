@@ -1115,6 +1115,9 @@ _ROUND3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dem_hillshade_variants": _q_dem_hillshade_variants,
     "aea_corners": _q_aea_corners,
     "gcp_polynomial": _q_gcp_polynomial,
+    # gcps2wld world-file writer (order-1 GDALGCPsToGeoTransform fit;
+    # integer normal equations + Cramer -> one division per coef)
+    "gcps2wld": lambda spark, sf_dir: gcp.gcps2wld_query(spark),
     "rpc_project": _q_rpc_project,
     "grid_linear": _q_grid_linear,
     "tps_transform": _q_tps_transform,
@@ -1138,6 +1141,7 @@ def _round3_oracles(n: int, m: int) -> dict[str, str]:
         ),
         "aea_corners": reproject.oracle_aea_corners(n),
         "gcp_polynomial": gcp.oracle_gcp_polynomial(),
+        "gcps2wld": gcp.oracle_gcps2wld(),
         "rpc_project": rpc.oracle_rpc_project(),
         "grid_linear": raster_misc.oracle_grid_linear(64, 64),
         "tps_transform": gcp.oracle_tps_transform(),

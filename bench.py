@@ -527,6 +527,14 @@ def main():
         # start load said (the round-4 finding: start-load gating
         # alone admitted attempts whose windows were polluted mid-run).
         QUIET_CPU_PROBE = 0.7
+        # End-of-window load gate: loadavg at attempt end is the
+        # bench's OWN workers plus whatever arrived mid-window. The
+        # own-load ceiling is empirical from the attempt log (clean
+        # 2x8 windows end at 3.1-4.2, clean 8x32 at 12.6-18.6); an
+        # end load above it means a neighbor (or a concurrent dev
+        # job) landed DURING the window — exclude it no matter how
+        # quiet the start looked.
+        QUIET_LOAD_END = {"2x8": 4.5, "8x32": 20.0}
 
         def stats_for(pair):
             cur = [
@@ -536,10 +544,12 @@ def main():
             if not cur:
                 return None
             median = median_of(a["eff"] for a in cur)
+            end_cap = QUIET_LOAD_END.get(pair, 20.0)
             quiet = [
                 a for a in cur
                 if 0 <= a["load1"] < QUIET_LOAD
                 and a.get("ceiling_cpu", 0.0) >= QUIET_CPU_PROBE
+                and (a.get("load1_end") is None or a["load1_end"] < end_cap)
                 # ASYMMETRIC hypervisor steal between the two legs
                 # biases the ratio (symmetric steal cancels); 3-4%%
                 # background steal is endemic on this box even in

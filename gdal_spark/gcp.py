@@ -593,3 +593,115 @@ def oracle_refine_gcps() -> str:
         f"AS resid_mm "
         f"FROM gcps g, {coefs_rel}"
     )
+
+
+# ---------------------------------------------------------------------------
+# gcps2wld — the world-file writer (osgeo_utils/samples/gcps2wld.py;
+# the fit itself is GDALGCPsToGeoTransform, alg/gdaltransformer.cpp):
+# a least-squares ORDER-1 (affine) geotransform from the GCP set,
+# written as the six ESRI world-file lines (pixel-size / rotation
+# rows, then the CENTER of the top-left pixel). The normal equations
+# over integer GCPs are exact int64 sums (one map-side-combined
+# aggregation, an O(1) collect), and the 3x3 solve is Cramer's rule
+# on integer determinants — the only float op per coefficient is a
+# single correctly-rounded division, so Spark and DuckDB agree
+# bit-for-bit with no epsilon.
+
+
+def _det3(m) -> int:
+    """Integer 3x3 determinant, first-row cofactor expansion."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _det3_sql(m) -> str:
+    return (
+        f"({m[0][0]} * ({m[1][1]} * {m[2][2]} - {m[1][2]} * {m[2][1]}) "
+        f"- {m[0][1]} * ({m[1][0]} * {m[2][2]} - {m[1][2]} * {m[2][0]}) "
+        f"+ {m[0][2]} * ({m[1][0]} * {m[2][1]} - {m[1][1]} * {m[2][0]}))"
+    )
+
+
+def gcps2wld_query(spark: SparkSession) -> DataFrame:
+    """(line_no, val_key): the six world-file lines, 1e6-keyed."""
+    gcps = spark.range(GCP_K).selectExpr(
+        f"cast({GCP_PX.replace('k', 'id')} as bigint) AS px",
+        f"cast({GCP_PY.replace('k', 'id')} as bigint) AS py",
+        f"cast({GCP_E2.replace('k', 'id')} as bigint) AS e2",
+        f"cast({GCP_N2.replace('k', 'id')} as bigint) AS n2",
+    )
+    aggs = []
+    t = ["cast(1 as bigint)", "px", "py"]
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(f"sum({t[i]} * {t[j]}) AS m{i}{j}")
+        aggs.append(f"sum({t[i]} * e2) AS a{i}")
+        aggs.append(f"sum({t[i]} * n2) AS b{i}")
+    r = gcps.selectExpr(*aggs).collect()[0]
+    M = [[int(r[f"m{min(i, j)}{max(i, j)}"]) for j in range(3)]
+         for i in range(3)]
+    a = [int(r[f"a{i}"]) for i in range(3)]
+    b = [int(r[f"b{i}"]) for i in range(3)]
+    D = _det3(M)
+
+    def solve(rhs):
+        out = []
+        for i in range(3):
+            Mi = [[rhs[rr] if cc == i else M[rr][cc] for cc in range(3)]
+                  for rr in range(3)]
+            out.append(_det3(Mi) / D)  # the one float op
+        return out
+
+    E, N = solve(a), solve(b)
+    # world-file line order: gt1, gt4, gt2, gt5, ulx_center, uly_center
+    lines = [
+        E[1], N[1], E[2], N[2],
+        E[0] + 0.5 * E[1] + 0.5 * E[2],
+        N[0] + 0.5 * N[1] + 0.5 * N[2],
+    ]
+    import math
+
+    rows = [(i + 1, int(math.floor(v * 1e6))) for i, v in enumerate(lines)]
+    return spark.createDataFrame(rows, "line_no int, val_key bigint")
+
+
+def oracle_gcps2wld() -> str:
+    """DuckDB replay: same integer sums, same Cramer determinants,
+    same single division per coefficient."""
+    t = ["cast(1 as bigint)", "px", "py"]
+    sums = []
+    for i in range(3):
+        for j in range(i, 3):
+            sums.append(f"cast(sum({t[i]} * {t[j]}) as bigint) AS m{i}_{j}")
+        sums.append(f"cast(sum({t[i]} * e2) as bigint) AS a_{i}")
+        sums.append(f"cast(sum({t[i]} * n2) as bigint) AS b_{i}")
+    M = [[f"m{min(i, j)}_{max(i, j)}" for j in range(3)] for i in range(3)]
+    D = _det3_sql(M)
+
+    def coef(rhs, i):
+        Mi = [[f"{rhs}_{rr}" if cc == i else M[rr][cc] for cc in range(3)]
+              for rr in range(3)]
+        return f"(cast({_det3_sql(Mi)} as double) / cast({D} as double))"
+
+    e0, e1, e2c = coef("a", 0), coef("a", 1), coef("a", 2)
+    n0, n1, n2c = coef("b", 0), coef("b", 1), coef("b", 2)
+    lines = [
+        e1, n1, e2c, n2c,
+        f"({e0} + 0.5E0 * {e1} + 0.5E0 * {e2c})",
+        f"({n0} + 0.5E0 * {n1} + 0.5E0 * {n2c})",
+    ]
+    sel = " UNION ALL ".join(
+        f"SELECT {i + 1} AS line_no, "
+        f"cast(floor({v} * 1000000.0E0) as bigint) AS val_key FROM sums"
+        for i, v in enumerate(lines)
+    )
+    return (
+        f"WITH gcps AS (SELECT cast({GCP_PX} as bigint) AS px, "
+        f"cast({GCP_PY} as bigint) AS py, "
+        f"cast({GCP_E2} as bigint) AS e2, cast({GCP_N2} as bigint) AS n2 "
+        f"FROM range(0, {GCP_K}) t(k)), "
+        f"sums AS MATERIALIZED (SELECT {', '.join(sums)} FROM gcps) {sel}"
+    )

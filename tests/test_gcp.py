@@ -163,3 +163,27 @@ def test_refine_converges_before_round_limit():
     keep, removed, _ = _refine_numpy_replay()
     assert int(keep.sum()) == gcp.REFINE_K - 2
     assert len(removed) == 2
+
+
+def test_gcps2wld_matches_lstsq(spark):
+    """World-file lines agree with numpy's float least-squares affine
+    fit to ~1e-6, and the pixel-size sign conventions hold."""
+    import numpy as np
+
+    from gdal_spark import gcp
+
+    got = {
+        r.line_no: r.val_key / 1e6
+        for r in gcp.gcps2wld_query(spark).collect()
+    }
+    px, py, e2, n2 = gcp.gcp_points()
+    A = np.stack([np.ones_like(px), px, py], axis=1).astype(np.float64)
+    E, *_ = np.linalg.lstsq(A, e2.astype(np.float64), rcond=None)
+    N, *_ = np.linalg.lstsq(A, n2.astype(np.float64), rcond=None)
+    exp = [
+        E[1], N[1], E[2], N[2],
+        E[0] + 0.5 * E[1] + 0.5 * E[2],
+        N[0] + 0.5 * N[1] + 0.5 * N[2],
+    ]
+    for i, v in enumerate(exp):
+        assert abs(got[i + 1] - v) < 2e-6, (i, got[i + 1], v)
