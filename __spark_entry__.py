@@ -27,6 +27,7 @@ from gdal_spark.operators import footprint as fpop
 from gdal_spark.operators import bpe as bpeop
 from gdal_spark.operators import buffer as bufop
 from gdal_spark.operators import dsir, geodesy
+from gdal_spark.operators import fourier
 from gdal_spark.operators import makevalid as mkv
 from gdal_spark.operators import sieve, viewshed
 from gdal_spark.operators import polygonize as polyop
@@ -1296,6 +1297,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": lambda spark, sf_dir: (
             vector_ops.ogr_special_fields(_oracle_polys(spark, sf_dir))
         ),
+        # distributed 2-D DFT (osgeo_utils/samples/fft.py semantics):
+        # row pass in the decode UDF -> transpose shuffle -> integer
+        # tap-table column pass; fixed-point terms, exact parity
+        "dft2d": lambda spark, sf_dir: fourier.dft2d(
+            _pixel_images(spark, sf_dir, fourier.DFT_MAX_I)
+        ),
         "geom_centroid": _q_geom_centroid,
         "geom_point_on_surface": _q_point_on_surface,
         "segmentize": _q_segmentize,
@@ -2190,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "ogr_special_fields": vector_ops.oracle_ogr_special_fields(m),
+        "dft2d": fourier.oracle_dft2d(_ORACLE_N_IMAGES),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
