@@ -1213,6 +1213,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # mixup_pairs, cutmix_pairs, resume_antijoin,
 # ssim_global, geohash_assign, geohash_density, clip_score,
 # aesthetic_probe, exact_percentiles,
+# pca_pc1, merge_upsert, ogr_special_fields, gcps2wld, dft2d,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
@@ -1301,6 +1302,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row pass in the decode UDF -> transpose shuffle -> integer
         # tap-table column pass; fixed-point terms, exact parity
         "dft2d": lambda spark, sf_dir: fourier.dft2d(
+            _pixel_images(spark, sf_dir, fourier.DFT_MAX_I)
+        ),
+        # magphase.py: squared magnitude (exact int) + mrad phase
+        "dft_magphase": lambda spark, sf_dir: fourier.dft_magphase(
             _pixel_images(spark, sf_dir, fourier.DFT_MAX_I)
         ),
         "geom_centroid": _q_geom_centroid,
@@ -2006,6 +2011,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_plan": _q_mosaic_plan,
         "token_topk": _q_token_topk,
         "pii_scrub": _q_pii_scrub,
+        # C4-style URL canonicalization ahead of URL-level dedup
+        # (lowercase host, default ports, www., fragments, utm_*)
+        "url_canonicalize": lambda spark, sf_dir: (
+            textops.url_canonicalize(_docs(spark, sf_dir))
+        ),
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2198,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "ogr_special_fields": vector_ops.oracle_ogr_special_fields(m),
         "dft2d": fourier.oracle_dft2d(_ORACLE_N_IMAGES),
+        "dft_magphase": fourier.oracle_dft_magphase(_ORACLE_N_IMAGES),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
@@ -2497,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.oracle_lang_id(),
         "token_topk": textops.oracle_token_topk(),
         "pii_scrub": textops.oracle_pii_scrub(),
+        "url_canonicalize": textops.oracle_url_canonicalize(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

@@ -181,3 +181,35 @@ def oracle_dft2d(n: int, max_i: int = DFT_MAX_I) -> str:
         f"{_fdiv('sr', DFT_SCALE)} AS re2, "
         f"{_fdiv('si', DFT_SCALE)} AS im2 FROM s2"
     )
+
+
+# ---------------------------------------------------------------------------
+# magnitude / phase of the spectrum (osgeo_utils/samples/magphase.py:
+# magnitude = hypot(re, im), phase = atan2(im, re) over the complex
+# band pair). Magnitude is kept SQUARED at a reduced scale so it is
+# exact int64 (the DC bin of a 64x100 byte tile squares past 2^63 at
+# full scale); phase is the one transcendental — atan2 differs ~1 ulp
+# across engines (see build notes), so it ships under the house
+# coarse-quantization contract (mrad floor).
+
+
+def dft_magphase(images: DataFrame) -> DataFrame:
+    """(image_id, u, v, mag2k, phase_mrad) over the dft2d spectrum."""
+    return dft2d(images).selectExpr(
+        "image_id", "u", "v",
+        "(re2 div 1000) * (re2 div 1000) + "
+        "(im2 div 1000) * (im2 div 1000) AS mag2k",
+        "cast(floor(atan2(cast(im2 as double), cast(re2 as double)) "
+        "* 1000.0E0) as bigint) AS phase_mrad",
+    )
+
+
+def oracle_dft_magphase(n: int, max_i: int = DFT_MAX_I) -> str:
+    return (
+        f"SELECT image_id, u, v, "
+        f"(re2 // 1000) * (re2 // 1000) + "
+        f"(im2 // 1000) * (im2 // 1000) AS mag2k, "
+        f"cast(floor(atan2(cast(im2 as double), cast(re2 as double)) "
+        f"* 1000.0E0) as bigint) AS phase_mrad "
+        f"FROM ({oracle_dft2d(n, max_i)})"
+    )

@@ -1325,3 +1325,109 @@ def oracle_pii_scrub() -> str:
         f"FROM documents) "
         f"SELECT doc_id, {', '.join(pii_select_sql('duckdb'))} FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalization every web-corpus dedup
+# runs before URL-level dedup (C4, Raffel et al. 2020 §2.1 dedupes
+# at the URL level; CCNet/RefinedWeb likewise): lowercase scheme and
+# host, strip the default port (:80 http / :443 https), strip the
+# "www." prefix, drop fragments and utm_* tracking params, strip the
+# trailing slash. Raw URLs are planted deterministically from doc_id
+# (six messy variants per block; the five https ones canonicalize to
+# ONE URL — the http variant stays distinct, scheme is semantic — so
+# the canonical-group stage is exercised too). Pure-Catalyst
+# column scan + one bounded window — no Python, no corpus-scale
+# shuffle beyond the canonical group-by at 10^12 rows.
+
+
+def url_plant_sql(dialect: str) -> str:
+    cast = "varchar" if dialect == "duckdb" else "string"
+    idiv = "//" if dialect == "duckdb" else "div"
+    g = f"cast((doc_id {idiv} 6) % 50 as {cast})"
+    d = f"cast(doc_id {idiv} 6 as {cast})"
+    return (
+        f"(CASE doc_id % 6 "
+        f"WHEN 0 THEN concat('https://WWW.Example', {g}, "
+        f"'.COM/path/page', {d}, '?utm_source=x&id=', {d}) "
+        f"WHEN 1 THEN concat('https://www.example', {g}, "
+        f"'.com:443/path/page', {d}, '?id=', {d}) "
+        f"WHEN 2 THEN concat('http://example', {g}, "
+        f"'.com:80/path/page', {d}, '/?id=', {d}) "
+        f"WHEN 3 THEN concat('https://www.example', {g}, "
+        f"'.com/path/page', {d}, '?id=', {d}, '&utm_campaign=y') "
+        f"WHEN 4 THEN concat('https://example', {g}, "
+        f"'.com/path/page', {d}, '?id=', {d}, '#frag') "
+        f"ELSE concat('https://www.example', {g}, "
+        f"'.com/path/page', {d}, '?id=', {d}) END)"
+    )
+
+
+def url_canon_sql(dialect: str, url: str = "url_raw") -> str:
+    """Canonical URL from a raw URL column — dialect-common regex
+    subset (see pii_scrub); scheme CASE makes http's :80 and
+    https's :443 the only dropped ports."""
+    scheme = f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    host = f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/:?#]+)', 1))"
+    host2 = (
+        f"(CASE WHEN {host} LIKE 'www.%' "
+        f"THEN substr({host}, 5) ELSE {host} END)"
+    )
+    port = f"regexp_extract({url}, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1)"
+    port2 = (
+        f"(CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE concat(':', {port}) END)"
+    )
+    path = f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    path2 = (
+        f"(CASE WHEN {path} = '' THEN '/' "
+        f"WHEN length({path}) > 1 AND {path} LIKE '%/' "
+        f"THEN substr({path}, 1, length({path}) - 1) ELSE {path} END)"
+    )
+    q = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    if dialect == "duckdb":
+        kept = (
+            f"array_to_string(list_filter(string_split({q}, '&'), "
+            f"p -> p <> '' AND NOT (p LIKE 'utm_%')), '&')"
+        )
+    else:
+        kept = (
+            f"array_join(filter(split({q}, '&'), "
+            f"p -> p <> '' AND NOT (p LIKE 'utm_%')), '&')"
+        )
+    q2 = f"(CASE WHEN {kept} = '' THEN '' ELSE concat('?', {kept}) END)"
+    return (
+        f"concat({scheme}, '://', {host2}, {port2}, {path2}, {q2})"
+    )
+
+
+def url_canonicalize(docs: DataFrame) -> DataFrame:
+    """(doc_id, url_canon, canon_id, is_dup): canonical form + the
+    smallest doc_id sharing it (the keeper under URL-level dedup)."""
+    from pyspark.sql import Window
+
+    staged = docs.selectExpr(
+        "doc_id", f"{url_plant_sql('spark')} AS url_raw"
+    ).selectExpr("doc_id", f"{url_canon_sql('spark')} AS url_canon")
+    w = Window.partitionBy("url_canon")
+    return (
+        staged.withColumn("canon_id", F.min("doc_id").over(w))
+        .selectExpr(
+            "doc_id", "url_canon", "canon_id",
+            "cast(doc_id <> canon_id as int) AS is_dup",
+        )
+    )
+
+
+def oracle_url_canonicalize() -> str:
+    return (
+        f"WITH raw AS (SELECT doc_id, {url_plant_sql('duckdb')} AS url_raw "
+        f"FROM documents), "
+        f"canon AS (SELECT doc_id, "
+        f"{url_canon_sql('duckdb')} AS url_canon FROM raw) "
+        f"SELECT doc_id, url_canon, "
+        f"min(doc_id) OVER (PARTITION BY url_canon) AS canon_id, "
+        f"cast(doc_id <> min(doc_id) OVER (PARTITION BY url_canon) "
+        f"as int) AS is_dup FROM canon"
+    )

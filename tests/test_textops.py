@@ -599,3 +599,58 @@ def test_pii_scrub_matches_python_re(spark, docs_pdf):
         assert row.clean_text == clean
         planted += int(rec.doc_id % 3 == 0)
     assert planted > 5  # the fixture really exercises the regexes
+
+
+def test_url_canonicalize_urllib_replay(spark):
+    """Independent replay with urllib.parse: plant the same messy
+    URLs, canonicalize via the parsed structure, and require exact
+    agreement — plus every 6-id block collapses to one canonical URL
+    with the smallest id as keeper."""
+    from urllib.parse import parse_qsl, urlparse
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = textops.url_canonicalize(docs).toPandas().sort_values("doc_id")
+
+    def plant(i):
+        g, d = (i // 6) % 50, i // 6
+        return [
+            f"https://WWW.Example{g}.COM/path/page{d}?utm_source=x&id={d}",
+            f"https://www.example{g}.com:443/path/page{d}?id={d}",
+            f"http://example{g}.com:80/path/page{d}/?id={d}",
+            f"https://www.example{g}.com/path/page{d}?id={d}&utm_campaign=y",
+            f"https://example{g}.com/path/page{d}?id={d}#frag",
+            f"https://www.example{g}.com/path/page{d}?id={d}",
+        ][i % 6]
+
+    def canon(raw):
+        p = urlparse(raw)
+        scheme = p.scheme.lower()
+        host = p.hostname.lower()
+        host = host[4:] if host.startswith("www.") else host
+        port = ""
+        if p.port and not (
+            (scheme, p.port) in (("http", 80), ("https", 443))
+        ):
+            port = f":{p.port}"
+        path = p.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        q = "&".join(
+            f"{k}={v}" for k, v in parse_qsl(p.query)
+            if not k.startswith("utm_")
+        )
+        return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "")
+
+    for _, r in got.iterrows():
+        i = int(r["doc_id"])
+        assert r["url_canon"] == canon(plant(i)), i
+        # the http variant (i % 6 == 2) differs by scheme — its own
+        # canonical; the five https variants collapse to the block min
+        exp_canon_id = i if i % 6 == 2 else (i // 6) * 6
+        assert r["canon_id"] == exp_canon_id, i
+        assert r["is_dup"] == int(r["doc_id"] != r["canon_id"])
+    # each full block of 6: five https rows share one keeper
+    full = got[got["doc_id"] < (len(got) // 6) * 6]
+    assert (full.groupby(full["doc_id"] // 6)["is_dup"].sum() == 4).all()
