@@ -1214,6 +1214,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ssim_global, geohash_assign, geohash_density, clip_score,
 # aesthetic_probe, exact_percentiles,
 # pca_pc1, merge_upsert, ogr_special_fields, gcps2wld, dft2d,
+# dft_magphase, url_canonicalize, integral_image, zipf_fit,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
@@ -1307,6 +1308,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # magphase.py: squared magnitude (exact int) + mrad phase
         "dft_magphase": lambda spark, sf_dir: fourier.dft_magphase(
             _pixel_images(spark, sf_dir, fourier.DFT_MAX_I)
+        ),
+        # summed-area table (Crow 1984): distributed 2-D prefix scan,
+        # scanline cumsum -> transpose shuffle -> column cumsum
+        "integral_image": lambda spark, sf_dir: rastertable.integral_image(
+            _pixel_images(spark, sf_dir, 3)
         ),
         "geom_centroid": _q_geom_centroid,
         "geom_point_on_surface": _q_point_on_surface,
@@ -2016,6 +2022,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": lambda spark, sf_dir: (
             textops.url_canonicalize(_docs(spark, sf_dir))
         ),
+        # Zipf rank-frequency slope (corpus-health diagnostic):
+        # token-count shuffle -> distributed top-k -> exact-integer
+        # LSQ over floor-quantized logs
+        "zipf_fit": lambda spark, sf_dir: (
+            textops.zipf_fit(_docs(spark, sf_dir))
+        ),
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2209,6 +2221,9 @@ def oracle_sql() -> dict[str, str]:
         "ogr_special_fields": vector_ops.oracle_ogr_special_fields(m),
         "dft2d": fourier.oracle_dft2d(_ORACLE_N_IMAGES),
         "dft_magphase": fourier.oracle_dft_magphase(_ORACLE_N_IMAGES),
+        "integral_image": rastertable.oracle_integral_image(
+            _ORACLE_N_IMAGES, 3
+        ),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),
@@ -2509,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": textops.oracle_token_topk(),
         "pii_scrub": textops.oracle_pii_scrub(),
         "url_canonicalize": textops.oracle_url_canonicalize(),
+        "zipf_fit": textops.oracle_zipf_fit(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

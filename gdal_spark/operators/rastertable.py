@@ -614,3 +614,46 @@ def oracle_buildvrt_separate(n: int, max_i: int = 8) -> str:
         f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) "
         f"WHERE ch = 0 GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# integral image (summed-area table; Crow 1984, Viola-Jones 2001) —
+# the constant-time box-sum structure image-curation crops/attention
+# masks query. SAT(x, y) = sum of all pixels with x' <= x, y' <= y.
+# Spark shape: the classic distributed 2-D prefix scan — one ordered
+# window per scanline (cumsum over x), a transpose shuffle, one
+# ordered window per column (cumsum over y). Both passes partition on
+# (image, line): task width is a scanline, never an image, and the
+# arithmetic is exact int64 (byte pixels: SAT <= 255 * 256^2 << 2^63).
+
+
+def integral_image(images: DataFrame, step: int = 4) -> DataFrame:
+    """(image_id, x, y, sat) of channel 0, sampled on the every-
+    ``step``-th grid to bound output size."""
+    from pyspark.sql import Window
+
+    px = raster_to_xyz(images).filter("ch = 0")
+    wx = Window.partitionBy("image_id", "y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.partitionBy("image_id", "x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        px.withColumn("rsum", F.sum("val").over(wx))
+        .withColumn("sat", F.sum("rsum").over(wy))
+        .filter(f"x % {step} = 0 AND y % {step} = 0")
+        .selectExpr("image_id", "x", "y", "cast(sat as bigint) AS sat")
+    )
+
+
+def oracle_integral_image(n: int, max_i: int, step: int = 4) -> str:
+    return (
+        f"WITH px AS MATERIALIZED (SELECT image_id, x, y, val "
+        f"FROM ({synth.pixels_cte(n, max_i, 'duckdb')}) WHERE ch = 0), "
+        f"rs AS (SELECT image_id, x, y, cast(sum(val) OVER ("
+        f"PARTITION BY image_id, y ORDER BY x) as bigint) AS rsum FROM px) "
+        f"SELECT image_id, x, y, cast(sum(rsum) OVER ("
+        f"PARTITION BY image_id, x ORDER BY y) as bigint) AS sat "
+        f"FROM rs QUALIFY x % {step} = 0 AND y % {step} = 0"
+    )

@@ -1431,3 +1431,87 @@ def oracle_url_canonicalize() -> str:
         f"cast(doc_id <> min(doc_id) OVER (PARTITION BY url_canon) "
         f"as int) AS is_dup FROM canon"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — the corpus-health diagnostic every large
+# text pipeline plots (Zipf 1949; natural corpora fit freq ~ rank^-s
+# with s ~ 1; heavy dedup/boilerplate skews s). One token-count
+# shuffle (map-side combined), a top-K window on a K-row table, then
+# an exact-integer least squares over floor-quantized logs: ln() of a
+# small integer lands ~1e-10 off the 1e-6 grid at worst, so the
+# quantized values are engine-stable and every sum is int64-exact;
+# the slope/intercept are single correctly-rounded float expressions
+# over those exact sums.
+
+ZIPF_TOPK = 64
+
+
+def zipf_fit(docs: DataFrame, k: int = ZIPF_TOPK) -> DataFrame:
+    """One row: (k_used, slope_key, icept_key) of the log-log LSQ
+    over the top-k token frequencies (1e6-keyed)."""
+    from pyspark.sql import Window
+
+    toks = docs.selectExpr(
+        f"explode({tokens_sql('spark')}) AS tok"
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    # TakeOrderedAndProject (distributed top-k), THEN rank the k rows
+    topk = counts.orderBy(F.desc("freq"), "tok").limit(k)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    top = (
+        topk.withColumn("rank", F.row_number().over(w))
+        .selectExpr(
+            "cast(floor(ln(cast(rank as double)) * 1000000.0E0) "
+            "as bigint) AS lr",
+            "cast(floor(ln(cast(freq as double)) * 1000000.0E0) "
+            "as bigint) AS lf",
+        )
+    )
+    return top.selectExpr(
+        "count(*) AS k_used",
+        "sum(lr) AS s_lr", "sum(lf) AS s_lf",
+        "sum(lr * lf) AS s_lrlf", "sum(lr * lr) AS s_lr2",
+    ).selectExpr(
+        "cast(k_used as int) AS k_used",
+        "cast(floor(1000000.0E0 * "
+        "cast(k_used * s_lrlf - s_lr * s_lf as double) / "
+        "cast(k_used * s_lr2 - s_lr * s_lr as double)) as bigint) "
+        "AS slope_key",
+        "cast(floor("
+        "(cast(s_lf as double) / cast(k_used as double) - "
+        "(cast(k_used * s_lrlf - s_lr * s_lf as double) / "
+        "cast(k_used * s_lr2 - s_lr * s_lr as double)) * "
+        "(cast(s_lr as double) / cast(k_used as double))) "
+        ") as bigint) AS icept_key",
+    )
+
+
+def oracle_zipf_fit(k: int = ZIPF_TOPK) -> str:
+    return (
+        f"WITH toks AS (SELECT unnest({tokens_sql('duckdb')}) AS tok "
+        f"FROM documents), "
+        f"counts AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1), "
+        f"top AS MATERIALIZED (SELECT "
+        f"cast(floor(ln(cast(rank as double)) * 1000000.0E0) as bigint) "
+        f"AS lr, "
+        f"cast(floor(ln(cast(freq as double)) * 1000000.0E0) as bigint) "
+        f"AS lf FROM (SELECT freq, row_number() OVER ("
+        f"ORDER BY freq DESC, tok) AS rank FROM counts) WHERE rank <= {k}), "
+        f"sums AS (SELECT cast(count(*) as bigint) AS k_used, "
+        f"cast(sum(lr) as bigint) AS s_lr, "
+        f"cast(sum(lf) as bigint) AS s_lf, "
+        f"cast(sum(lr * lf) as bigint) AS s_lrlf, "
+        f"cast(sum(lr * lr) as bigint) AS s_lr2 FROM top) "
+        f"SELECT cast(k_used as int) AS k_used, "
+        f"cast(floor(1000000.0E0 * "
+        f"cast(k_used * s_lrlf - s_lr * s_lf as double) / "
+        f"cast(k_used * s_lr2 - s_lr * s_lr as double)) as bigint) "
+        f"AS slope_key, "
+        f"cast(floor("
+        f"(cast(s_lf as double) / cast(k_used as double) - "
+        f"(cast(k_used * s_lrlf - s_lr * s_lf as double) / "
+        f"cast(k_used * s_lr2 - s_lr * s_lr as double)) * "
+        f"(cast(s_lr as double) / cast(k_used as double))) "
+        f") as bigint) AS icept_key FROM sums"
+    )

@@ -2038,3 +2038,37 @@ def test_ogr_special_fields_wkt_roundtrip(spark):
         assert r["big_area"] == int(
             int(np.floor(area_ud * 1e3 + 1e-6)) > 50_000
         )
+
+
+def test_integral_image_matches_cumsum(spark):
+    """SAT equals numpy's double cumsum at every sampled site, and a
+    box sum recovered from 4 SAT corners equals the direct box sum."""
+    from gdal_spark import codecs
+    from gdal_spark.operators import rastertable
+
+    imgs = synth.add_pixels(
+        spark.sql(synth.images_cte(64, "spark")).filter("i < 3")
+    )
+    got = rastertable.integral_image(imgs).toPandas()
+    pdf = synth.images_pdf(3)
+    for _, img in pdf.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(img["i"]), int(img["w"]),
+                                   int(img["h"])), img["fmt"]
+            )
+        )
+        v = arr[:, :, 0].astype(np.int64)
+        sat = v.cumsum(axis=0).cumsum(axis=1)
+        sub = got[got["image_id"] == img["image_id"]]
+        assert len(sub) > 0
+        for _, r in sub.iterrows():
+            assert r["sat"] == sat[int(r["y"]), int(r["x"])]
+        # box-sum identity on one interior box
+        h, w = v.shape
+        x0, y0, x1, y1 = 4, 4, min(12, w - 1), min(12, h - 1)
+        box = (
+            sat[y1, x1] - sat[y0 - 1, x1] - sat[y1, x0 - 1]
+            + sat[y0 - 1, x0 - 1]
+        )
+        assert box == v[y0:y1 + 1, x0:x1 + 1].sum()

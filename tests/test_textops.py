@@ -654,3 +654,26 @@ def test_url_canonicalize_urllib_replay(spark):
     # each full block of 6: five https rows share one keeper
     full = got[got["doc_id"] < (len(got) // 6) * 6]
     assert (full.groupby(full["doc_id"] // 6)["is_dup"].sum() == 4).all()
+
+
+def test_zipf_fit_matches_float_polyfit(spark):
+    """slope/intercept agree with numpy.polyfit over the brute-force
+    Counter rank-frequency table to ~1e-4."""
+    from collections import Counter
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = textops.zipf_fit(docs).collect()[0]
+    pdf = docs.select("text").toPandas()
+    c = Counter()
+    for t in pdf["text"]:
+        c.update(w for w in t.split(" ") if w)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    lr = np.log(np.arange(1, len(top) + 1))
+    lf = np.log([f for _, f in top])
+    slope, icept = np.polyfit(lr, lf, 1)
+    assert got["k_used"] == len(top)
+    assert abs(got["slope_key"] / 1e6 - slope) < 1e-4
+    assert abs(got["icept_key"] / 1e6 - icept) < 1e-4
+    assert got["slope_key"] < 0  # frequencies decay with rank
