@@ -73,6 +73,10 @@ HEADLINE = [
     "hex_spatial_join",
     "hex_density_topk",
     "hard_negatives",
+    # round-4 final-stretch operators: the distributed 2-D DFT (the
+    # transpose-shuffle pattern) + web-corpus URL dedup prep
+    "dft2d",
+    "url_canonicalize",
 ]
 
 
