@@ -1215,6 +1215,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # aesthetic_probe, exact_percentiles,
 # pca_pc1, merge_upsert, ogr_special_fields, gcps2wld, dft2d,
 # dft_magphase, url_canonicalize, integral_image, zipf_fit,
+# bigram_perplexity, html_extract,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
@@ -2028,6 +2029,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": lambda spark, sf_dir: (
             textops.zipf_fit(_docs(spark, sf_dir))
         ),
+        # bigram LM perplexity (CCNet-style LM filtering at order 2)
+        "bigram_perplexity": lambda spark, sf_dir: (
+            textops.bigram_perplexity(_docs(spark, sf_dir))
+        ),
+        # HTML boilerplate extraction (RefinedWeb-style content pull)
+        "html_extract": lambda spark, sf_dir: (
+            textops.html_extract(_docs(spark, sf_dir))
+        ),
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2525,6 +2534,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": textops.oracle_pii_scrub(),
         "url_canonicalize": textops.oracle_url_canonicalize(),
         "zipf_fit": textops.oracle_zipf_fit(),
+        "bigram_perplexity": textops.oracle_bigram_perplexity(),
+        "html_extract": textops.oracle_html_extract(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

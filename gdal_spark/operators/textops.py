@@ -1515,3 +1515,172 @@ def oracle_zipf_fit(k: int = ZIPF_TOPK) -> str:
         f"(cast(s_lr as double) / cast(k_used as double))) "
         f") as bigint) AS icept_key FROM sums"
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity — the KenLM-style step up from the unigram
+# model (CCNet trains 5-gram LMs; the conditional-probability
+# machinery is identical at order 2 and already separates fluent from
+# shuffled text): NLL(w1 w2) = ln(c(w1)/c(w1 w2)) under the corpus
+# MLE bigram model, quantized per DISTINCT bigram before any sum (the
+# house order-free fixed point). Two map-side-combined count shuffles
+# + one bigram equi-join — linear at 10^12 docs.
+
+
+def bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, nll_sum_b, nll_avg_b): per-doc NLL under
+    the corpus bigram model, 1e-4 nats; docs under 2 tokens get the
+    -1 sentinel average."""
+    big = _with_tokens(docs).selectExpr(
+        "doc_id", f"explode({bigrams_sql('spark')}) AS bg"
+    )
+    big = big.localCheckpoint(eager=True)  # feeds counts AND scoring
+    c12 = big.groupBy("bg").agg(F.count("*").alias("c12"))
+    # left-context counts derive from the bigram table itself
+    # (c(w1 .) = sum over w2), so the two models can't drift apart
+    c1 = (
+        c12.selectExpr("split_part(bg, ' ', 1) AS w1", "c12")
+        .groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    )
+    nll = (
+        c12.selectExpr("bg", "split_part(bg, ' ', 1) AS w1", "c12")
+        .join(c1, "w1")
+        .selectExpr(
+            "bg",
+            f"cast(floor({PPL_SCALE}.0E0 * ln(cast(c1 as double) "
+            f"/ cast(c12 as double))) as bigint) AS nll_b",
+        )
+    )
+    d = big.join(nll, "bg").groupBy("doc_id").agg(
+        F.sum("nll_b").cast("bigint").alias("nll_sum_b"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
+    )
+    # docs with < 2 tokens produce no bigram rows — restore them with
+    # the sentinel via a left join from the full doc list
+    return (
+        docs.select("doc_id")
+        .join(d, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_bigrams, 0) AS n_bigrams",
+            "coalesce(nll_sum_b, 0) AS nll_sum_b",
+            "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN -1 "
+            "ELSE nll_sum_b div n_bigrams END AS nll_avg_b",
+        )
+    )
+
+
+def oracle_bigram_perplexity() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"b AS MATERIALIZED (SELECT doc_id, "
+        f"unnest({bigrams_sql('duckdb')}) AS bg FROM t), "
+        f"c12 AS MATERIALIZED (SELECT bg, count(*) AS c12 FROM b "
+        f"GROUP BY 1), "
+        f"c1 AS (SELECT split_part(bg, ' ', 1) AS w1, "
+        f"cast(sum(c12) as bigint) AS c1 FROM c12 GROUP BY 1), "
+        f"nll AS (SELECT bg, cast(floor({PPL_SCALE}.0E0 * "
+        f"ln(cast(c1 as double) / cast(c12 as double))) as bigint) "
+        f"AS nll_b FROM c12 JOIN c1 "
+        f"ON c1.w1 = split_part(c12.bg, ' ', 1)), "
+        f"d AS (SELECT doc_id, cast(sum(nll_b) as bigint) AS nll_sum_b, "
+        f"cast(count(*) as bigint) AS n_bigrams "
+        f"FROM b JOIN nll USING (bg) GROUP BY 1) "
+        f"SELECT doc_id, "
+        f"coalesce(n_bigrams, 0) AS n_bigrams, "
+        f"coalesce(nll_sum_b, 0) AS nll_sum_b, "
+        f"CASE WHEN coalesce(n_bigrams, 0) = 0 THEN -1 "
+        f"ELSE nll_sum_b // n_bigrams END AS nll_avg_b "
+        f"FROM documents LEFT JOIN d USING (doc_id)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction — the step WET-skipping pipelines run
+# on raw HTML (RefinedWeb §3.1 uses trafilatura; the primitive is
+# "keep the content blocks, drop nav/ads/footer chrome, strip tags").
+# Raw HTML is planted deterministically around each document's text
+# (nav + ad + footer chrome, content split across two <p> blocks) and
+# the extractor recovers content from <p> blocks only, plus the
+# tag-stripped fallback text and the content/total ratio (the
+# link-density-style boilerplate signal). Dialect-common regex
+# subset; pure-Catalyst map-only scan — zero shuffle at 10^12 docs.
+
+
+def html_plant_sql(dialect: str) -> str:
+    toks = tokens_sql(dialect, "text")
+    if dialect == "spark":
+        n = f"size({toks})"
+        half1 = f"array_join(slice({toks}, 1, greatest(1, {n} div 2)), ' ')"
+        half2 = (
+            f"array_join(slice({toks}, greatest(1, {n} div 2) + 1, "
+            f"greatest(0, {n} - greatest(1, {n} div 2))), ' ')"
+        )
+    else:
+        n = f"len({toks})"
+        half1 = (
+            f"array_to_string(array_slice({toks}, 1, "
+            f"greatest(1, {n} // 2)), ' ')"
+        )
+        half2 = (
+            f"array_to_string(array_slice({toks}, "
+            f"greatest(1, {n} // 2) + 1, {n}), ' ')"
+        )
+    return (
+        f"concat('<html><head><title>Doc ', cast(doc_id as "
+        f"{'varchar' if dialect == 'duckdb' else 'string'}), "
+        f"'</title></head><body>"
+        f"<nav>Home | About | Login</nav>', "
+        f"'<p>', {half1}, '</p>', "
+        f"'<div class=\"ad\">Buy now! Subscribe today!</div>', "
+        f"'<p>', {half2}, '</p>', "
+        f"'<footer>(c) example.com - Privacy - Terms</footer>"
+        f"</body></html>')"
+    )
+
+
+def html_extract(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_paras, content, content_len, stripped_len,
+    content_ppm): <p>-block extraction + tag-strip fallback."""
+    paras = "regexp_extract_all(html, '<p>([^<]*)</p>', 1)"
+    stripped = (
+        "trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' '), "
+        "' +', ' '))"
+    )
+    return docs.selectExpr(
+        "doc_id", f"{html_plant_sql('spark')} AS html"
+    ).selectExpr(
+        "doc_id", f"{paras} AS paras", f"{stripped} AS stripped"
+    ).selectExpr(
+        "doc_id",
+        "cast(size(paras) as int) AS n_paras",
+        "array_join(paras, ' ') AS content",
+        "length(array_join(paras, ' ')) AS content_len",
+        "length(stripped) AS stripped_len",
+        "cast(floor(1000000.0E0 * cast(length(array_join(paras, ' ')) "
+        "as double) / cast(length(stripped) as double)) as bigint) "
+        "AS content_ppm",
+    )
+
+
+def oracle_html_extract() -> str:
+    paras = "regexp_extract_all(html, '<p>([^<]*)</p>', 1)"
+    stripped = (
+        "trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), "
+        "' +', ' ', 'g'))"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {html_plant_sql('duckdb')} AS html "
+        f"FROM documents), "
+        f"e AS (SELECT doc_id, {paras} AS paras, {stripped} AS stripped "
+        f"FROM h) "
+        f"SELECT doc_id, cast(len(paras) as int) AS n_paras, "
+        f"array_to_string(paras, ' ') AS content, "
+        f"length(array_to_string(paras, ' ')) AS content_len, "
+        f"length(stripped) AS stripped_len, "
+        f"cast(floor(1000000.0E0 * cast(length(array_to_string(paras, "
+        f"' ')) as double) / cast(length(stripped) as double)) as bigint) "
+        f"AS content_ppm "
+        f"FROM e"
+    )

@@ -677,3 +677,71 @@ def test_zipf_fit_matches_float_polyfit(spark):
     assert abs(got["slope_key"] / 1e6 - slope) < 1e-4
     assert abs(got["icept_key"] / 1e6 - icept) < 1e-4
     assert got["slope_key"] < 0  # frequencies decay with rank
+
+
+def test_bigram_perplexity_counter_replay(spark):
+    """Brute-force Counter replay of the quantized bigram NLL (exact
+    up to the documented 1-ulp ln slack: <= 1 unit per distinct
+    bigram)."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(DOCS)
+    got = textops.bigram_perplexity(docs).toPandas().set_index("doc_id")
+    pdf = pd.read_parquet(DOCS)
+    c12, c1, per_doc = Counter(), Counter(), {}
+    for r in pdf.itertuples(index=False):
+        toks = [t for t in r.text.split(" ") if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc[r.doc_id] = bgs
+        c12.update(bgs)
+    for bg, c in c12.items():
+        c1[bg.split(" ")[0]] += c
+    for doc_id, bgs in per_doc.items():
+        row = got.loc[doc_id]
+        assert row["n_bigrams"] == len(bgs)
+        if not bgs:
+            assert row["nll_avg_b"] == -1
+            continue
+        exp = sum(
+            math.floor(1e4 * math.log(c1[bg.split(" ")[0]] / c12[bg]))
+            for bg in bgs
+        )
+        assert abs(row["nll_sum_b"] - exp) <= len(bgs)
+        assert row["nll_avg_b"] == row["nll_sum_b"] // row["n_bigrams"]
+        # fluency signal: observed bigrams are never rarer than the
+        # all-smoothed floor ln(c1) and never negative
+        assert row["nll_sum_b"] >= 0
+
+
+def test_html_extract_re_replay(spark):
+    """Python re replay: planted chrome is dropped, recovered content
+    equals the tokenized document text, ratio matches."""
+    import re as pyre
+
+    docs = spark.read.parquet(DOCS)
+    got = textops.html_extract(docs).toPandas().set_index("doc_id")
+    pdf = pd.read_parquet(DOCS)
+    for r in pdf.head(60).itertuples(index=False):
+        toks = [t for t in r.text.split(" ") if t]
+        h = max(1, len(toks) // 2)
+        html = (
+            f"<html><head><title>Doc {r.doc_id}</title></head><body>"
+            f"<nav>Home | About | Login</nav>"
+            f"<p>{' '.join(toks[:h])}</p>"
+            f'<div class="ad">Buy now! Subscribe today!</div>'
+            f"<p>{' '.join(toks[h:])}</p>"
+            f"<footer>(c) example.com - Privacy - Terms</footer>"
+            f"</body></html>"
+        )
+        paras = pyre.findall(r"<p>([^<]*)</p>", html)
+        stripped = pyre.sub(" +", " ", pyre.sub("<[^>]*>", " ", html)).strip()
+        row = got.loc[r.doc_id]
+        assert row["n_paras"] == 2
+        assert row["content"] == " ".join(paras)
+        assert "Buy now" not in row["content"]
+        assert "nav" not in row["content"]
+        assert row["stripped_len"] == len(stripped)
+        assert row["content_ppm"] == int(
+            np.floor(1e6 * len(" ".join(paras)) / len(stripped))
+        )
