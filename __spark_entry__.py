@@ -1315,6 +1315,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integral_image": lambda spark, sf_dir: rastertable.integral_image(
             _pixel_images(spark, sf_dir, 3)
         ),
+        # rotated-geotransform source warp (gt[2]/gt[4] != 0; the
+        # GDALInvGeoTransform 2x2 inverse — 3-4-5 rotation, no trig)
+        "warp_rotated": lambda spark, sf_dir: warp.warp_rotated_rows(
+            _pixel_images(spark, sf_dir, 3)
+        ),
         "geom_centroid": _q_geom_centroid,
         "geom_point_on_surface": _q_point_on_surface,
         "segmentize": _q_segmentize,
@@ -2233,6 +2238,7 @@ def oracle_sql() -> dict[str, str]:
         "integral_image": rastertable.oracle_integral_image(
             _ORACLE_N_IMAGES, 3
         ),
+        "warp_rotated": warp.oracle_warp_rotated(_ORACLE_N_IMAGES, 3),
         "geom_centroid": vector_ops.oracle_geom_centroid(m),
         "geom_point_on_surface": vector_ops.oracle_point_on_surface(m),
         "segmentize": vector_ops.oracle_segmentize(m, 1.5),

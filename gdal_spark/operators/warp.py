@@ -652,3 +652,95 @@ def oracle_cutline_blend(
         f"cast(sum(val * {dens}) as bigint) AS blend_key "
         f"FROM px GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# rotated-geotransform warp — gdalwarp accepts sources whose
+# geotransform carries rotation/shear terms (gt[2], gt[4] != 0; the
+# GDALGenImgProjTransformer inverts the full 2x2, not just the
+# diagonal — gcore/gdal.h:1103, alg/gdaltransformer.cpp
+# GDALInvGeoTransform), a case most north-up-only tools (gdal2tiles
+# included) refuse. Nearest warp onto a north-up output grid; the
+# rotation is the 3-4-5 triangle (cos 0.8 / sin 0.6) so the whole
+# chain is affine arithmetic — no trig, and numpy/Spark/DuckDB agree
+# bit-for-bit on every inverse-mapped coordinate. Map-only at 10^12
+# rows: one decode + one gather per image, zero shuffle before the
+# per-row aggregation.
+
+ROT_C, ROT_S = 0.8, 0.6  # exact-parity rotation (3-4-5)
+
+
+def _rot_dims(w: int, h: int) -> tuple[int, int]:
+    """North-up output grid (OW, OH) covering the rotated footprint
+    (integer formula shared verbatim with the SQL)."""
+    return (8 * w + 6 * h) // 10 + 2, (6 * w + 8 * h) // 10 + 2
+
+
+def warp_rotated_rows(images: DataFrame) -> DataFrame:
+    """(image_id, oy, n_valid, row_sum): per-output-scanline count +
+    channel-0 sum of the nearest-warped rotated source (unit ground
+    res; src gt = (0, .8, .6, .6w, .6, -.8))."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, payload, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                arr = codecs.decode_image(bytes(payload))
+                w, h = int(w), int(h)
+                ow, oh = _rot_dims(w, h)
+                ox = np.arange(ow, dtype=np.float64)
+                oy = np.arange(oh, dtype=np.float64)
+                xc = ox + 0.5
+                yc = 0.6 * w - (oy + 0.5)
+                # inverse of [[.8, .6], [.6, -.8]] (det = -1)
+                px = 0.8 * xc[None, :] + 0.6 * yc[:, None]
+                py = 0.6 * xc[None, :] - 0.8 * yc[:, None]
+                ix = np.floor(px).astype(np.int64)
+                iy = np.floor(py).astype(np.int64)
+                ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                v = np.zeros((oh, ow), dtype=np.int64)
+                v[ok] = arr[iy[ok], ix[ok], 0].astype(np.int64)
+                rows.extend(
+                    (image_id, int(r), int(ok[r].sum()), int(v[r].sum()))
+                    for r in range(oh)
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "oy", "n_valid", "row_sum"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h").mapInPandas(
+        run,
+        schema="image_id string, oy int, n_valid bigint, row_sum bigint",
+    )
+
+
+def oracle_warp_rotated(n: int, max_i: int) -> str:
+    """Kernel-instantiated replay: the pixel formula evaluated at the
+    inverse-mapped (ix, iy) — identical IEEE sequence."""
+    from .. import synth
+
+    xc = "(cast(ox as double) + 0.5E0)"
+    yc = "(0.6E0 * w - (cast(oy as double) + 0.5E0))"
+    px = f"(0.8E0 * {xc} + 0.6E0 * {yc})"
+    py = f"(0.6E0 * {xc} - 0.8E0 * {yc})"
+    ix, iy = f"cast(floor({px}) as bigint)", f"cast(floor({py}) as bigint)"
+    val = synth.pixel_val_sql(xe=ix, ye=iy)
+    return (
+        f"WITH img AS (SELECT *, (8 * w + 6 * h) // 10 + 2 AS ow, "
+        f"(6 * w + 8 * h) // 10 + 2 AS oh "
+        f"FROM ({synth.images_cte(n, 'duckdb')}) WHERE i < {max_i}), "
+        f"g AS (SELECT img.*, x.range AS ox, y.range AS oy, 0 AS ch "
+        f"FROM img, range(0, 256) x, range(0, 256) y "
+        f"WHERE x.range < ow AND y.range < oh), "
+        f"px AS (SELECT image_id, oy, "
+        f"CASE WHEN {ix} >= 0 AND {ix} < w AND {iy} >= 0 AND {iy} < h "
+        f"THEN 1 ELSE 0 END AS ok, "
+        f"CASE WHEN {ix} >= 0 AND {ix} < w AND {iy} >= 0 AND {iy} < h "
+        f"THEN {val} ELSE 0 END AS v FROM g) "
+        f"SELECT image_id, cast(oy as int) AS oy, "
+        f"cast(sum(ok) as bigint) AS n_valid, "
+        f"cast(sum(v) as bigint) AS row_sum "
+        f"FROM px GROUP BY 1, 2"
+    )

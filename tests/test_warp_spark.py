@@ -144,3 +144,43 @@ def test_reproject_ps_constant_and_coverage(spark):
             assert int(out[out.channel == c].cks.iloc[0]) == gdal_checksum(
                 warped[:, :, c]
             )
+
+
+def test_warp_rotated_area_and_values(spark):
+    """Rotation preserves area: valid-pixel count within a perimeter
+    band of w*h; spot pixels replay the inverse mapping in pure
+    Python."""
+    import numpy as np
+
+    from gdal_spark import codecs, synth
+    from gdal_spark.operators import warp
+
+    imgs = synth.add_pixels(
+        spark.sql(synth.images_cte(64, "spark")).filter("i < 3")
+    )
+    got = warp.warp_rotated_rows(imgs).toPandas()
+    pdf = synth.images_pdf(3)
+    for _, img in pdf.iterrows():
+        w, h = int(img["w"]), int(img["h"])
+        sub = got[got["image_id"] == img["image_id"]]
+        ow, oh = warp._rot_dims(w, h)
+        assert len(sub) == oh
+        n_valid = sub["n_valid"].sum()
+        assert abs(n_valid - w * h) <= 2 * (w + h) + 4
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(img["i"]), w, h), img["fmt"]
+            )
+        )
+        # python replay of one mid scanline
+        oy = oh // 2
+        s = nv = 0
+        for ox in range(ow):
+            xc, yc = ox + 0.5, 0.6 * w - (oy + 0.5)
+            ix = int(np.floor(0.8 * xc + 0.6 * yc))
+            iy = int(np.floor(0.6 * xc - 0.8 * yc))
+            if 0 <= ix < w and 0 <= iy < h:
+                nv += 1
+                s += int(arr[iy, ix, 0])
+        row = sub[sub["oy"] == oy].iloc[0]
+        assert row["n_valid"] == nv and row["row_sum"] == s
