@@ -2042,6 +2042,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": lambda spark, sf_dir: (
             textops.html_extract(_docs(spark, sf_dir))
         ),
+        # train/eval near-dup leakage audit (Brown 2020 App. C /
+        # Dodge 2021): MinHash pairs straddling the split boundary
+        "split_leakage": lambda spark, sf_dir: (
+            dedup.split_leakage(_docs(spark, sf_dir))
+        ),
+        # gdal_edit -a_ullr: metadata-only georef rewrite, zero IO
+        "edit_georef": lambda spark, sf_dir: translate.edit_georef_ullr(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2542,6 +2551,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": textops.oracle_zipf_fit(),
         "bigram_perplexity": textops.oracle_bigram_perplexity(),
         "html_extract": textops.oracle_html_extract(),
+        "split_leakage": dedup.oracle_split_leakage(),
+        "edit_georef": translate.oracle_edit_georef_ullr(_ORACLE_N_IMAGES),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

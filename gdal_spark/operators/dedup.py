@@ -866,3 +866,59 @@ def oracle_bloom_seen_filter(
         f"FROM tests t LEFT JOIN cells c ON c.word_idx = t.word_idx "
         f"GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval near-dup leakage audit — the eval-hygiene composition
+# (the GPT-3 paper's post-hoc contamination finding made this a
+# standard pipeline stage; cf. Brown et al. 2020 appendix C, Dodge et
+# al. 2021 C4 audit): after a deterministic train/val/test split,
+# near-duplicate PAIRS that straddle the train boundary are exactly
+# the leaks that inflate eval scores. Composes the MinHash-LSH
+# pair table with the hash split — both already oracle-gated — into
+# (pair, split_a, split_b, leak flag); the join adds two broadcast-
+# sized lookups against the (tiny) pair table at any corpus size.
+
+
+def split_leakage(docs: DataFrame, min_jacc_ppm: int = 200_000) -> DataFrame:
+    """(doc_a, doc_b, jacc_key, split_a, split_b, is_leak): near-dup
+    pairs with their split sides; is_leak = 1 iff exactly one side is
+    in train (train->val and train->test leaks both count)."""
+    from . import textops
+
+    pairs = minhash_lsh_pairs(docs, min_jacc_ppm=min_jacc_ppm).filter(
+        "is_dup = 1"
+    )
+    sp = textops.dataset_split(docs).select("doc_id", "split")
+    return (
+        pairs.join(
+            sp.selectExpr("doc_id AS doc_a", "split AS split_a"), "doc_a"
+        )
+        .join(sp.selectExpr("doc_id AS doc_b", "split AS split_b"), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "jacc_key", "split_a", "split_b",
+            "cast((split_a = 'train') <> (split_b = 'train') as int) "
+            "AS is_leak",
+        )
+    )
+
+
+def oracle_split_leakage(min_jacc_ppm: int = 200_000) -> str:
+    from . import textops as _t
+
+    split = (
+        f"(SELECT doc_id, CASE WHEN ((doc_id * {_t.SPLIT_KNUTH}) "
+        f"% 4294967296) % 100 < 80 THEN 'train' "
+        f"WHEN ((doc_id * {_t.SPLIT_KNUTH}) % 4294967296) % 100 < 90 "
+        f"THEN 'val' ELSE 'test' END AS split FROM documents)"
+    )
+    return (
+        f"SELECT p.doc_a, p.doc_b, p.jacc_key, "
+        f"sa.split AS split_a, sb.split AS split_b, "
+        f"cast((sa.split = 'train') <> (sb.split = 'train') as int) "
+        f"AS is_leak "
+        f"FROM ({oracle_minhash_lsh(min_jacc_ppm=min_jacc_ppm)}) p "
+        f"JOIN {split} sa ON sa.doc_id = p.doc_a "
+        f"JOIN {split} sb ON sb.doc_id = p.doc_b "
+        f"WHERE p.is_dup = 1"
+    )

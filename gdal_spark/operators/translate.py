@@ -651,3 +651,62 @@ def oracle_lut_apply(n: int, max_i: int, lut=DEFAULT_LUT) -> str:
         f"cast(sum({_lut_sql('duckdb', lut)}) as bigint) AS out_sum "
         f"FROM ({px}) GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_edit -a_ullr (osgeo_utils/gdal_edit.py): rewrite the
+# georeferencing WITHOUT touching pixels — the whole point of the
+# utility is that it is a metadata-only operation (no raster IO), and
+# the Spark shape mirrors that: a pure-Catalyst projection over the
+# metadata columns, zero decode, zero shuffle at 10^12 rows. The
+# edit rule here is the common "snap the footprint to a 0.1-degree
+# anchor grid" fix-up; derived per-pixel resolutions follow
+# (lrx-ulx)/w exactly as gdal_edit recomputes gt[1]/gt[5].
+
+
+def edit_georef_ullr(images_meta: DataFrame) -> DataFrame:
+    """(image_id, ulx_nano, uly_nano, lrx_nano, lry_nano, xres_nano,
+    yres_nano): post-edit georeferencing, nano-degree keyed."""
+    snap = "(floor(lon * 10.0E0) / 10.0E0)"
+    snapy = "(ceil(lat * 10.0E0) / 10.0E0)"
+    exprs = {
+        "ulx": snap,
+        "uly": snapy,
+        "lrx": f"({snap} + 0.1E0)",
+        "lry": f"({snapy} - 0.1E0)",
+    }
+    nano = {k: f"cast(floor({v} * 1000000000.0E0) as bigint)"
+            for k, v in exprs.items()}
+    return images_meta.selectExpr(
+        "image_id",
+        f"{nano['ulx']} AS ulx_nano",
+        f"{nano['uly']} AS uly_nano",
+        f"{nano['lrx']} AS lrx_nano",
+        f"{nano['lry']} AS lry_nano",
+        f"cast(floor((({exprs['lrx']}) - ({exprs['ulx']})) "
+        f"/ cast(w as double) * 1000000000.0E0) as bigint) AS xres_nano",
+        f"cast(floor((({exprs['uly']}) - ({exprs['lry']})) "
+        f"/ cast(h as double) * 1000000000.0E0) as bigint) AS yres_nano",
+    )
+
+
+def oracle_edit_georef_ullr(n: int) -> str:
+    from .. import synth as _s
+
+    snap = "(floor(lon * 10.0E0) / 10.0E0)"
+    snapy = "(ceil(lat * 10.0E0) / 10.0E0)"
+    return (
+        f"WITH img AS ({_s.images_cte(n, 'duckdb')}) "
+        f"SELECT image_id, "
+        f"cast(floor({snap} * 1000000000.0E0) as bigint) AS ulx_nano, "
+        f"cast(floor({snapy} * 1000000000.0E0) as bigint) AS uly_nano, "
+        f"cast(floor(({snap} + 0.1E0) * 1000000000.0E0) as bigint) "
+        f"AS lrx_nano, "
+        f"cast(floor(({snapy} - 0.1E0) * 1000000000.0E0) as bigint) "
+        f"AS lry_nano, "
+        f"cast(floor((({snap} + 0.1E0) - {snap}) / cast(w as double) "
+        f"* 1000000000.0E0) as bigint) AS xres_nano, "
+        f"cast(floor(({snapy} - ({snapy} - 0.1E0)) / cast(h as double) "
+        f"* 1000000000.0E0) as bigint) AS yres_nano "
+        f"FROM img"
+    )

@@ -745,3 +745,22 @@ def test_html_extract_re_replay(spark):
         assert row["content_ppm"] == int(
             np.floor(1e6 * len(" ".join(paras)) / len(stripped))
         )
+
+
+def test_split_leakage_composes_pairs_and_split(spark):
+    """Exactly the is_dup=1 MinHash pairs, each tagged with the same
+    split its side gets from dataset_split; leak flag = one side in
+    train XOR the other."""
+    docs = spark.read.parquet(DOCS)
+    got = dedup.split_leakage(docs).toPandas()
+    pairs = dedup.minhash_lsh_pairs(docs).toPandas()
+    pairs = pairs[pairs["is_dup"] == 1]
+    sp = textops.dataset_split(docs).toPandas().set_index("doc_id")["split"]
+    assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == set(
+        map(tuple, pairs[["doc_a", "doc_b"]].values)
+    )
+    for r in got.itertuples(index=False):
+        assert r.split_a == sp[r.doc_a] and r.split_b == sp[r.doc_b]
+        assert r.is_leak == int(
+            (r.split_a == "train") != (r.split_b == "train")
+        )
