@@ -2051,6 +2051,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_georef": lambda spark, sf_dir: translate.edit_georef_ullr(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
+        # GDAL implicit nodata mask band (GMF_NODATA | GMF_PER_DATASET)
+        "mask_band": lambda spark, sf_dir: stats.mask_band(
+            _pixel_images(spark, sf_dir, _CKS_MAX_I)
+        ),
+        # deterministic repeat-upsampling (Muennighoff 2022 data-
+        # constrained epochs): generator explode, hash remainder
+        "repeat_upsample": lambda spark, sf_dir: (
+            textops.repeat_upsample(_docs(spark, sf_dir))
+        ),
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2553,6 +2562,8 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": textops.oracle_html_extract(),
         "split_leakage": dedup.oracle_split_leakage(),
         "edit_georef": translate.oracle_edit_georef_ullr(_ORACLE_N_IMAGES),
+        "mask_band": stats.oracle_mask_band(_ORACLE_N_IMAGES, _CKS_MAX_I),
+        "repeat_upsample": textops.oracle_repeat_upsample(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

@@ -226,3 +226,55 @@ def oracle_band_stats_nodata(
         f"cast(min(val) as int) AS min_v, cast(max(val) as int) AS max_v "
         f"FROM ({px}) WHERE val <> {nodata} GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# mask bands — GDALRasterBand::GetMaskBand / GetMaskFlags
+# (gcore/gdalrasterband.cpp:6507, gdalnodatamaskband.cpp): when a
+# dataset carries NODATA_VALUES metadata, the implicit mask band is
+# 255 where the pixel tuple differs from the nodata tuple in ANY
+# band, 0 where ALL bands equal it (GMF_NODATA | GMF_PER_DATASET).
+# Map-only: one decode per image, the mask reduces to a checksum +
+# valid count — zero shuffle at 10^12 rows. The nodata tuple here is
+# the synth black-collar value (0, 0, 0), the same convention
+# nearblack writes.
+
+
+def mask_band(images: DataFrame, nodata=(0, 0, 0)) -> DataFrame:
+    """(image_id, n_valid, mask_cks): GMF_NODATA implicit mask."""
+    nd = np.array(nodata, dtype=np.int64)
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        valid = (a != nd[None, None, :]).any(axis=2)
+        mask = np.where(valid, 255, 0).astype(np.int64)
+        yield (int(valid.sum()), gdal_checksum(mask))
+
+    cols = ["image_id", "n_valid", "mask_cks"]
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols),
+        schema="image_id string, n_valid bigint, mask_cks bigint",
+    )
+
+
+def oracle_mask_band(n: int, max_i: int, nodata=(0, 0, 0)) -> str:
+    """Pixel-CTE replay: per-pixel any-band-differs test, then the
+    GDAL checksum over the 0/255 mask raster."""
+    from .. import synth as _s
+
+    nd = ", ".join(str(v) for v in nodata)
+    primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+    return (
+        f"WITH px AS MATERIALIZED (SELECT image_id, w, x, y, ch, val "
+        f"FROM ({_s.pixels_cte(n, max_i, 'duckdb')})), "
+        f"m AS (SELECT image_id, w, x, y, "
+        f"CASE WHEN count(*) FILTER (WHERE val <> ([{nd}])[ch + 1]) > 0 "
+        f"THEN 255 ELSE 0 END AS mv "
+        f"FROM px GROUP BY 1, 2, 3, 4) "
+        f"SELECT image_id, "
+        f"cast(sum(CASE WHEN mv = 255 THEN 1 ELSE 0 END) as bigint) "
+        f"AS n_valid, "
+        f"cast(sum(mv % ({primes})[(y * w + x) % 11 + 1]) % 65536 "
+        f"as bigint) AS mask_cks "
+        f"FROM m GROUP BY 1"
+    )

@@ -1684,3 +1684,67 @@ def oracle_html_extract() -> str:
         f"AS content_ppm "
         f"FROM e"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic repeat-upsampling — the data-constrained complement
+# of source_mix_sample (Muennighoff et al. 2022, "Scaling
+# Data-Constrained Language Models": repeat high-quality sources for
+# multiple epochs rather than dilute with low-quality data). Each
+# source gets a repetition factor in millionths; every document is
+# emitted floor(f) times plus one more iff its Knuth hash lands
+# under the fractional remainder — reproducible across runs,
+# engines and partitionings, never rand(). The explode is a
+# generator (posexplode over a per-row sequence) — map-side 1->k,
+# no join, no shuffle at 10^12 docs.
+
+UPS_MOD = 1_000_000
+
+
+def _ups_rate_ppm_sql() -> str:
+    """Repetition factor in ppm by source index: src0-4 x2.5, 5-9
+    x1.5, 10-14 x1.0, 15+ x0.25 (the sub-1 tail doubles as a
+    downsample — same rule, same hash)."""
+    idx = "cast(substr(source, 4) as int)"
+    return (
+        f"(CASE WHEN {idx} < 5 THEN 2500000 "
+        f"WHEN {idx} < 10 THEN 1500000 "
+        f"WHEN {idx} < 15 THEN 1000000 ELSE 250000 END)"
+    )
+
+
+def repeat_upsample(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, copy_idx, n_copies): each doc repeated per
+    its source's factor; copy_idx 0..n_copies-1."""
+    h = f"((doc_id * {KNUTH}) % 4294967296) % {UPS_MOD}"
+    n = (
+        f"({_ups_rate_ppm_sql()} div {UPS_MOD} + "
+        f"cast({h} < {_ups_rate_ppm_sql()} % {UPS_MOD} as int))"
+    )
+    return (
+        docs.selectExpr("doc_id", "source", f"cast({n} as bigint) AS n_copies")
+        .filter("n_copies > 0")
+        .selectExpr(
+            "doc_id", "source", "n_copies",
+            "posexplode(array_repeat(1, cast(n_copies as int))) "
+            "AS (copy_idx, one)",
+        )
+        .select("doc_id", "source", "copy_idx", "n_copies")
+    )
+
+
+def oracle_repeat_upsample() -> str:
+    h = f"((doc_id * {KNUTH}) % 4294967296) % {UPS_MOD}"
+    n = (
+        f"({_ups_rate_ppm_sql()} // {UPS_MOD} + "
+        f"cast({h} < {_ups_rate_ppm_sql()} % {UPS_MOD} as int))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, source, {n} AS n_copies "
+        f"FROM documents), "
+        f"e AS (SELECT doc_id, source, n_copies, "
+        f"unnest(range(0, n_copies)) AS copy_idx FROM d "
+        f"WHERE n_copies > 0) "
+        f"SELECT doc_id, source, cast(copy_idx as int) AS copy_idx, "
+        f"cast(n_copies as bigint) AS n_copies FROM e"
+    )

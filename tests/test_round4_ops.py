@@ -2072,3 +2072,60 @@ def test_integral_image_matches_cumsum(spark):
             + sat[y0 - 1, x0 - 1]
         )
         assert box == v[y0:y1 + 1, x0:x1 + 1].sum()
+
+
+def test_mask_band_gmf_nodata(spark):
+    """Mask = 255 where ANY band differs from the nodata tuple; a
+    planted all-zero image masks fully invalid."""
+    from gdal_spark import codecs
+    from gdal_spark.operators import stats as statsmod
+
+    imgs = synth.add_pixels(
+        spark.sql(synth.images_cte(64, "spark")).filter("i < 8")
+    )
+    got = statsmod.mask_band(imgs).toPandas().set_index("image_id")
+    pdf = synth.images_pdf(8)
+    for _, img in pdf.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(img["i"]), int(img["w"]),
+                                   int(img["h"])), img["fmt"]
+            )
+        ).astype(np.int64)
+        valid = (arr != 0).any(axis=2)
+        mask = np.where(valid, 255, 0)
+        row = got.loc[img["image_id"]]
+        assert row["n_valid"] == int(valid.sum())
+        assert row["mask_cks"] == statsmod.gdal_checksum(mask)
+    # an all-nodata raster masks to zero everywhere
+    z = np.zeros((4, 4, 3), dtype=np.int64)
+    assert statsmod.gdal_checksum(np.where((z != 0).any(axis=2), 255, 0)) == 0
+
+
+def test_repeat_upsample_rule(spark):
+    """Copy counts replay the ppm rule + hash remainder; copy_idx is
+    dense 0..n-1 per doc."""
+    from tests.conftest import SF_DIR
+
+    from gdal_spark.operators import textops as tx
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = tx.repeat_upsample(docs).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rates = {}
+    for r in pdf.itertuples(index=False):
+        idx = int(r.source[3:])
+        ppm = (2500000 if idx < 5 else 1500000 if idx < 10
+               else 1000000 if idx < 15 else 250000)
+        h = ((r.doc_id * 2654435761) % 4294967296) % 1000000
+        rates[r.doc_id] = ppm // 1000000 + int(h < ppm % 1000000)
+    g = got.groupby("doc_id")
+    for doc_id, sub in g:
+        assert len(sub) == rates[doc_id] == sub["n_copies"].iloc[0]
+        assert sorted(sub["copy_idx"]) == list(range(len(sub)))
+    # dropped docs are exactly the n_copies == 0 ones
+    assert set(pdf["doc_id"]) - set(got["doc_id"]) == {
+        d for d, n in rates.items() if n == 0
+    }
+    # expansion factor lands near the blended expectation
+    assert got.groupby("doc_id").size().mean() > 1.0
