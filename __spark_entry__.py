@@ -1215,7 +1215,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # aesthetic_probe, exact_percentiles,
 # pca_pc1, merge_upsert, ogr_special_fields, gcps2wld, dft2d,
 # dft_magphase, url_canonicalize, integral_image, zipf_fit,
-# bigram_perplexity, html_extract,
+# bigram_perplexity, html_extract, warp_rotated, split_leakage,
+# edit_georef, mask_band, repeat_upsample,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
@@ -2055,6 +2056,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_band": lambda spark, sf_dir: stats.mask_band(
             _pixel_images(spark, sf_dir, _CKS_MAX_I)
         ),
+        # raster attribute table (gdal_rat.cpp): per-class histogram
+        # + companion-band stats, map-only bincount partials
+        "rat_table": lambda spark, sf_dir: stats.rat_table(
+            _pixel_images(spark, sf_dir, _CKS_MAX_I)
+        ),
+        # fastText-style hashed linear quality classifier (Joulin
+        # 2016): unigram+bigram bucket hash, closed-form weights
+        "fasttext_score": lambda spark, sf_dir: (
+            textops.fasttext_score(_docs(spark, sf_dir))
+        ),
         # deterministic repeat-upsampling (Muennighoff 2022 data-
         # constrained epochs): generator explode, hash remainder
         "repeat_upsample": lambda spark, sf_dir: (
@@ -2564,6 +2575,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_georef": translate.oracle_edit_georef_ullr(_ORACLE_N_IMAGES),
         "mask_band": stats.oracle_mask_band(_ORACLE_N_IMAGES, _CKS_MAX_I),
         "repeat_upsample": textops.oracle_repeat_upsample(),
+        "rat_table": stats.oracle_rat_table(_ORACLE_N_IMAGES, _CKS_MAX_I),
+        "fasttext_score": textops.oracle_fasttext_score(),
         "exact_dedup": dedup.oracle_exact_dedup(),
         "ngram_jaccard": dedup.oracle_ngram_jaccard(max_df=_NGRAM_MAX_DF),
         "minhash_lsh": dedup.oracle_minhash_lsh(),

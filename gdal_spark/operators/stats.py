@@ -278,3 +278,53 @@ def oracle_mask_band(n: int, max_i: int, nodata=(0, 0, 0)) -> str:
         f"as bigint) AS mask_cks "
         f"FROM m GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# raster attribute table — GDALRasterAttributeTable
+# (gcore/gdal_rat.cpp; gdalinfo reports it for thematic rasters): one
+# row per class value with the class histogram plus companion-band
+# statistics (the classic landcover-class -> pixel-count + mean-
+# elevation table). Class = channel-0 value bucketed to 16 bins;
+# companion = channel 1. Map-only vectorized partials per image (a
+# bincount, never a pixel shuffle) -> the per-image RAT.
+
+
+def rat_table(images: DataFrame, n_classes: int = 16) -> DataFrame:
+    """(image_id, class, n_px, sum_b1): per-image RAT rows."""
+    width = 256 // n_classes
+
+    def fn(arr):
+        a = arr.astype(np.int64)
+        cls = a[:, :, 0] // width
+        b1 = a[:, :, 1]
+        counts = np.bincount(cls.ravel(), minlength=n_classes)
+        sums = np.bincount(cls.ravel(), weights=b1.ravel(),
+                           minlength=n_classes).astype(np.int64)
+        for c in range(n_classes):
+            if counts[c]:
+                yield (int(c), int(counts[c]), int(sums[c]))
+
+    cols = ["image_id", "class", "n_px", "sum_b1"]
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: _decode_iter(it, fn, cols),
+        schema="image_id string, class int, n_px bigint, sum_b1 bigint",
+    )
+
+
+def oracle_rat_table(n: int, max_i: int, n_classes: int = 16) -> str:
+    from .. import synth as _s
+
+    width = 256 // n_classes
+    return (
+        f"WITH px AS MATERIALIZED (SELECT image_id, x, y, ch, val "
+        f"FROM ({_s.pixels_cte(n, max_i, 'duckdb')}) WHERE ch < 2), "
+        f"p AS (SELECT image_id, x, y, "
+        f"max(CASE WHEN ch = 0 THEN val END) // {width} AS cls, "
+        f"max(CASE WHEN ch = 1 THEN val END) AS b1 "
+        f"FROM px GROUP BY 1, 2, 3) "
+        f"SELECT image_id, cast(cls as int) AS class, "
+        f"cast(count(*) as bigint) AS n_px, "
+        f"cast(sum(b1) as bigint) AS sum_b1 "
+        f"FROM p GROUP BY 1, 2"
+    )

@@ -1748,3 +1748,69 @@ def oracle_repeat_upsample() -> str:
         f"SELECT doc_id, source, cast(copy_idx as int) AS copy_idx, "
         f"cast(n_copies as bigint) AS n_copies FROM e"
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear classifier inference — the quality
+# filter shape GPT-3/CCNet actually ran (Joulin et al. 2016, "Bag of
+# Tricks for Efficient Text Classification": features = word unigrams
+# + word bigrams, hashed into B buckets, score = mean of bucket
+# weights). Weights are a deterministic function of the bucket index
+# (a planted model — the INFERENCE dataflow is the operator), so the
+# whole thing is a map-side explode + integer aggregate: no weight
+# table, no join, no Python, linear at 10^12 docs.
+
+FT_BUCKETS = 1024
+FT_WKNUTH = 2_654_435_761
+
+
+def _ft_weight_sql(bucket: str) -> str:
+    """Planted integer weight in [-2048, 2047] from the bucket id."""
+    return f"(((({bucket}) * {FT_WKNUTH}) % 4294967296) % 4096 - 2048)"
+
+
+def fasttext_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_feats, score_sum, score_avg_k, label): hashed
+    unigram+bigram linear score; label = sign of the mean weight."""
+    feats = (
+        _with_tokens(docs)
+        .selectExpr(
+            "doc_id",
+            f"concat(toks, {bigrams_sql('spark')}) AS feats",
+        )
+        .selectExpr("doc_id", "explode(feats) AS f")
+    )
+    bucket = f"({str_hash_sql('spark', 'f')} % {FT_BUCKETS})"
+    scored = feats.selectExpr(
+        "doc_id", f"{_ft_weight_sql(bucket)} AS wgt"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("wgt").cast("bigint").alias("score_sum"),
+        )
+        .selectExpr(
+            "doc_id", "n_feats", "score_sum",
+            "cast(floor(1000000.0E0 * cast(score_sum as double) "
+            "/ cast(n_feats as double)) as bigint) AS score_avg_k",
+            "cast(score_sum >= 0 as int) AS label",
+        )
+    )
+
+
+def oracle_fasttext_score() -> str:
+    bucket = f"({str_hash_sql('duckdb', 'f')} % {FT_BUCKETS})"
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('duckdb')} AS toks "
+        f"FROM documents), "
+        f"fe AS (SELECT doc_id, unnest(list_concat(toks, "
+        f"{bigrams_sql('duckdb')})) AS f FROM t), "
+        f"sc AS (SELECT doc_id, {_ft_weight_sql(bucket)} AS wgt FROM fe) "
+        f"SELECT doc_id, cast(count(*) as bigint) AS n_feats, "
+        f"cast(sum(wgt) as bigint) AS score_sum, "
+        f"cast(floor(1000000.0E0 * cast(sum(wgt) as double) "
+        f"/ cast(count(*) as double)) as bigint) AS score_avg_k, "
+        f"cast(sum(wgt) >= 0 as int) AS label "
+        f"FROM sc GROUP BY 1"
+    )

@@ -2129,3 +2129,28 @@ def test_repeat_upsample_rule(spark):
     }
     # expansion factor lands near the blended expectation
     assert got.groupby("doc_id").size().mean() > 1.0
+
+
+def test_rat_table_bincount_replay(spark):
+    from gdal_spark import codecs
+    from gdal_spark.operators import stats as statsmod
+
+    imgs = synth.add_pixels(
+        spark.sql(synth.images_cte(64, "spark")).filter("i < 6")
+    )
+    got = statsmod.rat_table(imgs).toPandas()
+    pdf = synth.images_pdf(6)
+    for _, img in pdf.iterrows():
+        arr = codecs.decode_image(
+            codecs.encode_image(
+                codecs.make_pixels(int(img["i"]), int(img["w"]),
+                                   int(img["h"])), img["fmt"]
+            )
+        ).astype(np.int64)
+        cls = arr[:, :, 0] // 16
+        sub = got[got["image_id"] == img["image_id"]].set_index("class")
+        assert sub["n_px"].sum() == arr.shape[0] * arr.shape[1]
+        for c in np.unique(cls):
+            m = cls == c
+            assert sub.loc[c, "n_px"] == int(m.sum())
+            assert sub.loc[c, "sum_b1"] == int(arr[:, :, 1][m].sum())

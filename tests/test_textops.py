@@ -764,3 +764,22 @@ def test_split_leakage_composes_pairs_and_split(spark):
         assert r.is_leak == int(
             (r.split_a == "train") != (r.split_b == "train")
         )
+
+
+def test_fasttext_score_python_replay(spark):
+    """Bucket-hash + planted-weight replay in pure Python; label is
+    the sign of the summed weights."""
+    docs = spark.read.parquet(DOCS)
+    got = textops.fasttext_score(docs).toPandas().set_index("doc_id")
+    pdf = pd.read_parquet(DOCS)
+    for r in pdf.head(50).itertuples(index=False):
+        toks = [t for t in r.text.split(" ") if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = 0
+        for f in feats:
+            b = py_hash(f) % 1024
+            s += ((b * 2654435761) % 4294967296) % 4096 - 2048
+        row = got.loc[r.doc_id]
+        assert row["n_feats"] == len(feats)
+        assert row["score_sum"] == s
+        assert row["label"] == int(s >= 0)
