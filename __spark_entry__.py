@@ -565,6 +565,23 @@ def _q_tile_render_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stack_cks(_hot_tile_base(spark, sf_dir))
 
 
+def _q_feather_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feathered (edge-distance-weighted) mosaic blend over the hot
+    cell — the seam-fading counterpart of the last-wins render;
+    exact-integer weights, pixel-exact SQL oracle."""
+    n = min(synth.n_images(sf_dir), 4096)
+    imgs = synth.images_df(spark, n).filter(
+        f"i % 4 = 0 AND i < {_TILE_MAX_I}"
+    )
+    base = tiling.render_feather_tiles(synth.add_pixels(imgs), _TILE_Z)
+    tx0, tx1, ty0, ty1 = _TILE_RANGE
+    return _stack_cks(
+        base.filter(
+            f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}"
+        )
+    )
+
+
 def _q_tile_overview_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_overview_tile reduce z10 -> z9 (compose 2x2 children,
     box average (sum+2)//4), pixel-exact SQL oracle."""
@@ -1364,6 +1381,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_rows": _q_rasterize_rows,
         "polygonize_blocks": _q_polygonize_blocks,
         "tile_render_hot": _q_tile_render_hot,
+        "feather_mosaic": _q_feather_mosaic,
         "tile_overview_hot": _q_tile_overview_hot,
         "phash_neardup": _q_phash_neardup,
         # visual near-dup families: canonical keeper per phash
@@ -2460,6 +2478,9 @@ def oracle_sql() -> dict[str, str]:
         "dem_tiled": dem.oracle_dem_tiled(_DEM_W, _DEM_W),
         "color_relief": dem.oracle_color_relief(min(n, 4096), _DEM_MAX_I),
         "tile_render_hot": tiling.oracle_tile_render(
+            min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
+        ),
+        "feather_mosaic": tiling.oracle_feather_render(
             min(n, 4096), _TILE_MAX_I, _TILE_Z, *_TILE_RANGE
         ),
         "tile_overview_hot": tiling.oracle_tile_overview(

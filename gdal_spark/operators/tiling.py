@@ -713,3 +713,119 @@ SELECT a.tx, a.ty, min(np.n_painted) AS n_painted,
 FROM allpx a JOIN np ON np.tx = a.tx AND np.ty = a.ty
 GROUP BY 1, 2, 4
 """
+
+
+# ---------------------------------------------------------------------------
+# feathered mosaic — the blend counterpart of the last-wins render
+# (gdalwarp's cutline blend / BlendMaskGenerator feathering applied
+# at the mosaic seam: overlapping sources are weighted by their
+# distance to their own image edge, so seams fade instead of cut;
+# cf. alg/gdalwarper.cpp GDALWarpDstAlphaMasker + the -cblend ramp).
+# The weight is the INTEGER city-block distance to the source edge
+# plus one — every accumulation is exact int64 and the final blend is
+# one floor division, so the SQL oracle replays the mosaic
+# bit-for-bit. Same partitioning as render_base_tiles: one task per
+# tile, sources gathered by the covering-tiles explode.
+
+
+def render_feather_tiles(
+    images: DataFrame, zoom: int, tile_px: int = TILE_PX
+) -> DataFrame:
+    """(tx, ty, n_painted, cks_0..2): edge-distance-weighted blend of
+    all covering images per tile pixel."""
+    cov = covering_tiles(
+        images.select("i", "image_id", "bytes", "lon", "lat", "w", "h"), zoom
+    )
+
+    def render(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        lon_px, lat_px = _tile_lonlat_grids(tx, ty, zoom, tile_px)
+        num = np.zeros((tile_px, tile_px, 3), dtype=np.int64)
+        den = np.zeros((tile_px, tile_px), dtype=np.int64)
+        for row in pdf.itertuples(index=False):
+            arr = codecs.decode_image(bytes(row.bytes))
+            r = 0.1 / row.w
+            sx = (lon_px - row.lon) / r
+            sy = (row.lat - lat_px) / r
+            ix = np.floor(sx + 1e-10).astype(np.int64)
+            iy = np.floor(sy + 1e-10).astype(np.int64)
+            okx = (ix >= 0) & (ix < row.w)
+            oky = (iy >= 0) & (iy < row.h)
+            m = oky[:, None] & okx[None, :]
+            if not m.any():
+                continue
+            yy, xx = np.nonzero(m)
+            gx, gy = ix[xx], iy[yy]
+            wd = np.minimum(
+                np.minimum(gx, row.w - 1 - gx),
+                np.minimum(gy, row.h - 1 - gy),
+            ) + 1
+            num[yy, xx, :] += wd[:, None] * arr[gy, gx, :].astype(np.int64)
+            den[yy, xx] += wd
+        painted = den > 0
+        n = int(painted.sum())
+        if n == 0:
+            return pd.DataFrame(
+                {c: pd.array([], dtype=t) for c, t in
+                 [("tx", "int64"), ("ty", "int64"), ("n_painted", "int64"),
+                  ("cks_0", "int64"), ("cks_1", "int64"),
+                  ("cks_2", "int64")]}
+            )
+        out = np.zeros_like(num)
+        out[painted] = num[painted] // den[painted][:, None]
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty], "n_painted": [n],
+                "cks_0": [tile_checksum(out[:, :, 0])],
+                "cks_1": [tile_checksum(out[:, :, 1])],
+                "cks_2": [tile_checksum(out[:, :, 2])],
+            }
+        )
+
+    return cov.groupby("tx", "ty").applyInPandas(
+        render,
+        schema="tx bigint, ty bigint, n_painted bigint, "
+        "cks_0 bigint, cks_1 bigint, cks_2 bigint",
+    )
+
+
+def oracle_feather_render(
+    n: int, max_i: int, zoom: int, tx0, tx1, ty0, ty1, tile_px: int = TILE_PX
+) -> str:
+    """All-hits weighted replay of the feather blend (the last-wins
+    QUALIFY of oracle_tile_render replaced by the wd-weighted sum +
+    one floor division)."""
+    eps = "0.0000000001E0"
+    prime = (
+        f"(CASE ((oy * {tile_px} + ox) % 11) "
+        "WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 WHEN 3 THEN 17 "
+        "WHEN 4 THEN 19 WHEN 5 THEN 23 WHEN 6 THEN 29 WHEN 7 THEN 31 "
+        "WHEN 8 THEN 37 WHEN 9 THEN 41 ELSE 43 END)"
+    )
+    return (
+        f"WITH img AS (SELECT * FROM ({synth.images_cte(n, 'duckdb')}) "
+        f"WHERE i % 4 = 0 AND i < {max_i}), "
+        f"px AS ({_merc_px_cte(zoom, tx0, tx1, ty0, ty1, tile_px)}), "
+        f"hit AS (SELECT px.tx, px.ty, px.x AS ox, px.y AS oy, img.i, "
+        f"img.w, img.h, img.fmt, "
+        f"cast(floor((px.plon - img.lon) / (0.1E0 / img.w) + {eps}) "
+        f"as bigint) AS sx, "
+        f"cast(floor((img.lat - px.plat) / (0.1E0 / img.w) + {eps}) "
+        f"as bigint) AS sy "
+        f"FROM px JOIN img ON px.plon >= img.lon - 0.001E0 "
+        f"AND px.plon < img.lon + 0.101E0 "
+        f"AND px.plat <= img.lat + 0.001E0 "
+        f"AND px.plat > img.lat - 0.101E0 * img.h / img.w - 0.001E0), "
+        f"v AS (SELECT tx, ty, ox, oy, ch, "
+        f"least(sx, w - 1 - sx, sy, h - 1 - sy) + 1 AS wd, "
+        f"{synth.pixel_val_sql()} AS val "
+        f"FROM (SELECT hit.*, hit.sx AS x, hit.sy AS y, ch "
+        f"FROM hit, range(0, 3) tc(ch)) "
+        f"WHERE sx >= 0 AND sx < w AND sy >= 0 AND sy < h), "
+        f"o AS (SELECT tx, ty, ox, oy, ch, "
+        f"cast(sum(wd * val) as bigint) // cast(sum(wd) as bigint) AS v "
+        f"FROM v GROUP BY 1, 2, 3, 4, 5) "
+        f"SELECT tx, ty, cast(ch as bigint) AS channel, "
+        f"cast(sum(v % {prime}) % 65536 as bigint) AS cks, "
+        f"count(*) AS n_painted FROM o GROUP BY 1, 2, 3"
+    )

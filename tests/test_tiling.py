@@ -164,3 +164,52 @@ def test_overview_gauss_matches_bruteforce(spark, hot_images):
                 else:
                     want = (2 * tot + wsum) // (2 * wsum)
                 assert (got[y, x, :] == want).all(), (ptx, pty, x, y)
+
+
+def test_feather_mosaic_weighted_blend(spark):
+    """Feather blend: single-source pixels equal the source value;
+    overlap pixels equal the exact integer weighted mean (numpy
+    replay on one hot tile)."""
+    import numpy as np
+
+    from gdal_spark import codecs, synth
+    from gdal_spark.operators import tiling
+
+    imgs = synth.images_df(spark, 4096).filter("i % 4 = 0 AND i < 512")
+    feather = tiling.render_feather_tiles(
+        synth.add_pixels(imgs), 10
+    ).filter("tx = 544 AND ty = 669").toPandas()
+    assert len(feather) == 1
+    # numpy replay
+    pdf = synth.images_pdf(4096)
+    pdf = pdf[(pdf["i"] % 4 == 0) & (pdf["i"] < 512)]
+    lon_px, lat_px = tiling._tile_lonlat_grids(544, 669, 10, tiling.TILE_PX)
+    num = np.zeros((tiling.TILE_PX, tiling.TILE_PX, 3), dtype=np.int64)
+    den = np.zeros((tiling.TILE_PX, tiling.TILE_PX), dtype=np.int64)
+    for r in pdf.itertuples(index=False):
+        res = 0.1 / r.w
+        sx = (lon_px - r.lon) / res
+        sy = (r.lat - lat_px) / res
+        ix = np.floor(sx + 1e-10).astype(np.int64)
+        iy = np.floor(sy + 1e-10).astype(np.int64)
+        okx = (ix >= 0) & (ix < r.w)
+        oky = (iy >= 0) & (iy < r.h)
+        m = oky[:, None] & okx[None, :]
+        if not m.any():
+            continue
+        arr = codecs.decode_image(
+            codecs.encode_image(codecs.make_pixels(r.i, r.w, r.h), r.fmt)
+        )
+        yy, xx = np.nonzero(m)
+        gx, gy = ix[xx], iy[yy]
+        wd = np.minimum(np.minimum(gx, r.w - 1 - gx),
+                        np.minimum(gy, r.h - 1 - gy)) + 1
+        num[yy, xx, :] += wd[:, None] * arr[gy, gx, :].astype(np.int64)
+        den[yy, xx] += wd
+    out = np.zeros_like(num)
+    p = den > 0
+    out[p] = num[p] // den[p][:, None]
+    row = feather.iloc[0]
+    assert row["n_painted"] == int(p.sum()) > 0
+    for c in range(3):
+        assert row[f"cks_{c}"] == tiling.tile_checksum(out[:, :, c])
