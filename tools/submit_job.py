@@ -25,6 +25,20 @@ def main():
     ap.add_argument("--n-images", type=int, default=1_000_000)
     ap.add_argument("--n-polys", type=int, default=2048)
     ap.add_argument("--zoom", type=int, default=12)
+    ap.add_argument(
+        "--pipeline", choices=["join", "full"], default="join",
+        help="'join' = the north-rule scaling job; 'full' = the whole "
+        "north-star pipeline: assign -> PIP join -> phash dedup -> "
+        "hot-cell tile render -> snapshot-log commit with per-"
+        "partition lineage (resumable via --resume)",
+    )
+    ap.add_argument("--render-cap", type=int, default=512,
+                    help="full mode: images entering the pixel stages")
+    ap.add_argument("--render-zoom", type=int, default=10)
+    ap.add_argument("--table-root", default="/tmp/gdal_spark_table")
+    ap.add_argument("--resume", action="store_true",
+                    help="full mode: anti-join tiles already committed "
+                    "to --table-root instead of re-rendering them")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -45,18 +59,55 @@ def main():
     pairs = spatial_join(
         imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"]
     ).count()
-    dt = time.time() - t0
-    print(
-        json.dumps(
+    out = {
+        "n_images": args.n_images,
+        "n_distinct_cells": n_cells,
+        "join_pairs": pairs,
+        "sec": round(time.time() - t0, 2),
+    }
+    out["images_per_sec"] = round(args.n_images / out["sec"], 1)
+
+    if args.pipeline == "full":
+        from gdal_spark import tablefmt
+        from gdal_spark.operators import dedup as dedup_ops  # noqa: F401
+        from gdal_spark.operators import tiling
+
+        t1 = time.time()
+        px_imgs = synth.add_pixels(
+            imgs.filter(f"i % 4 = 0 AND i < {args.render_cap}")
+        ).localCheckpoint(eager=True)
+        # pixel-stage 1: exact perceptual-hash dedup groups
+        dup_groups = (
+            px_imgs.groupBy("phash").count().filter("count > 1").count()
+        )
+        # pixel-stage 2: hot-cell tile render -> snapshot-log commit
+        # with per-partition lineage; --resume anti-joins the tiles
+        # already committed (gdal2tiles --resume / Iceberg restart)
+        log = tablefmt.SnapshotLog(args.table_root)
+        tiles = tiling.render_base_tiles(px_imgs, args.render_zoom)
+        if args.resume and log.current_snapshot() is not None:
+            tiles = tablefmt.resume_filter(
+                tiles, spark, log, ["tx", "ty"]
+            )
+        tiles = tiles.localCheckpoint(eager=True)
+        n_tiles = tiles.count()
+        sid = log.append(
+            tiles.drop("bytes"), op="render",
+            metrics={"zoom": args.render_zoom, "resumed": args.resume},
+        )
+        snap = log.snapshot(sid)["summary"]
+        out.update(
             {
-                "n_images": args.n_images,
-                "n_distinct_cells": n_cells,
-                "join_pairs": pairs,
-                "sec": round(dt, 2),
-                "images_per_sec": round(args.n_images / dt, 1),
+                "phash_dup_groups": dup_groups,
+                "tiles_rendered": n_tiles,
+                "snapshot_id": sid,
+                "lineage_partitions": len(snap["partition_rows"]),
+                "committed_rows": snap["added_rows"],
+                "pipeline_sec": round(time.time() - t1, 2),
             }
         )
-    )
+
+    print(json.dumps(out))
     spark.stop()
 
 
