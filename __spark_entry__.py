@@ -1318,6 +1318,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": lambda spark, sf_dir: (
             vector_ops.ogr_special_fields(_oracle_polys(spark, sf_dir))
         ),
+        # Visvalingam-Whyatt simplification (area-based; QGIS/
+        # mapshaper default) — 3 deterministic drop passes, bit-
+        # identical survival decisions on both engines
+        "vw_simplify": lambda spark, sf_dir: vector_ops.vw_simplify(
+            spark, synth.polygons_df(spark, synth.n_polygons(sf_dir))
+        ),
         # distributed 2-D DFT (osgeo_utils/samples/fft.py semantics):
         # row pass in the decode UDF -> transpose shuffle -> integer
         # tap-table column pass; fixed-point terms, exact parity
@@ -2280,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": streaming.ORACLE_SLIDING,
         "geom_fields": vector_ops.oracle_geom_fields(m),
         "ogr_special_fields": vector_ops.oracle_ogr_special_fields(m),
+        "vw_simplify": vector_ops.oracle_vw_simplify(m),
         "dft2d": fourier.oracle_dft2d(_ORACLE_N_IMAGES),
         "dft_magphase": fourier.oracle_dft_magphase(_ORACLE_N_IMAGES),
         "integral_image": rastertable.oracle_integral_image(

@@ -1166,3 +1166,128 @@ def oracle_ogr_special_fields(m: int) -> str:
         f"cast({area} > 50000 as int) AS big_area "
         f"FROM p WHERE kind IN ('box', 'hot_box', 'triangle')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Visvalingam-Whyatt simplification (Visvalingam & Whyatt 1993) — the
+# area-based companion of the Douglas-Peucker `simplify_dp` (the
+# reference exposes DP via OGRGeometry::Simplify; VW is the QGIS/
+# mapshaper default and belongs in any vector stack). Deterministic
+# PASS variant: each pass computes every surviving vertex's effective
+# triangle area among CURRENT survivors (ring-wrapped lag/lead), then
+# drops the smallest-area candidates below threshold, capped so the
+# ring keeps >= 4 vertices — at most (m - 4) drops per pass, ranked
+# (area, seq). Three materialized passes; every float op is the same
+# IEEE sequence on both engines (vertices come from the stored WKB on
+# the Spark side and the bit-matching cos/sin synth replay in the
+# oracle), so survival decisions are bit-identical with no epsilon.
+
+VW_PASSES = 3
+VW_FRAC = "0.02E0"  # threshold = frac * bbox area, per polygon
+
+
+def _vw_pass_sql(prev: str, t: int, mat: str = "") -> str:
+    """One VW pass over alive rows (poly_id, seq, x, y, t)."""
+    win = "PARTITION BY poly_id ORDER BY seq"
+    full = (
+        "PARTITION BY poly_id ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    )
+    return (
+        f"p{t} AS {mat}(SELECT poly_id, seq, x, y, t FROM ("
+        f"SELECT *, CASE WHEN a2 < t THEN row_number() OVER ("
+        f"PARTITION BY poly_id, (a2 < t) ORDER BY a2, seq) END AS rk "
+        f"FROM (SELECT *, abs((x - px) * (ny - py) - (nx - px) * (y - py)) "
+        f"AS a2 FROM ("
+        f"SELECT poly_id, seq, x, y, t, "
+        f"count(*) OVER (PARTITION BY poly_id) AS m, "
+        f"coalesce(lag(x) OVER ({win}), last_value(x) OVER ({full})) AS px, "
+        f"coalesce(lag(y) OVER ({win}), last_value(y) OVER ({full})) AS py, "
+        f"coalesce(lead(x) OVER ({win}), first_value(x) OVER ({full})) AS nx, "
+        f"coalesce(lead(y) OVER ({win}), first_value(y) OVER ({full})) AS ny "
+        f"FROM {prev}))) "
+        f"WHERE NOT (a2 < t) OR rk > m - 4)"
+    )
+
+
+def _vw_out_sql() -> str:
+    """Final summary over the surviving ring: vertex count + per-term
+    quantized shoelace sum (order-free int)."""
+    win = "PARTITION BY poly_id ORDER BY seq"
+    full = (
+        "PARTITION BY poly_id ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    )
+    last = f"p{VW_PASSES}"
+    return (
+        f"SELECT poly_id, cast(count(*) as bigint) AS n_vertices, "
+        f"cast(sum(term) as bigint) AS area2_key FROM ("
+        f"SELECT poly_id, cast(floor((x * ny - nx * y) * 1000000.0E0) "
+        f"as bigint) AS term FROM ("
+        f"SELECT poly_id, seq, x, y, "
+        f"coalesce(lead(x) OVER ({win}), first_value(x) OVER ({full})) AS nx, "
+        f"coalesce(lead(y) OVER ({win}), first_value(y) OVER ({full})) AS ny "
+        f"FROM {last})) GROUP BY 1"
+    )
+
+
+def _vw_chain_sql(base: str, dialect: str = "duckdb") -> str:
+    """p0 = base vertices with per-poly threshold; then the passes.
+    MATERIALIZED is DuckDB-only (chained-CTE re-expansion guard);
+    Spark SQL has no such keyword."""
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    ctes = [
+        f"p0 AS {mat}(SELECT poly_id, seq, x, y, "
+        f"{VW_FRAC} * (max(x) OVER (PARTITION BY poly_id) "
+        f"- min(x) OVER (PARTITION BY poly_id)) "
+        f"* (max(y) OVER (PARTITION BY poly_id) "
+        f"- min(y) OVER (PARTITION BY poly_id)) AS t FROM ({base}))"
+    ]
+    for k in range(1, VW_PASSES + 1):
+        ctes.append(_vw_pass_sql(f"p{k - 1}", k, mat))
+    return ", ".join(ctes)
+
+
+def vw_simplify(spark, polys: DataFrame) -> DataFrame:
+    """(poly_id, n_vertices, area2_key) after 3 VW passes over the
+    kgon rings (the only synth kind with redundant vertices)."""
+
+    def verts(batches):
+        for pdf in batches:
+            rows = []
+            for poly_id, g in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                r = _ring_array(wkb.polygon_rings(bytes(g))[0])
+                rows.extend(
+                    (poly_id, i, float(x), float(y))
+                    for i, (x, y) in enumerate(r)
+                )
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "seq", "x", "y"]
+            )
+
+    v = polys.filter("kind = 'kgon'").select(
+        "poly_id", "geom_wkb"
+    ).mapInPandas(
+        verts, schema="poly_id string, seq int, x double, y double"
+    )
+    v.createOrReplaceTempView("vw_verts")
+    return spark.sql(
+        f"WITH {_vw_chain_sql('SELECT * FROM vw_verts', 'spark')} "
+        f"{_vw_out_sql()}"
+    )
+
+
+def oracle_vw_simplify(m: int) -> str:
+    """Vertex replay from the synth CTE (numpy cos/sin bit-match
+    libm), then the identical pass chain."""
+    tp = synth.flit(2.0 * np.pi)
+    base = (
+        f"SELECT concat('poly', lpad(cast(j as varchar), 4, '0')) "
+        f"AS poly_id, v.range AS seq, "
+        f"cx + hw * cos(({tp} * v.range) / k + 0.1E0 * j) AS x, "
+        f"cy + hh * sin(({tp} * v.range) / k + 0.1E0 * j) AS y "
+        f"FROM (SELECT *, 5 + j % 7 AS k FROM "
+        f"({synth.polygons_sql_cte(m, 'duckdb')}) WHERE kind = 'kgon') p, "
+        f"range(0, 12) v WHERE v.range < p.k"
+    )
+    return f"WITH {_vw_chain_sql(base)} {_vw_out_sql()}"

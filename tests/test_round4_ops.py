@@ -2154,3 +2154,53 @@ def test_rat_table_bincount_replay(spark):
             m = cls == c
             assert sub.loc[c, "n_px"] == int(m.sum())
             assert sub.loc[c, "sum_b1"] == int(arr[:, :, 1][m].sum())
+
+
+def test_vw_simplify_python_replay(spark):
+    """Pure-Python replay of the 3-pass VW rule on each kgon ring:
+    same survivor count, same quantized shoelace; simplified area
+    stays within the threshold budget of the original."""
+    from gdal_spark import wkb as wkbmod
+    from gdal_spark.operators import vector_ops
+
+    polys = synth.polygons_df(spark, 64)
+    got = vector_ops.vw_simplify(spark, polys).toPandas().set_index(
+        "poly_id"
+    )
+    src = synth.polygons_pdf(64)
+    src = src[src["kind"] == "kgon"]
+    assert len(got) == len(src)
+    for r in src.itertuples(index=False):
+        ring = np.array(
+            vector_ops._ring_array(
+                wkbmod.polygon_rings(bytes(r.geom_wkb))[0]
+            )
+        )
+        t = 0.02 * (ring[:, 0].ptp()) * (ring[:, 1].ptp())
+        keep = list(range(len(ring)))
+        for _ in range(3):
+            m = len(keep)
+            a2 = []
+            for i in range(m):
+                p, c, nx = ring[keep[i - 1]], ring[keep[i]], ring[
+                    keep[(i + 1) % m]
+                ]
+                a2.append(
+                    abs((c[0] - p[0]) * (nx[1] - p[1])
+                        - (nx[0] - p[0]) * (c[1] - p[1]))
+                )
+            cand = sorted(
+                (i for i in range(m) if a2[i] < t),
+                key=lambda i: (a2[i], keep[i]),
+            )
+            drop = set(cand[: max(0, min(len(cand), m - 4))])
+            keep = [k for i, k in enumerate(keep) if i not in drop]
+        row = got.loc[r.poly_id]
+        assert row["n_vertices"] == len(keep), r.poly_id
+        term = 0
+        for i in range(len(keep)):
+            x, y = ring[keep[i]]
+            nx_, ny_ = ring[keep[(i + 1) % len(keep)]]
+            term += int(np.floor((x * ny_ - nx_ * y) * 1e6))
+        assert row["area2_key"] == term, r.poly_id
+        assert row["n_vertices"] >= 4
