@@ -1233,7 +1233,8 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # pca_pc1, merge_upsert, ogr_special_fields, gcps2wld, dft2d,
 # dft_magphase, url_canonicalize, integral_image, zipf_fit,
 # bigram_perplexity, html_extract, warp_rotated, split_leakage,
-# edit_georef, mask_band, repeat_upsample,
+# edit_georef, mask_band, repeat_upsample, rat_table, fasttext_score,
+# feather_mosaic, vw_simplify,
 # plus a re-verify sample of r02-r04 greens.
 _R4_WINDOW = [
     # (a) never driver-verified through r03
