@@ -553,7 +553,14 @@ def main():
                 a for a in cur
                 if 0 <= a["load1"] < QUIET_LOAD
                 and a.get("ceiling_cpu", 0.0) >= QUIET_CPU_PROBE
-                and (a.get("load1_end") is None or a["load1_end"] < end_cap)
+                # mirror the start gate: a FAILED end probe (-1.0)
+                # means the window's pollution state is unknown —
+                # exclude it rather than admit it (None = legacy
+                # pre-gate attempt, kept for backfill)
+                and (
+                    a.get("load1_end") is None
+                    or 0 <= a["load1_end"] < end_cap
+                )
                 # ASYMMETRIC hypervisor steal between the two legs
                 # biases the ratio (symmetric steal cancels); 3-4%%
                 # background steal is endemic on this box even in

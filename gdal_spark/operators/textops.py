@@ -1386,15 +1386,18 @@ def url_canon_sql(dialect: str, url: str = "url_raw") -> str:
         f"THEN substr({path}, 1, length({path}) - 1) ELSE {path} END)"
     )
     q = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    # Literal 'utm_' prefix test via substr — LIKE 'utm_%' would treat
+    # '_' as a single-char wildcard (stripping e.g. 'utmx=1') in both
+    # dialects, diverging from the documented utm_* tracking-param rule.
     if dialect == "duckdb":
         kept = (
             f"array_to_string(list_filter(string_split({q}, '&'), "
-            f"p -> p <> '' AND NOT (p LIKE 'utm_%')), '&')"
+            f"p -> p <> '' AND substr(p, 1, 4) <> 'utm_'), '&')"
         )
     else:
         kept = (
             f"array_join(filter(split({q}, '&'), "
-            f"p -> p <> '' AND NOT (p LIKE 'utm_%')), '&')"
+            f"p -> p <> '' AND substr(p, 1, 4) <> 'utm_'), '&')"
         )
     q2 = f"(CASE WHEN {kept} = '' THEN '' ELSE concat('?', {kept}) END)"
     return (
@@ -1784,17 +1787,26 @@ def fasttext_score(docs: DataFrame) -> DataFrame:
     scored = feats.selectExpr(
         "doc_id", f"{_ft_weight_sql(bucket)} AS wgt"
     )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_feats"),
+        F.sum("wgt").cast("bigint").alias("score_sum"),
+    )
+    # Left-join back onto the full doc list so zero-token documents
+    # keep a row (n_feats=0, sentinel score/label -1) instead of
+    # silently vanishing from the per-doc scoring surface — the house
+    # sentinel convention (see bigram_perplexity).
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_feats"),
-            F.sum("wgt").cast("bigint").alias("score_sum"),
-        )
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
         .selectExpr(
-            "doc_id", "n_feats", "score_sum",
-            "cast(floor(1000000.0E0 * cast(score_sum as double) "
-            "/ cast(n_feats as double)) as bigint) AS score_avg_k",
-            "cast(score_sum >= 0 as int) AS label",
+            "doc_id",
+            "coalesce(n_feats, 0) AS n_feats",
+            "coalesce(score_sum, 0) AS score_sum",
+            "CASE WHEN n_feats IS NULL THEN cast(-1 as bigint) "
+            "ELSE cast(floor(1000000.0E0 * cast(score_sum as double) "
+            "/ cast(n_feats as double)) as bigint) END AS score_avg_k",
+            "CASE WHEN n_feats IS NULL THEN -1 "
+            "ELSE cast(score_sum >= 0 as int) END AS label",
         )
     )
 
@@ -1806,11 +1818,16 @@ def oracle_fasttext_score() -> str:
         f"FROM documents), "
         f"fe AS (SELECT doc_id, unnest(list_concat(toks, "
         f"{bigrams_sql('duckdb')})) AS f FROM t), "
-        f"sc AS (SELECT doc_id, {_ft_weight_sql(bucket)} AS wgt FROM fe) "
-        f"SELECT doc_id, cast(count(*) as bigint) AS n_feats, "
+        f"sc AS (SELECT doc_id, {_ft_weight_sql(bucket)} AS wgt FROM fe), "
+        f"ag AS (SELECT doc_id, cast(count(*) as bigint) AS n_feats, "
         f"cast(sum(wgt) as bigint) AS score_sum, "
         f"cast(floor(1000000.0E0 * cast(sum(wgt) as double) "
         f"/ cast(count(*) as double)) as bigint) AS score_avg_k, "
         f"cast(sum(wgt) >= 0 as int) AS label "
-        f"FROM sc GROUP BY 1"
+        f"FROM sc GROUP BY 1) "
+        f"SELECT d.doc_id, coalesce(ag.n_feats, 0) AS n_feats, "
+        f"coalesce(ag.score_sum, 0) AS score_sum, "
+        f"coalesce(ag.score_avg_k, -1) AS score_avg_k, "
+        f"cast(coalesce(ag.label, -1) as int) AS label "
+        f"FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id"
     )
