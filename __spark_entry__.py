@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdal_spark import gcp, geohash, geoloc, hexcell, rpc, s2cell, streaming, synth, tablefmt
+from gdal_spark import gcp, geohash, geoloc, gridshift, hexcell, rpc, s2cell, streaming, synth, tablefmt
 from gdal_spark.operators import ann, cells, dedup, dem, stats, textops, warp
 from gdal_spark.operators import clipscore, compare, curation, dissolve, enhance, lineref
 from gdal_spark.operators import percentile as pctl
@@ -821,6 +821,52 @@ def _tms_level_exprs():
     ]
 
 
+def _tms_registry_exprs():
+    """Dual-dialect fragments for a REGISTERED (JSON-loaded) profile:
+    WorldCRS84Quad — geographic CRS, so coordinates feed the tiler
+    directly in degrees and metersPerUnit takes the reference's
+    semi-major-arc degree branch (tilematrixset.cpp IsGeographic)."""
+    from gdal_spark import tms
+
+    prof = tms.lookup("WorldCRS84Quad")
+    return [
+        (lvl, tm.tile_sql("lon", "lat", "x"), tm.tile_sql("lon", "lat", "y"))
+        for lvl, tm in enumerate(prof.matrices[:6])
+    ]
+
+
+def _q_tms_registry(spark, sf_dir):
+    """Tile assignment on a profile loaded from the checked-in OGC
+    registry JSON (gdal2tiles.py:271-294 glob mechanism) — pure
+    Catalyst, one row per (image, level), levels 0-5."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    parts = []
+    for lvl, txs, tys in _tms_registry_exprs():
+        parts.append(
+            imgs.selectExpr(
+                "image_id",
+                f"cast({lvl} as bigint) AS level",
+                f"{txs} AS tile_x",
+                f"{tys} AS tile_y",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _oracle_tms_registry(n: int) -> str:
+    selects = []
+    for lvl, txs, tys in _tms_registry_exprs():
+        selects.append(
+            f"SELECT image_id, cast({lvl} as bigint) AS level, "
+            f"{txs} AS tile_x, {tys} AS tile_y "
+            f"FROM ({synth.images_cte(n, 'duckdb')})"
+        )
+    return " UNION ALL ".join(selects)
+
+
 # grid over the hot cluster (hot lons 11.2-11.8, top lats 48.1-48.6)
 _RETILE = dict(x0=11.2, y0=48.6, res=0.1 / 256, tile_px=64, nx=8, ny=8)
 
@@ -1184,6 +1230,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_average": _q_grid_average,
     "contour_polygons": _q_contour_polygons,
     "tms_custom_assign": _q_tms_custom,
+    "tms_registry_assign": _q_tms_registry,
     "retile_grid": _q_retile,
     "dedup_clusters": _q_dedup_clusters,
 }
@@ -1905,6 +1952,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osgb_corners": lambda spark, sf_dir: reproject.osgb_corners(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
+        # grid-shift datum correction (PROJ nadgrids, ogrct.cpp:1306):
+        # TM(GRS80, BNG constants) + four-node bilinear shift from the
+        # broadcast grid TABLE — the OSTN15 dataflow; NTv2 reader
+        # gated separately against reference autotest .gsb goldens
+        "osgb_gridshift": lambda spark, sf_dir: gridshift.osgb_gridshift(
+            synth.images_df(spark, synth.n_images(sf_dir))
+        ),
         "sinu_corners": lambda spark, sf_dir: reproject.sinu_corners(
             synth.images_df(spark, synth.n_images(sf_dir))
         ),
@@ -2451,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
             _ORACLE_N_POLYGONS
         ),
         "osgb_corners": reproject.oracle_osgb_corners(n),
+        "osgb_gridshift": gridshift.oracle_osgb_gridshift(n),
         "sinu_corners": reproject.oracle_sinu_corners(n),
         "moll_corners": reproject.oracle_moll_corners(n),
         "eqearth_corners": reproject.oracle_eqearth_corners(n),
@@ -2644,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
             polyop.dem_band_sql((64, 128, 192)), 96, 96
         ),
         "tms_custom_assign": _oracle_tms_custom(n),
+        "tms_registry_assign": _oracle_tms_registry(n),
         "retile_grid": tiling.oracle_retile(
             min(n, 4096), _TILE_MAX_I, **_RETILE
         ),

@@ -87,7 +87,10 @@ class TileMatrixSet:
         crs = doc.get("supportedCRS", doc.get("crs", ""))
         if isinstance(crs, dict):
             crs = crs.get("uri", crs.get("wkt", ""))
-        epsg = int(str(crs).rsplit("/", 1)[-1].rsplit(":", 1)[-1])
+        tail = str(crs).rsplit("/", 1)[-1].rsplit(":", 1)[-1]
+        # OGC:CRS84 is WGS84 with lon/lat axis order — the axis order
+        # this engine already uses, so it maps onto 4326 directly
+        epsg = 4326 if tail.upper() in ("CRS84", "84") else int(tail)
         if "metersPerUnit" in doc:
             mpu = float(doc["metersPerUnit"])
         elif epsg in (4326, 4258, 4269):  # geographic: degree units
@@ -151,3 +154,70 @@ CUSTOM_PROFILE = {
         },
     ],
 }
+
+
+# ---------------------------------------------------------------------------
+# Profile registry (gcore/tilematrixset.cpp + gdal2tiles.py:271-294):
+# the reference globs tms_*.json from its data directory and registers
+# every parseable profile by identifier.  Same mechanism here over
+# gdal_spark/data/tms/ — the checked-in JSONs are authored from the
+# published OGC 17-083r2 constructions (WebMercatorQuad /
+# WorldCRS84Quad / GoogleCRS84Quad annex definitions), not copied
+# files.  Validation mirrors tilematrixset.cpp:258: a strictly
+# decreasing, positive scaleDenominator series.
+
+import glob as _glob
+import json as _json
+import os as _os
+
+
+class InvalidTileMatrixSet(ValueError):
+    pass
+
+
+def validate(tms: "TileMatrixSet") -> "TileMatrixSet":
+    """tilematrixset.cpp parse-time invariants."""
+    if not tms.matrices:
+        raise InvalidTileMatrixSet(f"{tms.identifier}: no tile matrices")
+    last = float("inf")
+    for m in tms.matrices:
+        if m.scale_denominator <= 0 or m.scale_denominator >= last:
+            raise InvalidTileMatrixSet(
+                f"{tms.identifier}/{m.id}: invalid or non-decreasing "
+                f"scale denominator series"
+            )
+        last = m.scale_denominator
+        if min(m.tile_width, m.tile_height, m.matrix_width, m.matrix_height) <= 0:
+            raise InvalidTileMatrixSet(
+                f"{tms.identifier}/{m.id}: non-positive dimension"
+            )
+    return tms
+
+
+_TMS_DIR = _os.path.join(_os.path.dirname(__file__), "data", "tms")
+_REGISTRY: dict[str, "TileMatrixSet"] | None = None
+
+
+def registry() -> dict[str, "TileMatrixSet"]:
+    """All registered profiles: every tms_*.json in the data dir plus
+    the built-in custom profile.  Loaded once, validated on load."""
+    global _REGISTRY
+    if _REGISTRY is None:
+        reg: dict[str, TileMatrixSet] = {}
+        for path in sorted(_glob.glob(_os.path.join(_TMS_DIR, "tms_*.json"))):
+            with open(path) as fh:
+                doc = _json.load(fh)
+            tms = validate(TileMatrixSet.from_json(doc))
+            reg[tms.identifier] = tms
+        reg["Custom512"] = validate(TileMatrixSet.from_json(CUSTOM_PROFILE))
+        _REGISTRY = reg
+    return _REGISTRY
+
+
+def lookup(name: str) -> "TileMatrixSet":
+    reg = registry()
+    if name not in reg:
+        raise KeyError(
+            f"unknown TileMatrixSet {name!r}; registered: {sorted(reg)}"
+        )
+    return reg[name]
