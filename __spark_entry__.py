@@ -1338,10 +1338,73 @@ _R4_WINDOW = [
     "laion_filter",
 ]
 
+# Round-5 rotation (the r4 verdict's task 2): 50 of the 120 queries
+# never driver-verified through r04 (deterministic from
+# CORRECTNESS_r01-r04 vs _all_queries()), prioritizing the ones the
+# round-4 judge did NOT cover in their 42-query local sample, plus
+# the two operators new in r5 (osgb_gridshift, tms_registry_assign).
+# All remaining never-driver-verified entries stay locally gated by
+# tools/check_oracle.py; one more rotation closes the set.
+_R5_WINDOW = [
+    # (a) the verdict's named priorities (never sampled by the judge)
+    "events_attribution",
+    "epoch_shuffle",
+    "pack_sequences",
+    "tar_shard_layout",
+    "keep_best_variant",
+    "domain_cap",
+    "source_mix_sample",
+    "moll_corners",
+    "eqearth_corners",
+    "refine_gcps",
+    "footprint",
+    "cog_layout",
+    "overview_partial_refresh",
+    "contour_exp_levels",
+    "contour_offset_levels",
+    "color_relief_exact",
+    "color_relief_nearest",
+    "viewshed_maxdist",
+    "viewshed_cumulative",
+    "slope_percent",
+    "slope_zt_percent",
+    "hillshade_zt",
+    "aspect_zt",
+    "gdal_create",
+    "ogrsf_conformance",
+    "buildvrt_separate",
+    "merge_nodata",
+    "hsv_merge",
+    "kernel_filter",
+    "lut_apply",
+    "mdim_translate",
+    # (b) more never-driver-verified, never-sampled entries
+    "ogr_special_fields",
+    "dft2d",
+    "geom_centroid",
+    "geom_point_on_surface",
+    "band_stats_nodata",
+    "pansharpen_weighted",
+    "str_pack",
+    "zorder_layout",
+    "dhash64",
+    "ahash64",
+    "phash_clusters",
+    "hex_cell_assign",
+    "hex_density_topk",
+    "bm25_topk",
+    "lineref_points",
+    "gdalmove_gt",
+    "tfidf_topk",
+    # (c) new round-5 operators
+    "osgb_gridshift",
+    "tms_registry_assign",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = _all_queries()
-    out = {k: qs[k] for k in _R4_WINDOW if k in qs}
+    out = {k: qs[k] for k in _R5_WINDOW if k in qs}
     out.update({k: v for k, v in qs.items() if k not in out})
     return out
 

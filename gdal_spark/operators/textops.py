@@ -1042,7 +1042,18 @@ def _hll_rank_sql(dialect: str, w: str) -> str:
     return f"cast({HLL_W} + 1 - {bl} as bigint)"
 
 
-def hll_distinct(docs: DataFrame) -> DataFrame:
+def hll_alpha_lit(m: int) -> str:
+    """alpha_m bias-correction literal (Flajolet et al. 2007, fig. 3:
+    exact table values for m<=64, the asymptotic formula above)."""
+    table = {16: "0.673E0", 32: "0.697E0", 64: "0.709E0"}
+    if m in table:
+        return table[m]
+    from .. import synth
+
+    return synth.flit(0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_distinct(docs: DataFrame, m: int = HLL_M) -> DataFrame:
     """One-row HLL cardinality estimate of the corpus's distinct
     token-trigram shingles:
     (m, v_zero, s_scaled, est_hll, exact_distinct).
@@ -1054,6 +1065,7 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
     is unreachable at the operating point; v_zero exposes when it
     would apply). exact_distinct rides along as the accuracy
     witness."""
+    alpha = hll_alpha_lit(m)
     toks = _with_tokens(docs).select(
         "doc_id", F.explode(F.expr(trigrams_sql("spark"))).alias("token")
     )
@@ -1064,8 +1076,8 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
         h = h.selectExpr(step, "token")
     regs = (
         h.selectExpr(
-            f"th % {HLL_M} AS bucket",
-            f"(th div {HLL_M}) % shiftleft(cast(1 as bigint), {HLL_W}) AS w",
+            f"th % {m} AS bucket",
+            f"(th div {m}) % shiftleft(cast(1 as bigint), {HLL_W}) AS w",
         )
         .selectExpr("bucket", f"{_hll_rank_sql('spark', 'w')} AS r")
         .groupBy("bucket")
@@ -1080,22 +1092,23 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
     )
     exact = h.agg(F.countDistinct("token").alias("exact_distinct"))
     return reg_agg.crossJoin(F.broadcast(exact)).selectExpr(
-        f"cast({HLL_M} as bigint) AS m",
-        f"cast({HLL_M} - n_hit as bigint) AS v_zero",
-        f"cast(s_hit + ({HLL_M} - n_hit) * "
+        f"cast({m} as bigint) AS m",
+        f"cast({m} - n_hit as bigint) AS v_zero",
+        f"cast(s_hit + ({m} - n_hit) * "
         f"shiftleft(cast(1 as bigint), {HLL_W} + 1) as bigint) AS s_scaled",
-        f"cast(floor({HLL_ALPHA} * {HLL_M}.0E0 * {HLL_M}.0E0 * "
+        f"cast(floor({alpha} * {m}.0E0 * {m}.0E0 * "
         f"cast(shiftleft(cast(1 as bigint), {HLL_W} + 1) as double) / "
-        f"cast(s_hit + ({HLL_M} - n_hit) * "
+        f"cast(s_hit + ({m} - n_hit) * "
         f"shiftleft(cast(1 as bigint), {HLL_W} + 1) as double)) as bigint) "
         f"AS est_hll",
         "cast(exact_distinct as bigint) AS exact_distinct",
     )
 
 
-def oracle_hll_distinct() -> str:
+def oracle_hll_distinct(m: int = HLL_M) -> str:
+    alpha = hll_alpha_lit(m)
     rank = _hll_rank_sql(
-        "duckdb", f"((th // {HLL_M}) % (cast(1 as bigint) << {HLL_W}))"
+        "duckdb", f"((th // {m}) % (cast(1 as bigint) << {HLL_W}))"
     )
     p2 = f"(cast(1 as bigint) << ({HLL_W} + 1))"
     mix = [
@@ -1111,19 +1124,19 @@ def oracle_hll_distinct() -> str:
         f"{str_hash_sql('duckdb', 'token')} AS th FROM t), "
         + ", ".join(mix) + ", "
         f"h AS MATERIALIZED (SELECT token, th FROM {hfinal}), "
-        f"regs AS (SELECT th % {HLL_M} AS bucket, "
+        f"regs AS (SELECT th % {m} AS bucket, "
         f"max({rank}) AS mj "
         f"FROM h GROUP BY 1), "
         f"ra AS (SELECT count(*) AS n_hit, "
         f"cast(sum(cast(1 as bigint) << cast({HLL_W} + 1 - mj as int)) "
         f"as bigint) AS s_hit FROM regs), "
         f"ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM h) "
-        f"SELECT cast({HLL_M} as bigint) AS m, "
-        f"cast({HLL_M} - n_hit as bigint) AS v_zero, "
-        f"cast(s_hit + ({HLL_M} - n_hit) * {p2} as bigint) AS s_scaled, "
-        f"cast(floor({HLL_ALPHA} * {HLL_M}.0E0 * {HLL_M}.0E0 * "
+        f"SELECT cast({m} as bigint) AS m, "
+        f"cast({m} - n_hit as bigint) AS v_zero, "
+        f"cast(s_hit + ({m} - n_hit) * {p2} as bigint) AS s_scaled, "
+        f"cast(floor({alpha} * {m}.0E0 * {m}.0E0 * "
         f"cast({p2} as double) / "
-        f"cast(s_hit + ({HLL_M} - n_hit) * {p2} as double)) as bigint) "
+        f"cast(s_hit + ({m} - n_hit) * {p2} as double)) as bigint) "
         f"AS est_hll, "
         f"cast(exact_distinct as bigint) AS exact_distinct "
         f"FROM ra, ex"
