@@ -154,8 +154,70 @@ def run_bench(sf_dir: str, cores: int) -> dict:
             n_img / (times["tile_assign_merc"] + times["spatial_join_pip"]), 1
         ),
     }
+    # north-star composition as a tracked metric (r4 verdict task 10):
+    # the submit_job --pipeline full stages — assign -> PIP join ->
+    # phash dedup -> hot-cell tile render -> snapshot-log commit with
+    # per-partition lineage — timed inline on the warm session, both
+    # methodologies, a FRESH table root per shot (so the commit never
+    # degenerates into a resume no-op on the repeat).
+    pipe_shots = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_pipeline_full(spark, sf_dir)
+        pipe_shots.append(round(time.perf_counter() - t0, 3))
+    result["pipeline_full"] = min(pipe_shots)
+    result["pipeline_full_single_shot"] = pipe_shots[0]
     spark.stop()
     return result
+
+
+def run_pipeline_full(spark, sf_dir: str, render_cap: int = 512,
+                      render_zoom: int = 10) -> dict:
+    """One pass of the tools/submit_job.py --pipeline full composition
+    (assign -> join -> dedup -> render -> commit), returning its
+    counters.  Kept in lockstep with submit_job so the bench number
+    tracks the cluster entrypoint's actual stages."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark import synth, tablefmt
+    from gdal_spark.operators import cells, tiling
+    from gdal_spark.operators.spatial_join import spatial_join
+
+    n = synth.n_images(sf_dir)
+    imgs = synth.images_df(spark, n)
+    polys = synth.polygons_df(spark, synth.n_polygons(sf_dir))
+    assigned = cells.assign_cells(imgs, 12, "mercator", engine="pandas")
+    n_cells = assigned.select(F.countDistinct("cell_id")).collect()[0][0]
+    pairs = spatial_join(
+        imgs, polys, point_cols=["image_id"], poly_cols=["poly_id"]
+    ).count()
+    px_imgs = synth.add_pixels(
+        imgs.filter(f"i % 4 = 0 AND i < {render_cap}")
+    ).localCheckpoint(eager=True)
+    dup_groups = px_imgs.groupBy("phash").count().filter("count > 1").count()
+    root = tempfile.mkdtemp(prefix="gdal_spark_bench_tbl_")
+    try:
+        log = tablefmt.SnapshotLog(root)
+        tiles = tiling.render_base_tiles(px_imgs, render_zoom)
+        tiles = tiles.localCheckpoint(eager=True)
+        n_tiles = tiles.count()
+        sid = log.append(
+            tiles.drop("bytes"), op="render",
+            metrics={"zoom": render_zoom, "resumed": False},
+        )
+        snap = log.snapshot(sid)["summary"]
+        return {
+            "n_distinct_cells": n_cells,
+            "join_pairs": pairs,
+            "phash_dup_groups": dup_groups,
+            "tiles_rendered": n_tiles,
+            "committed_rows": snap["added_rows"],
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 ENGINE_REV = "r4-prepjoin"  # stamp attempts so best/median aggregate
