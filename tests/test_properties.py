@@ -555,3 +555,119 @@ def test_proximity_metric_properties(seed):
     d = np.sqrt(np.minimum(out, 100).astype(np.float64))
     assert (np.abs(d[1:, :] - d[:-1, :]) <= 1.0 + 1e-9).all()
     assert (np.abs(d[:, 1:] - d[:, :-1]) <= 1.0 + 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# r4-verdict task 7: overlay/boolop on NEAR-DEGENERATE inputs —
+# random rectilinear lattices (shared edges, collinear overlaps,
+# identical rings: the Greiner–Hormann worst case, exercised through
+# the degeneracy-perturbation fallback) and rotated copies, checked
+# against an independent slab-decomposition union-area oracle (the
+# same decomposition dissolve.py's SQL oracle uses, re-implemented
+# here in pure numpy).
+
+
+def _slab_union_area(rects):
+    """Union area of axis-aligned rects [(x0, y0, x1, y1), ...] by
+    x-slab decomposition + y-interval merge."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    total = 0.0
+    for xa, xb in zip(xs, xs[1:]):
+        ivals = sorted(
+            (r[1], r[3]) for r in rects if r[0] <= xa and r[2] >= xb
+        )
+        y_cov = 0.0
+        cur_lo = cur_hi = None
+        for lo, hi in ivals:
+            if cur_hi is None or lo > cur_hi:
+                if cur_hi is not None:
+                    y_cov += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_hi is not None:
+            y_cov += cur_hi - cur_lo
+        total += y_cov * (xb - xa)
+    return total
+
+
+def _rect_ring(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], np.float64)
+
+
+_LATTICE_RECT = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cells=st.lists(_LATTICE_RECT, min_size=2, max_size=6),
+    theta=st.floats(min_value=0.0, max_value=1.5),
+)
+def test_boolop_union_lattice_vs_slab_oracle(cells, theta):
+    """Integer-lattice rectangles share edges and corners by
+    construction (identical rings, collinear overlaps — the GH
+    degenerate cases).  Union area via the subtract-fold
+    decomposition area(∪ᵢ rᵢ) = Σᵢ area(rᵢ − ∪ⱼ₍ⱼ₎ rⱼ) — each term a
+    boolean_regions('diff') chain, the multi-part-capable op — both
+    axis-aligned AND rotated, against the slab oracle (union area is
+    rotation-invariant)."""
+    rects = [
+        (10.0 * i, 10.0 * j, 10.0 * (i + w), 10.0 * (j + h))
+        for i, j, w, h in cells
+    ]
+    expect = _slab_union_area(rects)
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s], [s, c]])
+    for use_rot in (False, True):
+        rings = [
+            _rect_ring(*r) @ rot.T if use_rot else _rect_ring(*r)
+            for r in rects
+        ]
+        got = 0.0
+        try:
+            for i, ring in enumerate(rings):
+                residual = [(boolop.ensure_ccw(ring), [])]
+                for j in range(i):
+                    residual = boolop.boolean_regions(
+                        residual, [(boolop.ensure_ccw(rings[j]), [])], "diff"
+                    )
+                    if not residual:
+                        break
+                got += _region_area(residual)
+        except boolop.Degeneracy:
+            assume(False)
+        assert abs(got - expect) < 1e-4 * max(1.0, expect), (
+            use_rot, got, expect
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=_LATTICE_RECT, b=_LATTICE_RECT,
+    theta=st.floats(min_value=0.0, max_value=1.5),
+)
+def test_boolop_symdiff_lattice_identity(a, b, theta):
+    """symdiff == union - inter on lattice pairs, including the
+    fully-degenerate identical-rectangle case (symdiff area 0)."""
+    ra = (10.0 * a[0], 10.0 * a[1], 10.0 * (a[0] + a[2]), 10.0 * (a[1] + a[3]))
+    rb = (10.0 * b[0], 10.0 * b[1], 10.0 * (b[0] + b[2]), 10.0 * (b[1] + b[3]))
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s], [s, c]])
+    A = [(boolop.ensure_ccw(_rect_ring(*ra) @ rot.T), [])]
+    B = [(boolop.ensure_ccw(_rect_ring(*rb) @ rot.T), [])]
+    try:
+        au = _region_area(boolop.boolean_regions(A, B, "union"))
+        ai = _region_area(boolop.boolean_regions(A, B, "inter"))
+        sd = _region_area(boolop.boolean_regions(A, B, "symdiff"))
+    except boolop.Degeneracy:
+        assume(False)
+    area_a = (ra[2] - ra[0]) * (ra[3] - ra[1])
+    area_b = (rb[2] - rb[0]) * (rb[3] - rb[1])
+    tol = 1e-4 * max(1.0, area_a + area_b)
+    assert abs(au + ai - (area_a + area_b)) < tol
+    assert abs(sd - (au - ai)) < tol
