@@ -284,12 +284,34 @@ def run_scaling_job(cores: int) -> dict:
         polys, poly_cols=["poly_id"], poly_count_hint=SCALING_POLYS
     )
 
+    # engine-variant A/B knobs (stamped into the attempt rev so they
+    # never mix into headline aggregates):
+    #   SPARK_GRAFT_JOIN_VARIANT=shared_bc  -> one shared broadcast for
+    #       both join branches (ReuseExchange; one build per batch)
+    #   SPARK_GRAFT_JOIN_VARIANT=heavyN     -> heavy refine branch at
+    #       N tasks/core leaf granularity (cheap branch unchanged)
+    #   variants compose with '+', e.g. shared_bc+heavy16
+    variant = os.environ.get("SPARK_GRAFT_JOIN_VARIANT", "")
+    shared_bc = "shared_bc" in variant
+    heavy_tpc = 0
+    for part in variant.split("+"):
+        if part.startswith("heavy") and part[5:].isdigit():
+            heavy_tpc = int(part[5:])
+
     def make_job(n):
         imgs = synth.images_df(spark, n)
+        heavy = (
+            synth.images_df(spark, n, num_partitions=cores * heavy_tpc)
+            if heavy_tpc
+            else None
+        )
         assign_df = cells.assign_cells(
             imgs, 12, "mercator", engine="sql"
         ).select(F.sum("tile_x"))
-        return assign_df, prep.probe(imgs, point_cols=["image_id"])
+        return assign_df, prep.probe(
+            imgs, point_cols=["image_id"],
+            shared_broadcast=shared_bc, heavy_points=heavy,
+        )
 
     def cpu_snap():
         v = list(map(int, open("/proc/stat").readline().split()[1:]))
@@ -551,6 +573,8 @@ def main():
             rev = ENGINE_REV
             if os.environ.get("SPARK_GRAFT_EXTRA_CONF"):
                 rev += "+" + os.environ["SPARK_GRAFT_EXTRA_CONF"]
+            if os.environ.get("SPARK_GRAFT_JOIN_VARIANT"):
+                rev += "+" + os.environ["SPARK_GRAFT_JOIN_VARIANT"]
             attempt = {
                 "rev": rev,
                 "pair": f"{lo}x{hi}",

@@ -236,6 +236,12 @@ def prepare_spatial_join(
     # (m_bFilterIsEnvelope, ogrlayer.cpp) -> a pure-JVM branch that
     # never ships WKB through the broadcast nor rows through Arrow
     geom_col = "edges" if refine == "jvm" else "geom_wkb"
+    # (A local-relation dim variant — pre-collecting the cover to the
+    # driver so broadcast builds skip the distributed scan — was
+    # measured 2x WORSE per pass (1.1 s vs 0.6 s fixed cost at 32
+    # cores): the driver re-serializes the 42k Python-side rows into
+    # every execution.  Negative result recorded in
+    # BENCH/PROFILE_r4.md; the checkpointed distributed cover stays.)
     rect_cells = pcells.filter("is_rect").select("cell_id", *env_cols, *poly_cols)
     geom_cells = pcells.filter("NOT is_rect").select(
         "cell_id", geom_col, *env_cols, *poly_cols
@@ -302,42 +308,59 @@ class PreparedSpatialJoin:
         points: DataFrame,
         point_cols: list[str] | None = None,
         engine: str = "sql",
+        shared_broadcast: bool = False,
+        heavy_points: DataFrame | None = None,
     ) -> DataFrame:
         """Inner PIP join of ``points`` against the prepared polygon
         layer: rows = (point, polygon) pairs where the point lies
-        inside the polygon (even-odd rule)."""
+        inside the polygon (even-odd rule).
+
+        ``shared_broadcast``: with the jvm refine, probe BOTH branches
+        against the single ``all_cells`` broadcast (post-join is_rect
+        split) so the per-execution broadcast build happens once and
+        Catalyst's ReuseExchange shares it — trades slightly wider
+        broadcast rows in the rect branch for one build per batch
+        instead of two (the scaling campaign's broadcast-rebuild A/B).
+        ``heavy_points``: an alternative point-side DataFrame (same
+        schema/contents, typically finer-partitioned) used ONLY for
+        the heavy refine branch, so its final wave is finer-grained
+        without inflating the cheap rect branch's task-dispatch cost."""
         lon_col, lat_col = self.lon_col, self.lat_col
         join_zoom, refine = self.join_zoom, self.refine
         point_cols = point_cols or [
             c for c in points.columns if c not in (lon_col, lat_col)
         ]
+
         # point side: cell at join_zoom, then ancestors via pure int
         # arithmetic, exploded on a narrow projection (a semi-join
         # pattern: image payload bytes never shuffle).
-        pts = assign_cells(
-            points, join_zoom, grid_kind="geodetic", lon_col=lon_col,
-            lat_col=lat_col, engine=engine,
-        )
-        levels = [
-            F.expr(
-                cell_id_sql(
-                    f"(tile_x >> {join_zoom - z})",
-                    f"(tile_y >> {join_zoom - z})",
-                    z,
+        def _pts(src: DataFrame) -> DataFrame:
+            pts = assign_cells(
+                src, join_zoom, grid_kind="geodetic", lon_col=lon_col,
+                lat_col=lat_col, engine=engine,
+            )
+            levels = [
+                F.expr(
+                    cell_id_sql(
+                        f"(tile_x >> {join_zoom - z})",
+                        f"(tile_y >> {join_zoom - z})",
+                        z,
+                    )
                 )
-            )
-            for z in self.zs
-        ]
-        if len(levels) == 1:
-            # single-zoom cover: no explode stage at all
-            pts = pts.select(
-                lon_col, lat_col, *point_cols, levels[0].alias("cell_id")
-            )
-        else:
-            pts = pts.select(
+                for z in self.zs
+            ]
+            if len(levels) == 1:
+                # single-zoom cover: no explode stage at all
+                return pts.select(
+                    lon_col, lat_col, *point_cols, levels[0].alias("cell_id")
+                )
+            return pts.select(
                 lon_col, lat_col, *point_cols,
                 F.explode(F.array(*levels)).alias("cell_id"),
             )
+
+        pts = _pts(points)
+        pts_heavy = _pts(heavy_points) if heavy_points is not None else pts
 
         # envelope reject, JVM-side (FilterGeometry's bbox fast path,
         # ogrlayer.cpp:1468) — cuts the refine input before any Python
@@ -362,6 +385,26 @@ class PreparedSpatialJoin:
                 F.expr(f"is_rect OR ({pip_parity_expr(lon_col, lat_col)})")
             )
             return refined.select(*out_cols)
+        if refine == "jvm" and shared_broadcast:
+            # single shared broadcast: both branches join all_cells and
+            # split on is_rect AFTER the join — ReuseExchange makes the
+            # second branch a ReusedExchange of the first's broadcast,
+            # so each batch execution builds/ships ONE hash relation
+            # the rect branch must CONSUME the geom column, or column
+            # pruning gives it a narrower broadcast child than the
+            # heavy branch and the two exchanges no longer
+            # canonicalize equal (no reuse).  coalesce(size(...)) is
+            # non-foldable and always >= -1, so the predicate is a
+            # no-op that pins the shared schema.
+            geom_keep = "coalesce(size(edges), -1) >= -100"
+            rect_out = bbox(
+                pts.join(self.all_cells, "cell_id", "inner")
+            ).filter(f"is_rect AND ({geom_keep})").select(*out_cols)
+            cand = bbox(
+                pts_heavy.join(self.all_cells, "cell_id", "inner")
+            ).filter("NOT is_rect")
+            refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
+            return refined.select(*out_cols).unionAll(rect_out)
         rect_out = bbox(
             pts.join(self.rect_cells, "cell_id", "inner")
         ).select(*out_cols)
@@ -376,7 +419,7 @@ class PreparedSpatialJoin:
             # tasks fill the scheduler tail instead of an all-heavy
             # final wave (profiled 4.5x task-duration spread in the
             # combined stage at 32 cores).
-            cand = bbox(pts.join(self.geom_cells, "cell_id", "inner"))
+            cand = bbox(pts_heavy.join(self.geom_cells, "cell_id", "inner"))
             refined = cand.filter(F.expr(pip_parity_expr(lon_col, lat_col)))
             return refined.select(*out_cols).unionAll(rect_out)
         cand = bbox(pts.join(self.geom_cells, "cell_id", "inner"))

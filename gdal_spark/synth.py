@@ -132,13 +132,27 @@ def images_cte(n: int, dialect: str = "duckdb") -> str:
     )
 
 
-def images_df(spark, n: int, with_pixels: bool = False):
+def images_df(
+    spark, n: int, with_pixels: bool = False,
+    num_partitions: int | None = None,
+):
     """The synthesized images DataFrame. Metadata columns are computed
     JVM-side (exact Catalyst expressions — no Python in the plan);
     pixel payload + phash, when requested, are generated in a
     vectorized ``mapInPandas`` stage (Arrow-batched, no per-row
-    Python)."""
-    df = spark.sql(images_cte(n, "spark"))
+    Python).  ``num_partitions`` pins the leaf range's task count
+    (default: the session's leafNodeDefaultParallelism) — the
+    per-branch granularity knob the scaling job A/Bs use."""
+    if num_partitions is None:
+        df = spark.sql(images_cte(n, "spark"))
+    else:
+        df = spark.range(0, n, 1, num_partitions).selectExpr(
+            "id AS i"
+        ).selectExpr(
+            "i", f"{_id_expr('spark')} AS image_id", f"{LON_EXPR} AS lon",
+            f"{LAT_EXPR} AS lat", f"{W_EXPR} AS w", f"{H_EXPR} AS h",
+            f"{FMT_EXPR} AS fmt", f"{_caption_expr('spark')} AS caption",
+        )
     if not with_pixels:
         return df
     return add_pixels(df)
