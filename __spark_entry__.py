@@ -2007,6 +2007,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cube table + GDALMDArray::Transpose index projection
         "mdim_translate": lambda spark, sf_dir: mdim.mdim_translate(spark),
         "mdim_transpose": lambda spark, sf_dir: mdim.mdim_transpose(spark),
+        # GDALMDArray::GetResampled average decimation over the
+        # trailing (y, x) axes (gdalmultidim.cpp:7502) — pure groupBy
+        "mdim_resampled": lambda spark, sf_dir: mdim.mdim_resampled(spark),
         "explode_collections": lambda spark, sf_dir: (
             vector_ops.explode_collections_query(
                 spark, synth.n_polygons(sf_dir)
@@ -2564,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_read": tablefmt.oracle_time_travel(_ORACLE_N_IMAGES),
         "mdim_translate": mdim.oracle_mdim_translate(),
         "mdim_transpose": mdim.oracle_mdim_transpose(),
+        "mdim_resampled": mdim.oracle_mdim_resampled(),
         "explode_collections": vector_ops.oracle_explode_collections(
             _ORACLE_N_POLYGONS
         ),

@@ -153,3 +153,63 @@ def oracle_mdim_transpose(nt: int = 4, ny: int = 16, nx: int = 16) -> str:
         f"cast(sum((val * 17 + d1 * 5 + d2) % 65536) % 65536 as bigint) "
         f"AS idx_cks FROM v GROUP BY d0"
     )
+
+
+def mdim_resampled_sql(
+    dialect: str, nt: int, ny: int, nx: int, fy: int, fx: int
+) -> str:
+    """GDALMDArray::GetResampled (gcore/gdalmultidim.cpp:7502,
+    GDALMDArrayResampled — resampling applies to the trailing (y, x)
+    dims, other dims pass through): AVERAGE decimation by integer
+    factors (fy, fx) expressed as a pure groupBy over the cube table —
+    each output cell is the mean of its fy*fx block, kept exact as
+    (vsum, n_in) plus the micro-scaled floor mean."""
+    cube = cube_sql(dialect, nt, ny, nx)
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"SELECT t, y {div} {fy} AS ry, x {div} {fx} AS rx, "
+        f"cast(sum(val) as bigint) AS vsum, "
+        f"cast(count(*) as bigint) AS n_in, "
+        f"cast(floor(1000000.0E0 * cast(sum(val) as double) "
+        f"/ cast(count(*) as double)) as bigint) AS mean_u "
+        f"FROM ({cube}) GROUP BY 1, 2, 3"
+    )
+
+
+def mdim_resampled(
+    spark, nt: int = 4, ny: int = 64, nx: int = 64,
+    fy: int = 2, fx: int = 4,
+) -> DataFrame:
+    """Per-t verification aggregate of the average-resampled view:
+    (t, n_cells, sum_mean_u, idx_cks) — the index checksum folds the
+    RESAMPLED indices so axis mix-ups cannot cancel."""
+    view = spark.sql(mdim_resampled_sql("spark", nt, ny, nx, fy, fx))
+    return (
+        view.selectExpr(
+            "t", "mean_u", "(mean_u * 13 + ry * 7 + rx) % 65536 AS ic"
+        )
+        .groupBy("t")
+        .agg(
+            *[
+                F.expr(e)
+                for e in (
+                    "cast(count(*) as bigint) AS n_cells",
+                    "cast(sum(mean_u) as bigint) AS sum_mean_u",
+                    "cast(sum(ic) % 65536 as bigint) AS idx_cks",
+                )
+            ]
+        )
+    )
+
+
+def oracle_mdim_resampled(
+    nt: int = 4, ny: int = 64, nx: int = 64, fy: int = 2, fx: int = 4
+) -> str:
+    view = mdim_resampled_sql("duckdb", nt, ny, nx, fy, fx)
+    return (
+        f"WITH v AS ({view}) "
+        f"SELECT t, cast(count(*) as bigint) AS n_cells, "
+        f"cast(sum(mean_u) as bigint) AS sum_mean_u, "
+        f"cast(sum((mean_u * 13 + ry * 7 + rx) % 65536) % 65536 as bigint) "
+        f"AS idx_cks FROM v GROUP BY t"
+    )

@@ -2204,3 +2204,31 @@ def test_vw_simplify_python_replay(spark):
             term += int(np.floor((x * ny_ - nx_ * y) * 1e6))
         assert row["area2_key"] == term, r.poly_id
         assert row["n_vertices"] >= 4
+
+
+def test_mdim_resampled_numpy_replay(spark):
+    """GetResampled average decimation vs a direct numpy block-mean
+    replay of the synthesized cube (r5; gdalmultidim.cpp:7502)."""
+    import numpy as np
+
+    from gdal_spark.operators import mdim as mdim_op
+
+    nt, ny, nx, fy, fx = 4, 64, 64, 2, 4
+    rows = mdim_op.mdim_resampled(spark, nt, ny, nx, fy, fx).collect()
+    t, y, x = np.meshgrid(
+        np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    cube = (t * 131071 + y * 8191 + x * 127 + 7) % 251
+    blocks = cube.reshape(nt, ny // fy, fy, nx // fx, fx)
+    mean_u = np.floor(
+        1e6 * blocks.sum(axis=(2, 4)) / float(fy * fx)
+    ).astype(np.int64)
+    ry, rx = np.meshgrid(
+        np.arange(ny // fy), np.arange(nx // fx), indexing="ij"
+    )
+    assert len(rows) == nt
+    for r in rows:
+        m = mean_u[r["t"]]
+        assert r["n_cells"] == (ny // fy) * (nx // fx)
+        assert r["sum_mean_u"] == int(m.sum())
+        assert r["idx_cks"] == int(((m * 13 + ry * 7 + rx) % 65536).sum() % 65536)
