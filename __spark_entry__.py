@@ -867,6 +867,53 @@ def _oracle_tms_registry(n: int) -> str:
     return " UNION ALL ".join(selects)
 
 
+def _tms_vmw_exprs():
+    """Dual-dialect fragments for the variableMatrixWidth profile:
+    per-row column coalescing (TMS 2.0 polar rows;
+    gdalogcapidataset.cpp GetCoalesceFactorForRow + column snap) —
+    tile_x depends on tile_y, so both come from tile_sql_xy."""
+    from gdal_spark import tms
+
+    prof = tms.lookup("PolarCoalesceQuad")
+    out = []
+    for lvl in (2, 3, 4):
+        txs, tys = prof.matrices[lvl].tile_sql_xy("lon", "lat")
+        out.append((lvl, txs, tys))
+    return out
+
+
+def _q_tms_vmw(spark, sf_dir):
+    """Tile assignment on the variableMatrixWidth registry profile —
+    polar rows snap columns to their coalesce multiple; pure
+    Catalyst."""
+    imgs = synth.images_df(spark, synth.n_images(sf_dir))
+    parts = []
+    for lvl, txs, tys in _tms_vmw_exprs():
+        parts.append(
+            imgs.selectExpr(
+                "image_id",
+                f"cast({lvl} as bigint) AS level",
+                f"{txs} AS tile_x",
+                f"{tys} AS tile_y",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _oracle_tms_vmw(n: int) -> str:
+    selects = []
+    for lvl, txs, tys in _tms_vmw_exprs():
+        selects.append(
+            f"SELECT image_id, cast({lvl} as bigint) AS level, "
+            f"{txs} AS tile_x, {tys} AS tile_y "
+            f"FROM ({synth.images_cte(n, 'duckdb')})"
+        )
+    return " UNION ALL ".join(selects)
+
+
 # grid over the hot cluster (hot lons 11.2-11.8, top lats 48.1-48.6)
 _RETILE = dict(x0=11.2, y0=48.6, res=0.1 / 256, tile_px=64, nx=8, ny=8)
 
@@ -1231,6 +1278,7 @@ _ROUND2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contour_polygons": _q_contour_polygons,
     "tms_custom_assign": _q_tms_custom,
     "tms_registry_assign": _q_tms_registry,
+    "tms_vmw_assign": _q_tms_vmw,
     "retile_grid": _q_retile,
     "dedup_clusters": _q_dedup_clusters,
 }
@@ -2767,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tms_custom_assign": _oracle_tms_custom(n),
         "tms_registry_assign": _oracle_tms_registry(n),
+        "tms_vmw_assign": _oracle_tms_vmw(n),
         "retile_grid": tiling.oracle_retile(
             min(n, 4096), _TILE_MAX_I, **_RETILE
         ),

@@ -34,26 +34,49 @@ class TileMatrix:
     matrix_width: int
     matrix_height: int
     meters_per_unit: float = 1.0
+    # variableMatrixWidth entries as (coalesce, min_row, max_row) —
+    # TMS 2.0 polar-row coalescing (tilematrixset.cpp:283; consumed as
+    # nX = (nX / coalesce) * coalesce per row,
+    # gdalogcapidataset.cpp:2197 GetCoalesceFactorForRow + :2242)
+    variable_matrix_widths: tuple[tuple[int, int, int], ...] = ()
 
     @property
     def res(self) -> float:
         return self.scale_denominator * OGC_PIXEL / self.meters_per_unit
 
+    def coalesce_for_row(self, row: int) -> int:
+        """First matching range wins, default 1 (the reference's
+        GetCoalesceFactorForRow)."""
+        for c, lo, hi in self.variable_matrix_widths:
+            if lo <= row <= hi:
+                return c
+        return 1
+
     def tile_of(self, x, y):
-        """Vectorized (x, y) CRS coords -> (tx, ty), clipped."""
+        """Vectorized (x, y) CRS coords -> (tx, ty), clipped; with
+        variableMatrixWidth the column snaps to its row's coalesce
+        multiple (only every coalesce-th tile exists on that row)."""
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         spanx = self.res * self.tile_width
         spany = self.res * self.tile_height
         tx = np.floor((x - self.top_left[0]) / spanx).astype(np.int64)
         ty = np.floor((self.top_left[1] - y) / spany).astype(np.int64)
-        return (
-            np.clip(tx, 0, self.matrix_width - 1),
-            np.clip(ty, 0, self.matrix_height - 1),
-        )
+        tx = np.clip(tx, 0, self.matrix_width - 1)
+        ty = np.clip(ty, 0, self.matrix_height - 1)
+        for c, lo, hi in self.variable_matrix_widths:
+            m = (ty >= lo) & (ty <= hi)
+            tx = np.where(m, (tx // c) * c, tx)
+        return tx, ty
 
     def tile_sql(self, x_expr: str, y_expr: str, axis: str) -> str:
-        """Dual-dialect SQL twin of tile_of (identical op sequence)."""
+        """Dual-dialect SQL twin of tile_of (identical op sequence).
+        Profiles with variableMatrixWidth must use tile_sql_xy (the
+        column depends on the row)."""
+        if axis == "x" and self.variable_matrix_widths:
+            raise ValueError(
+                "variableMatrixWidth profile: use tile_sql_xy"
+            )
         from . import synth
 
         spanx = synth.flit(self.res * self.tile_width)
@@ -67,6 +90,29 @@ class TileMatrix:
             t = f"cast(floor(({tly} - ({y_expr})) / {spany}) as bigint)"
             hi = self.matrix_height - 1
         return f"greatest(0, least({hi}, {t}))"
+
+    def tile_sql_xy(self, x_expr: str, y_expr: str) -> tuple[str, str]:
+        """(tx_sql, ty_sql) with variableMatrixWidth snapping — the
+        column expression branches on the row via CASE, first match
+        wins (same order as coalesce_for_row). Integer ops only after
+        the floors, so both engines agree bit-for-bit."""
+        ty = self.tile_sql(x_expr, y_expr, "y")
+        from . import synth
+
+        spanx = synth.flit(self.res * self.tile_width)
+        tlx = synth.flit(self.top_left[0])
+        base = (
+            f"greatest(0, least({self.matrix_width - 1}, "
+            f"cast(floor(({x_expr} - {tlx}) / {spanx}) as bigint)))"
+        )
+        if not self.variable_matrix_widths:
+            return base, ty
+        whens = "".join(
+            f"WHEN ({ty}) >= {lo} AND ({ty}) <= {hi} "
+            f"THEN (({base}) - (({base}) % {c})) "
+            for c, lo, hi in self.variable_matrix_widths
+        )
+        return f"(CASE {whens}ELSE ({base}) END)", ty
 
 
 @dataclass(frozen=True)
@@ -102,6 +148,19 @@ class TileMatrixSet:
         mats = []
         for tm in doc["tileMatrices" if "tileMatrices" in doc else "tileMatrix"]:
             tl = tm["topLeftCorner"]
+            # both spellings, as the reference accepts
+            # (tilematrixset.cpp:283 variableMatrixWidth(s))
+            vmw_doc = tm.get(
+                "variableMatrixWidths", tm.get("variableMatrixWidth", [])
+            )
+            vmw = tuple(
+                (
+                    int(v["coalesce"]),
+                    int(v["minTileRow"]),
+                    int(v["maxTileRow"]),
+                )
+                for v in vmw_doc
+            )
             mats.append(
                 TileMatrix(
                     id=str(tm.get("id", tm.get("identifier"))),
@@ -112,6 +171,7 @@ class TileMatrixSet:
                     matrix_width=int(tm["matrixWidth"]),
                     matrix_height=int(tm["matrixHeight"]),
                     meters_per_unit=mpu,
+                    variable_matrix_widths=vmw,
                 )
             )
         return cls(doc.get("id", doc.get("identifier", "custom")), epsg, tuple(mats))
@@ -191,6 +251,19 @@ def validate(tms: "TileMatrixSet") -> "TileMatrixSet":
             raise InvalidTileMatrixSet(
                 f"{tms.identifier}/{m.id}: non-positive dimension"
             )
+        for c, lo, hi in m.variable_matrix_widths:
+            # gdalogcapidataset.cpp:1903: coalesce must be positive
+            # and divide the matrix width
+            if c <= 0 or m.matrix_width % c != 0:
+                raise InvalidTileMatrixSet(
+                    f"{tms.identifier}/{m.id}: coalesce {c} invalid for "
+                    f"matrixWidth {m.matrix_width}"
+                )
+            if not (0 <= lo <= hi <= m.matrix_height - 1):
+                raise InvalidTileMatrixSet(
+                    f"{tms.identifier}/{m.id}: variableMatrixWidth row "
+                    f"range [{lo}, {hi}] outside the matrix"
+                )
     return tms
 
 

@@ -54,10 +54,14 @@ def test_profile_self_consistency(name):
         brx = tlx + m.res * m.tile_width * m.matrix_width
         bry = tly - m.res * m.tile_height * m.matrix_height
         tx, ty = m.tile_of([brx - m.res / 2], [bry + m.res / 2])
-        assert (tx[0], ty[0]) == (m.matrix_width - 1, m.matrix_height - 1)
-        # out-of-matrix points clip (tilematrixset clamp convention)
+        c_last = m.coalesce_for_row(m.matrix_height - 1)
+        want_tx = (m.matrix_width - 1) // c_last * c_last
+        assert (tx[0], ty[0]) == (want_tx, m.matrix_height - 1)
+        # out-of-matrix points clip (tilematrixset clamp convention);
+        # a coalescing top row then snaps the clipped column
         tx, ty = m.tile_of([brx + 1e3], [tly + 1e3])
-        assert (tx[0], ty[0]) == (m.matrix_width - 1, 0)
+        c_top = m.coalesce_for_row(0)
+        assert (tx[0], ty[0]) == ((m.matrix_width - 1) // c_top * c_top, 0)
 
 
 @pytest.mark.parametrize("name", ["WebMercatorQuad", "WorldCRS84Quad",
@@ -116,3 +120,69 @@ def test_tms_registry_assign_counts(spark):
         assert rows[2] >= 0 and rows[3] <= m.matrix_height - 1
     l0 = {r["tile_x"] for r in df.where("level = 0").collect()}
     assert l0 == {0, 1}
+
+
+# --- variableMatrixWidth (TMS 2.0 polar coalescing; r5) ---------------
+
+
+def test_vmw_coalesce_for_row():
+    prof = tms.lookup("PolarCoalesceQuad")
+    m = prof.matrices[3]  # 16x8
+    assert m.coalesce_for_row(0) == 4
+    assert m.coalesce_for_row(1) == 2
+    assert m.coalesce_for_row(4) == 1
+    assert m.coalesce_for_row(6) == 2
+    assert m.coalesce_for_row(7) == 4
+
+
+def test_vmw_tile_of_snaps_columns():
+    import numpy as np
+
+    m = tms.lookup("PolarCoalesceQuad").matrices[3]
+    lons = np.linspace(-179.9, 179.9, 64)
+    for lat, c in ((89.5, 4), (67.0, 2), (0.5, 1), (-89.5, 4)):
+        tx, ty = m.tile_of(lons, np.full(64, lat))
+        assert np.all(tx % c == 0), (lat, c)
+        # snapping floors, never exceeds the unsnapped index
+        base = np.clip(
+            np.floor((lons - m.top_left[0]) / (m.res * m.tile_width)),
+            0, m.matrix_width - 1,
+        ).astype(np.int64)
+        assert np.all(tx == (base // c) * c)
+
+
+def test_vmw_sql_matches_numpy_via_duckdb():
+    import duckdb
+    import numpy as np
+
+    m = tms.lookup("PolarCoalesceQuad").matrices[4]
+    txs, tys = m.tile_sql_xy("lon", "lat")
+    con = duckdb.connect()
+    lons = np.linspace(-179.9, 179.9, 41)
+    lats = np.linspace(-89.9, 89.9, 41)
+    con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES " + ",".join(
+        f"({lo!r}, {la!r})" for lo in lons for la in lats
+    ) + ") t(lon, lat)")
+    got = con.execute(
+        f"SELECT {txs} AS tx, {tys} AS ty FROM pts"
+    ).fetchnumpy()
+    gx, gy = np.meshgrid(lons, lats, indexing="ij")
+    etx, ety = m.tile_of(gx.ravel(), gy.ravel())
+    assert np.array_equal(got["tx"], etx)
+    assert np.array_equal(got["ty"], ety)
+
+
+def test_vmw_validation_rejects_nondividing_coalesce():
+    doc = {
+        "id": "BadVMW",
+        "crs": "http://www.opengis.net/def/crs/EPSG/0/3857",
+        "tileMatrices": [
+            {"id": "0", "scaleDenominator": 1e6,
+             "topLeftCorner": [0, 0], "tileWidth": 256,
+             "tileHeight": 256, "matrixWidth": 6, "matrixHeight": 4,
+             "variableMatrixWidths": [
+                 {"coalesce": 4, "minTileRow": 0, "maxTileRow": 0}]},
+        ],
+    }
+    with pytest.raises(tms.InvalidTileMatrixSet):
+        tms.validate(tms.TileMatrixSet.from_json(doc))
