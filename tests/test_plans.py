@@ -452,3 +452,29 @@ def test_hll_registers_partial_max(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     s = plan(textops.hll_distinct(docs))
     assert "partial_max" in s or "partial max" in s.lower()
+
+
+def test_osgb_gridshift_plan_is_broadcast_equijoin(spark):
+    """r5: the nadgrids four-node interpolation must be a broadcast
+    hash equi-join on (row, col) — no cartesian/BNLJ anywhere, no
+    Python in the plan (pure Catalyst + the TMD stage columns)."""
+    from gdal_spark import gridshift
+
+    df = gridshift.osgb_gridshift(synth.images_df(spark, 500))
+    s = plan(df)
+    assert "BroadcastHashJoin" in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_tms_assign_plans_are_python_free(spark):
+    """r5: registry/VMW tile assignment is pure Catalyst projection —
+    no joins, no exchanges beyond the union, no Python."""
+    import __spark_entry__ as se
+
+    for q in (se._q_tms_registry, se._q_tms_vmw):
+        s = plan(q(spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+        assert "CartesianProduct" not in s
+        assert "Join" not in s
