@@ -220,8 +220,12 @@ def run_pipeline_full(spark, sf_dir: str, render_cap: int = 512,
         shutil.rmtree(root, ignore_errors=True)
 
 
-ENGINE_REV = "r4-prepjoin"  # stamp attempts so best/median aggregate
-# only over comparable engine revisions. r4-prepjoin: the polygon
+ENGINE_REV = "r5-heavytail"  # stamp attempts so best/median aggregate
+# only over comparable engine revisions. r5-heavytail: the heavy
+# refine branch of the PIP join runs at 16 tasks/core leaf granularity
+# (cheap rect branch unchanged at the job's 4) — the final all-heavy
+# wave quantizes 4x finer; see the round-5 A/B in BENCH/PROFILE_r4.md
+# §7.  Prior: r4-prepjoin: the polygon
 # layer is prepared ONCE (prepare_spatial_join: cover build + zoom-set
 # action + checkpoint) and the probe plan is constructed once, so the
 # timed passes measure steady-state batch execution — the shape of a
@@ -293,7 +297,13 @@ def run_scaling_job(cores: int) -> dict:
     #   variants compose with '+', e.g. shared_bc+heavy16
     variant = os.environ.get("SPARK_GRAFT_JOIN_VARIANT", "")
     shared_bc = "shared_bc" in variant
-    heavy_tpc = 0
+    # default (rev r5-heavytail): heavy refine branch at 16 tasks/core
+    # — in the round-5 campaign's one clean paired window it cut the
+    # hi leg 16.21 -> 15.94 s (raw 0.793 -> 0.845, ALU-normalized
+    # 0.894 -> 0.937) by quantizing the all-heavy final wave finer
+    # while leaving the cheap rect branch's dispatch cost alone.
+    # heavy0 reverts to the r4-prepjoin single-granularity shape.
+    heavy_tpc = 16
     for part in variant.split("+"):
         if part.startswith("heavy") and part[5:].isdigit():
             heavy_tpc = int(part[5:])
