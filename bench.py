@@ -830,7 +830,14 @@ def main():
             "analysis) previously idled 31/32 cores for ~2 s of the\n"
             "32-core leg's 20 s window, a pure Amdahl artifact of the\n"
             "short benchmark batch that a long-lived pipeline amortizes.\n"
-            "Broadcast build still runs inside every timed pass.\n"
+            "Broadcast build still runs inside every timed pass (its\n"
+            "cost decomposed + two elimination attempts recorded as\n"
+            "negative results in PROFILE_r4.md par.6). Since rev\n"
+            "r5-heavytail the HEAVY refine branch runs at 16 tasks/core\n"
+            "leaf granularity (cheap rect branch stays at 4): the final\n"
+            "all-heavy wave quantizes 4x finer, which cut the 32-core\n"
+            "leg 16.21 -> 15.94 s in the round-5 campaign's one clean\n"
+            "paired window (PROFILE_r4.md par.7).\n"
             "Same job, same input, two pinned parallelism levels\n"
             "(taskset) per pair — the sandbox proxy for N vs 4N executors\n"
             "per BASELINE.json, which allows 'N and 4N cores'.\n\n"
